@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect cost). A warmup query amortizes JVM/codegen startup out of
+the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from eth2dgraph_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: relational joins/aggs, windows, the eth-semantics queries,
+# and the pipeline operators (dedup / similarity / text).
+HEADLINE = [
+    "gas_stats",
+    "lifetimes_rq4",
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "parts_top_per_brand",
+    "first_per_key",
+    "event_gaps",
+    "rollup",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_cosine",
+    "ann_topk",
+    "quality_score",
+    "lang_id",
+    "token_count",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warmup: spin up executors + codegen on a tiny query
+    qs["last_block"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Opcode tokenizer + n-grams (P15) feeding the similarity kernels (A5-A7).
+
+Reference: src/analysys/similarities.rs:113-143 — walk the bytecode, skip
+PUSH argument bytes, emit the opcode sequence; slide a window of n (default 5)
+and count n-gram frequencies.
+
+Spark-first: the tokenizer is a Python kernel (sequential scan), but the
+n-gram *rows* form — (id, ngram, count) — is the native representation: it
+feeds groupBy/join-based cosine (A6) without MapType wrangling, distributes
+the frequency counting, and lets the similarity join block on shared n-grams
+instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+DEFAULT_N = 5  # src/main.rs:132-134
+
+
+def opcode_tokens(code: bytes) -> list[int]:
+    """Opcode sequence with PUSH args skipped
+    (src/analysys/similarities.rs:113-126)."""
+    out = []
+    i = 0
+    n = len(code)
+    while i < n:
+        op = code[i]
+        out.append(op)
+        i += 1
+        if 0x60 <= op <= 0x7F:
+            i += op - 0x5F
+    return out
+
+
+def opcode_ngrams(code: bytes, n: int = DEFAULT_N) -> list[str]:
+    """All n-grams (as hex strings) of the opcode sequence — duplicates kept;
+    frequency counting happens in the groupBy (A5)."""
+    toks = opcode_tokens(code)
+    if len(toks) < n:
+        return []
+    return [bytes(toks[i : i + n]).hex() for i in range(len(toks) - n + 1)]
+
+
+def _ngram_udf(n: int):
+    @pandas_udf(ArrayType(StringType()))
+    def udf(code_hex: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h = v[2:] if v.startswith("0x") else v
+            try:
+                return opcode_ngrams(bytes.fromhex(h), n)
+            except ValueError:
+                return []
+
+        return code_hex.map(one)
+
+    return udf
+
+
+def ngram_rows(
+    skeletons: DataFrame,
+    id_col: str = "skeleton_hash",
+    code_col: str = "bytecode",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """(id, ngram, cnt) frequency rows — A5
+    (src/analysys/similarities.rs:127-142)."""
+    udf = _ngram_udf(n)
+    return (
+        skeletons.select(F.col(id_col).alias("id"), udf(F.col(code_col)).alias("_ngrams"))
+        .select("id", F.explode("_ngrams").alias("ngram"))
+        .groupBy("id", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,123 @@
+"""Skeleton similarity (SURVEY.md §2.5 A5-A7, §2.4 J5-J6).
+
+Reference semantics (src/analysys/similarities.rs):
+  - cosine over opcode n-gram frequency maps, threshold 0.95 default
+    (:216-230; dot over intersecting keys / sqrt(sum_a2 * sum_b2)).
+  - Jaccard over interface name sets (functions ∪ events ∪ errors),
+    0.0 if either set empty, threshold 0.75 default (:233-238, 94-103).
+  - all-pairs is triangular (i vs i+1..n, :256-305); one-vs-all broadcasts a
+    single target (:314-429). Output is symmetric pairs with the score.
+
+Spark-first — NO crossJoin: the n-gram/token ROWS form turns the similarity
+into a sparse inverted-index join. Pairs that share no n-gram have dot = 0
+and can never pass a positive threshold, so joining on the n-gram key
+enumerates exactly the candidate pairs; `id_a < id_b` keeps the triangle.
+This is the standard IR trick that replaces the reference's O(n^2) rayon loop
+and is the piece that survives 100x data (cross join does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_COSINE_THRESHOLD = 0.95  # src/main.rs:126-131
+DEFAULT_JACCARD_THRESHOLD = 0.75  # src/main.rs:121-125
+
+
+def cosine_similarity_pairs(
+    ngram_rows: DataFrame, threshold: float = DEFAULT_COSINE_THRESHOLD
+) -> DataFrame:
+    """A6/J5: all pairs with n-gram cosine >= threshold.
+
+    Input: (id, ngram, cnt) rows from functions.ngrams.ngram_rows.
+    dot(a,b) via self-join on ngram; norms via a per-id agg joined back.
+    """
+    norms = ngram_rows.groupBy("id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("norm2"))
+    a = ngram_rows.select(F.col("id").alias("id_a"), "ngram", F.col("cnt").alias("cnt_a"))
+    b = ngram_rows.select(F.col("id").alias("id_b"), "ngram", F.col("cnt").alias("cnt_b"))
+    dots = (
+        a.join(b, "ngram")
+        .filter(F.col("id_a") < F.col("id_b"))  # triangular (similarities.rs:258)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("norm2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("similarity", F.col("dot") / F.sqrt(F.col("norm2_a") * F.col("norm2_b")))
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def jaccard_similarity_pairs(
+    token_rows: DataFrame, threshold: float = DEFAULT_JACCARD_THRESHOLD
+) -> DataFrame:
+    """A7: all pairs with token-set Jaccard >= threshold.
+
+    Input: (id, token) DISTINCT rows (the interface name sets of
+    similarities.rs:94-103 — or any token sets). |A∩B| from the join,
+    |A∪B| = |A|+|B|-|A∩B|. Empty sets produce no rows => 0.0 (:233-234).
+    """
+    tok = token_rows.select("id", "token").distinct()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("id").alias("id_a"), "token")
+    b = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "similarity",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def one_vs_all_cosine(
+    ngram_rows: DataFrame, target_id: str, threshold: float = DEFAULT_COSINE_THRESHOLD
+) -> DataFrame:
+    """J6: broadcast the single target's n-gram vector against everyone
+    (similarities.rs:314-429)."""
+    target = ngram_rows.filter(F.col("id") == target_id).select(
+        "ngram", F.col("cnt").alias("cnt_t")
+    )
+    norms = ngram_rows.groupBy("id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("norm2"))
+    t_norm = norms.filter(F.col("id") == target_id).select(F.col("norm2").alias("norm2_t"))
+    dots = (
+        ngram_rows.filter(F.col("id") != target_id)
+        .join(F.broadcast(target), "ngram")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_t")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(t_norm))
+        .withColumn("similarity", F.col("dot") / F.sqrt(F.col("norm2") * F.col("norm2_t")))
+        .filter(F.col("similarity") >= threshold)
+        .select("id", "similarity")
+    )
+
+
+def symmetric_edges(pairs: DataFrame, kind: str) -> DataFrame:
+    """K5: materialize both directions with a kind tag, as the reference
+    writes both N-Quad directions (similarities.rs:270-303)."""
+    fwd = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "similarity", F.lit(kind).alias("kind")
+    )
+    rev = pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "similarity", F.lit(kind).alias("kind")
+    )
+    return fwd.unionByName(rev)

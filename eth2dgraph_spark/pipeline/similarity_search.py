@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline. The dot product is a JVM-side
+    higher-order function (zip_with + aggregate) — no Python, no UDF. The
+    query side is a broadcast (small), so the scan side never shuffles.
+  - LSH/IVF-bucketed: the scale path. Random-hyperplane signs (deterministic
+    seeded planes) bucket vectors; candidates come from bucket collisions and
+    are re-ranked exactly. At 100 TB the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, vec_col: str, other_col: str, out_col: str = "cosine") -> DataFrame:
+    a, b = F.col(vec_col).cast("array<double>"), F.col(other_col).cast("array<double>")
+    return df.withColumn(out_col, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. Queries are broadcast;
+    ranking is a per-query window over the scored scan."""
+    scored = embeddings.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine",
+        _dot(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>"))
+        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(F.col(query_vec_col).cast("array<double>"))),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG seed — no RNG at
+    plan time, reproducible across runs/engines)."""
+    state = 88172645463325252
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state % 2000003) / 1000001.5) - 1.0)  # ~U(-1,1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, num_planes: int = 8
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of <v, plane_i> packed into a bucket
+    id. Vectors in the same bucket are candidate neighbors."""
+    planes = _hyperplanes(dim, num_planes)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(v, plane) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """ANN: bucket both sides, join on bucket, re-rank exactly within the
+    bucket. Recall < 1.0 by construction; multiply probe by lowering
+    num_planes or probing neighboring buckets."""
+    emb_b = lsh_bucket(embeddings, vec_col, dim, num_planes)
+    q_b = lsh_bucket(queries.withColumnRenamed(query_vec_col, "_qv"), "_qv", dim, num_planes)
+    scored = emb_b.join(F.broadcast(q_b), "lsh_bucket").withColumn(
+        "cosine",
+        _dot(F.col(vec_col).cast("array<double>"), F.col("_qv").cast("array<double>"))
+        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(F.col("_qv").cast("array<double>"))),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (scale
+    path), exact cosine check inside the bucket."""
+    b = lsh_bucket(embeddings, vec_col, dim, num_planes).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
+    )
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "lsh_bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "lsh_bucket")
+    pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    va, vb = F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    return (
+        pairs.withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path, so they scan-rate-bound at 100 TB. Each returns the
+input plus derived columns so they compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately deterministic and SQL-expressible (the DuckDB oracle runs the
+# same scoring) — a real deployment would swap in fastText via mapInPandas.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+_WS = r"\s+"
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """Whitespace tokenization into an array column."""
+    return df.withColumn(out_col, F.split(F.trim(F.col(text_col)), _WS))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (chars/4 is the common transformer rule of thumb, blended with word
+    count — deterministic, no tokenizer dependency)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), _WS))
+    chars = F.length(text_col)
+    return (
+        df.withColumn("n_tokens_ws", ws)
+        .withColumn("n_tokens_bpe_est", F.ceil(chars / F.lit(4.0)).cast("long"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    length, and a composite [0,1] score — the C4/Gopher-style cheap filters."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), _WS))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    words = F.split(F.lower(F.trim(t)), _WS)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(all_stop)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    mean_word_len = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when(n_words < 5, 0.0)
+        .when(punct_ratio > 0.3, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) + stop_ratio + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.2).otherwise(0.0),
+            )
+        )
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by stopword voting: per language, count distinct stopword
+    hits in the token set; argmax wins, 'und' (undetermined) when no hits.
+    Deterministic tie-break by language code order."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    out = df
+    for lang, stops in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"_hits_{lang}", F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in stops])))
+        )
+    langs = sorted(LANG_STOPWORDS)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:  # later langs must beat strictly -> first-wins tie-break
+        h = F.col(f"_hits_{lang}")
+        best = F.when(h > best_hits, F.lit(lang)).otherwise(best)
+        best_hits = F.when(h > best_hits, h).otherwise(best_hits)
+    out = out.withColumn("lang_pred", best).withColumn("lang_hits", best_hits)
+    return out.drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (content-defined identity for exact dedup), plus a 64-bit rolling
+    prefix (first 16 hex chars) usable as a cheap shard/join key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    fp = F.md5(norm)
+    return df.withColumn("fingerprint", fp).withColumn(
+        "fingerprint64", F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for this engine.
+
+Defaults are sized for local[$SPARK_GRAFT_CPUS] testing but every knob is the
+one we would set on a 1000-executor cluster too: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), UTC session timezone (chain
+timestamps are UTC; also keeps the DuckDB oracle comparable), Arrow for the
+pandas_udf kernels, and a shuffle-partition count that AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SHUFFLE = "32"
+
+
+def get_spark(
+    app_name: str = "eth2dgraph-spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", _DEF_SHUFFLE))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join handling, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # Arrow transfer for pandas_udf / mapInPandas kernels.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps vs the DuckDB oracle and chain data (UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
+        # Spark has no timestamp type for — read as long (ns since epoch) and
+        # convert at the source layer (sources.testdata).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep scans well-sized at local scale; on a cluster this is the same
+        # knob that bounds per-task input at ~128 MB.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

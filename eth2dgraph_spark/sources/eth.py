@@ -1,0 +1,59 @@
+"""Parquet source/sink for the chain tables (SURVEY.md §1.4, §2.1-2.2).
+
+The reference's extract mode writes 10 size-bounded gzip-JSON directories
+(src/extraction/extract.rs:300-316, src/extraction/writer.rs:50-447). Our
+at-rest layout is partitioned Parquet: dynamic tables (transactions, logs,
+transfers, traces) are partitioned by a block *range* bucket so (a) partition
+pruning serves block-range queries, (b) the streaming sink can overwrite a
+single block's partition idempotently (K4/T3), and (c) partition counts stay
+bounded at 100 TB (one dir per 10k blocks, not per block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ETH_TABLES
+
+# One partition directory per 10,000 blocks: at mainnet scale (~20M blocks)
+# that is ~2,000 partitions per table — prunable but not a small-files problem.
+BLOCK_BUCKET_SIZE = 10_000
+BLOCK_BUCKET_COL = "block_bucket"
+
+# Tables carrying a block_number column -> partitioned by block bucket.
+_DYNAMIC = {"transactions", "logs", "traces", "token_transfers", "deployments", "destructions", "withdrawals"}
+
+
+def with_block_bucket(df: DataFrame, block_col: str = "block_number") -> DataFrame:
+    return df.withColumn(
+        BLOCK_BUCKET_COL, (F.col(block_col) / F.lit(BLOCK_BUCKET_SIZE)).cast("long")
+    )
+
+
+def write_eth_table(df: DataFrame, table: str, base_path: str, mode: str = "overwrite") -> None:
+    """Write one chain table. Dynamic tables are partitioned by block bucket;
+    `mode='overwrite'` with dynamic partition overwrite gives the reference's
+    delete-then-reinsert idempotency (src/models/block.rs:171-284) per bucket."""
+    path = f"{base_path}/{table}"
+    block_col = "number" if table == "blocks" else "block_number"
+    if table in _DYNAMIC or table == "blocks":
+        out = with_block_bucket(df, block_col)
+        (
+            out.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BLOCK_BUCKET_COL)
+            .parquet(path)
+        )
+    else:  # static entity tables (skeletons, abi, …): globally deduped, unpartitioned
+        df.write.mode(mode).parquet(path)
+
+
+def read_eth_table(spark: SparkSession, table: str, base_path: str) -> DataFrame:
+    df = spark.read.parquet(f"{base_path}/{table}")
+    return df.drop(BLOCK_BUCKET_COL) if BLOCK_BUCKET_COL in df.columns else df
+
+
+def empty_eth_table(spark: SparkSession, table: str) -> DataFrame:
+    """An empty, correctly-schema'd DataFrame for any chain table."""
+    return spark.createDataFrame([], ETH_TABLES[table])

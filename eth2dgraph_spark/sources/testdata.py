@@ -1,0 +1,52 @@
+"""Readers for the driver's deterministic synthetic tables (TESTDATA.md).
+
+Parquet scans: schema comes from the footer, filters and column pruning are
+pushed down by Catalyst (check .explain for PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it reads as long ns-since-epoch.
+    Convert to a proper timestamp (integer division — ns magnitudes overflow
+    double precision, so no float math here)."""
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # runtime-settable SQL conf; the caller's session may not have it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf locked down: proceed, non-ns tables still read
+        pass
+    return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return {t: read_table(spark, sf_dir, t) for t in tables}
+
+
+def register_testdata_views(
+    spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so spark.sql() queries run on it."""
+    dfs = load_testdata(spark, sf_dir, tables)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,162 @@
+"""Training-data pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.pipeline import dedup, multimodal, similarity_search, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "THE  quick   Brown fox jumps over the lazy dog"),  # norm dup of 1
+        (4, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (5, "completely different words entirely unrelated content here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert groups[0]["doc_ids"] == [1, 2, 3]
+
+
+def test_dedup_exact_keeps_min(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got  # identical shingle sets
+    assert (1, 4) in got  # near dup shares most shingles
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, num_hashes=32, num_bands=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical signatures always collide
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_signature_identical_for_dups(spark, docs):
+    sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(docs, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+
+
+def test_simhash(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    # near-dup should be close in Hamming distance, far doc far
+    ham_near = bin(sigs[1] ^ sigs[4]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_near < ham_far
+    groups = dedup.simhash_duplicate_groups(
+        spark.createDataFrame([(k, v) for k, v in sigs.items()], "id long, simhash long")
+    ).collect()
+    assert any(g["dup_count"] == 3 for g in groups)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_search.brute_force_topk(vectors, q, k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["vec_id"] == 0  # self, cosine 1.0
+    assert ranked[1]["vec_id"] == 1
+
+
+def test_lsh_bucket_deterministic(spark, vectors):
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in similarity_search.lsh_bucket(vectors, dim=4).collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in similarity_search.lsh_bucket(vectors, dim=4).collect()}
+    assert b1 == b2  # seeded hyperplanes: stable across runs
+    assert b1[0] != b1[3]  # opposite vectors land in different buckets
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = similarity_search.embedding_near_dup_pairs(vectors, threshold=0.9, dim=4, num_planes=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_text_quality_and_tokens(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park"), (2, "x!!! ???")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in text.quality_score(d).collect()}
+    assert q[1]["quality_score"] > 0.5
+    assert q[2]["quality_score"] == 0.0  # < 5 words
+    t = {r["doc_id"]: r for r in text.token_count(d).collect()}
+    assert t[1]["n_tokens_ws"] == 9
+
+
+def test_lang_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist da"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(d).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_fingerprint_stable(spark):
+    d = spark.createDataFrame([(1, "A  b C"), (2, "a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.fingerprint(d).collect()}
+    assert got[1]["fingerprint"] == got[2]["fingerprint"]  # normalization
+    assert got[1]["fingerprint64"] == got[2]["fingerprint64"]
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [(1, "image", "image/png", bytearray(b"\x89PNG fake"), 2, 2, None),
+            (2, "video", "video/mp4", bytearray(b"\x00mp4 fake"), None, None, 3500)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = multimodal.decode_features(assets).collect()
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(r["decode_ok"] == "stubbed" for r in feats)
+    # deterministic fake: same payload -> same feature
+    again = multimodal.decode_features(assets).collect()
+    assert sorted((r["asset_id"], tuple(r["feature"])) for r in feats) == sorted(
+        (r["asset_id"], tuple(r["feature"])) for r in again
+    )
+
+
+def test_frame_sample_plan(spark):
+    rows = [(2, "video", "video/mp4", None, None, None, 3500)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
+
+
+def test_resize_stub_raises(spark):
+    rows = [(1, "image", "image/png", bytearray(b"x"), 1, 1, None)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.resize_stub(assets, 64, 64).collect()

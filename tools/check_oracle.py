@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's t2 gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from eth2dgraph_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from eth2dgraph_spark.session import get_spark  # noqa: E402
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in os_:
+            print(f"ok   {name}: rows={len(srows)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(os_[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}"))
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, f"row count: spark={len(srows)} oracle={len(orows)}"))
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            continue
+        ns, no = normalize(srows, scols), normalize(orows, ocols)
+        if ns != no:
+            diff = [(a, b) for a, b in zip(ns, no) if a != b][:3]
+            failures.append((name, f"values differ, first diffs: {diff}"))
+            print(f"FAIL {name}: values differ; first diffs: {diff}")
+            continue
+        print(f"ok   {name}: rows={len(srows)} hash-match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
