@@ -1,3 +1,3 @@
-from . import blocks, traces, transfers, abi, similarity, lifetimes
+from . import blocks, traces, transfers, abi, similarity, lifetimes, extract
 
-__all__ = ["blocks", "traces", "transfers", "abi", "similarity", "lifetimes"]
+__all__ = ["blocks", "traces", "transfers", "abi", "similarity", "lifetimes", "extract"]

@@ -103,9 +103,18 @@ def with_signatures(abi: DataFrame) -> DataFrame:
         event_signature_column(F.col("name"), F.col("inputs")),
     ).otherwise(function_signature_column(F.col("name"), F.col("inputs")))
     out = abi.withColumn("signature", sig)
+    # bytes4: Unresolved_xxxxxxxx names carry the REAL dispatch selector in
+    # the name (the signature hash of the synthetic name is wrong by
+    # construction) — src/models/function.rs:60-64.
+    embedded_sel = F.regexp_extract(F.col("name"), r"^Unresolved_([0-9a-fA-F]{8})$", 1)
     return out.withColumn(
         "bytes4",
-        F.when(F.col("type") == "function", F.concat(F.lit("0x"), F.substring("signature", 3, 8))),
+        F.when(
+            F.col("type") == "function",
+            F.when(embedded_sel != "", F.concat(F.lit("0x"), F.lower(embedded_sel))).otherwise(
+                F.concat(F.lit("0x"), F.substring("signature", 3, 8))
+            ),
+        ),
     )
 
 

@@ -34,8 +34,14 @@ def cosine_similarity_pairs(
     dot(a,b) via self-join on ngram; norms via a per-id agg joined back.
     """
     norms = ngram_rows.groupBy("id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("norm2"))
-    a = ngram_rows.select(F.col("id").alias("id_a"), "ngram", F.col("cnt").alias("cnt_a"))
-    b = ngram_rows.select(F.col("id").alias("id_b"), "ngram", F.col("cnt").alias("cnt_b"))
+    # norms are computed on the FULL vectors above; n-grams private to one
+    # skeleton can't contribute to any dot product, so prune them before the
+    # self-join (they dominate the index) and join on a 64-bit key.
+    nr = ngram_rows.select("id", F.xxhash64("ngram").alias("ngram"), "cnt")
+    key_counts = nr.groupBy("ngram").agg(F.count(F.lit(1)).alias("_n"))
+    nr = nr.join(key_counts.filter(F.col("_n") > 1).select("ngram"), "ngram")
+    a = nr.select(F.col("id").alias("id_a"), "ngram", F.col("cnt").alias("cnt_a"))
+    b = nr.select(F.col("id").alias("id_b"), "ngram", F.col("cnt").alias("cnt_b"))
     dots = (
         a.join(b, "ngram")
         .filter(F.col("id_a") < F.col("id_b"))  # triangular (similarities.rs:258)
@@ -64,6 +70,10 @@ def jaccard_similarity_pairs(
     """
     tok = token_rows.select("id", "token").distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # set sizes fixed above -> singleton tokens are prunable, hash join key
+    tok = tok.select("id", F.xxhash64("token").alias("token"))
+    key_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    tok = tok.join(key_counts.filter(F.col("_n") > 1).select("token"), "token")
     a = tok.select(F.col("id").alias("id_a"), "token")
     b = tok.select(F.col("id").alias("id_b"), "token")
     inter = (

@@ -27,7 +27,7 @@ def explode_topics(logs: DataFrame, n: int = 4) -> DataFrame:
     out = logs
     for i in range(n):
         out = out.withColumn(
-            f"topic_{i}", F.when(F.size("topics") > i, F.col("topics")[i])
+            f"topic_{i}", F.get("topics", i)
         )
     return out
 
@@ -65,19 +65,19 @@ def decode_token_transfers(logs: DataFrame) -> DataFrame:
     """P5: logs -> token_transfers rows (ERC-20 / ERC-721 discriminated by
     topic count, src/extraction/logs.rs:52-58)."""
     t = logs.filter(
-        F.col("topics").isNotNull() & (F.size("topics") > 0) & (F.col("topics")[0] == TRANSFER_TOPIC)
+        F.get("topics", 0) == TRANSFER_TOPIC  # null-safe: get() tolerates empty arrays (ANSI mode)
     ).filter(F.size("topics").isin(3, 4))
 
     n_topics = F.size("topics")
     erc20 = n_topics == 3
     first_word = F.concat(F.lit("0x"), F.substring(F.regexp_replace("data", "^0x", ""), 1, 64))
     value_dec, value_ovf = _hex_word_to_decimal_string(first_word)
-    token_id_dec, _ = _hex_word_to_decimal_string(F.col("topics")[3])
+    token_id_dec, _ = _hex_word_to_decimal_string(F.get("topics", 3))
 
     return t.select(
         F.col("address").alias("contract"),
-        _topic_to_address(F.col("topics")[1]).alias("from"),
-        _topic_to_address(F.col("topics")[2]).alias("to"),
+        _topic_to_address(F.get("topics", 1)).alias("from"),
+        _topic_to_address(F.get("topics", 2)).alias("to"),
         F.when(erc20, value_dec).alias("value"),
         F.when(~erc20, token_id_dec).alias("token_id"),
         F.when(erc20, F.lit("erc20")).otherwise(F.lit("erc721")).alias("token_type"),
@@ -91,4 +91,4 @@ def transfer_logs(logs: DataFrame) -> DataFrame:
     """S4: the predicate-pushed scan — filter logs to the Transfer topic; the
     equality lands in PushedFilters at the Parquet scan when topics are stored
     exploded (topic_0 column) — use explode_topics + partition layout for that."""
-    return logs.filter(F.col("topics")[0] == TRANSFER_TOPIC)
+    return logs.filter(F.get("topics", 0) == TRANSFER_TOPIC)
