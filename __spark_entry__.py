@@ -326,6 +326,52 @@ def q_fingerprint(spark, sf):  # pipeline: document fingerprinting
     return d.select("doc_id", "fingerprint", "fingerprint64")
 
 
+def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+def q_cosine_ngram_pairs(spark, sf):  # A6/J5 via the real similarity operator
+    from eth2dgraph_spark.operators.similarity import cosine_similarity_pairs
+
+    rows = dedup.shingle_counts(_t(spark, sf, "documents"), k=3).withColumnRenamed(
+        "shingle", "ngram"
+    )
+    pairs = cosine_similarity_pairs(rows, threshold=0.2)
+    return _r6(pairs, "similarity")
+
+
+def q_running_sum(spark, sf):  # window frame (engine surface; SURVEY §2.6 note)
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+def q_tumbling_window(spark, sf):  # event-time tumbling agg (streaming shape)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
 def q_minhash_lsh_pairs(spark, sf):
@@ -387,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "events_extrema": q_events_extrema,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
+        "running_sum": q_running_sum,
+        "tumbling_window": q_tumbling_window,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -605,6 +655,32 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint,
                    ('0x'||substr(md5({_NORM}),1,15))::BIGINT AS fingerprint64 FROM documents""",
+        "events_extrema": """
+            SELECT user_id, round(min(value),6) AS min_value, round(max(value),6) AS max_value,
+                   strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts),'%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY user_id""",
+        "cosine_ngram_pairs": f"""
+            WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
+            sh AS (SELECT id, array_to_string(w[i.i:i.i+2],' ') AS shingle
+                   FROM toks, UNNEST(range(1, greatest(len(w)-2,1)+1)) AS i(i)),
+            cnts AS (SELECT id, shingle, count(*)::BIGINT AS cnt FROM sh GROUP BY 1,2),
+            norms AS (SELECT id, CAST(sum(cnt*cnt) AS BIGINT) AS norm2 FROM cnts GROUP BY id),
+            dots AS (SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.cnt*b.cnt) AS BIGINT) AS dot
+                     FROM cnts a JOIN cnts b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
+            SELECT id_a, id_b, round(c,6) AS similarity FROM (
+              SELECT id_a, id_b, dot*1.0/sqrt(na.norm2*nb.norm2) AS c
+              FROM dots JOIN norms na ON na.id=id_a JOIN norms nb ON nb.id=id_b)
+            WHERE c >= 0.2""",
+        "running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6) AS running_value
+            FROM events""",
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
+            FROM events GROUP BY 1, 2""",
         # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
         # no oracle — LSH candidate generation is engine-specific (rows-only).
     }

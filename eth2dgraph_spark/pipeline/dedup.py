@@ -67,6 +67,24 @@ def shingles(
     return df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle")).distinct()
 
 
+def shingle_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """(id, shingle, cnt) frequency rows — the text analog of the opcode
+    n-gram rows (A5) that feed cosine similarity (A6)."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle"))
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
