@@ -372,7 +372,49 @@ def q_tumbling_window(spark, sf):  # event-time tumbling agg (streaming shape)
     )
 
 
+def q_graph_degrees(spark, sf):  # graph layer: degrees over a derived edge set
+    from eth2dgraph_spark.graph import degrees
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return degrees(edges)
+
+
+def q_dedup_clusters(spark, sf):  # CC over near-dup pairs -> duplicate clusters
+    from eth2dgraph_spark.graph import duplicate_clusters
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.05)
+    return duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
+
+def q_pagerank_top(spark, sf):  # iterative graph kernel (no SQL oracle)
+    from eth2dgraph_spark.graph import pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, num_iter=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
 
 def q_minhash_lsh_pairs(spark, sf):
     return dedup.minhash_dedup_pairs(
@@ -437,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_ngram_pairs": q_cosine_ngram_pairs,
         "running_sum": q_running_sum,
         "tumbling_window": q_tumbling_window,
+        "graph_degrees": q_graph_degrees,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank_top": q_pagerank_top,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -681,8 +726,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
             FROM events GROUP BY 1, 2""",
-        # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
-        # no oracle — LSH candidate generation is engine-specific (rows-only).
+        "graph_degrees": """
+            WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+                       FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
+            v AS (SELECT src AS node, 1 AS o FROM e UNION ALL SELECT dst, 0 FROM e)
+            SELECT node, sum(CASE WHEN o=0 THEN 1 ELSE 0 END)::BIGINT AS in_degree,
+                   sum(o)::BIGINT AS out_degree, count(*)::BIGINT AS degree
+            FROM v GROUP BY node""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                      FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2),
+            pairs AS (SELECT id_a, id_b FROM (
+                        SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
+                        FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+                      WHERE j >= 0.05),
+            edges AS (SELECT id_a::VARCHAR AS u, id_b::VARCHAR AS v FROM pairs
+                      UNION SELECT id_b::VARCHAR, id_a::VARCHAR FROM pairs),
+            walk(node, lab) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node)
+            SELECT node, min(lab) AS component FROM walk GROUP BY node""",
+        # minhash_lsh_pairs / ann_topk / simhash_dup_groups / pagerank_top:
+        # intentionally no oracle — LSH candidate generation and iterative
+        # PageRank are engine-specific (rows-only check).
     }
 
 

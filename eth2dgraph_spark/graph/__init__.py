@@ -1,0 +1,217 @@
+"""Graph analytics layer (SURVEY.md §7 step 8; BASELINE.json north star
+"DataFrame transformations + GraphX analytics").
+
+The reference stores a property graph in Dgraph and traverses it with DQL
+(dgraph/contracts.schema:96-212); its analyse jobs are single-node scans.
+Here the graph is a plain (src, dst) edge DataFrame (plans/views.graph_edges)
+and the traversal/analytics kernels are iterative DataFrame programs:
+
+  - connected_components: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — O(log^2 n)
+    rounds, each round two shuffles, no driver-side state beyond a counter.
+    This is the 100 TB-safe choice: plain min-label propagation needs
+    O(graph diameter) rounds, which on a web/chain-shaped graph is unbounded.
+  - pagerank: standard power iteration with dangling-mass redistribution,
+    lineage truncated per iteration with localCheckpoint.
+  - degrees / k_hop: one-shuffle primitives.
+
+All kernels take string vertex ids; ordering uses lexicographic min, which
+only needs to be total for correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edge list as (u, v) with u != v."""
+    e = edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor strictly larger than u to min(N(u) ∪ {u})."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges to (max, min); connect u and all smaller neighbors to the min."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+    )
+    return moved.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = lexicographic min node id of the
+    component. Isolated vertices don't appear (no edges → no rows); union a
+    vertices frame downstream if needed.
+
+    Alternating star rounds; convergence detected with a cheap order-free
+    fingerprint (count + sum of per-edge hashes) instead of a subtract()."""
+    e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    prev_fp = None
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp_row = e2.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+        ).first()
+        e.unpersist()
+        e = e2
+        fp = (fp_row["c"], fp_row["s"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # fixpoint: every edge points a node at its component min
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = comp.unionByName(roots).groupBy("node").agg(F.min("component").alias("component"))
+    e.unpersist()
+    return out
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup pair list (from MinHash/SimHash/Jaccard) → transitive
+    duplicate clusters: (node, component). The standard last step of a
+    corpus-dedup pipeline: keep min(node) per component, drop the rest."""
+    return connected_components(pairs, id_a, id_b)
+
+
+def dedup_by_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-representative member of each duplicate cluster.
+    Representative = lexicographic min id (deterministic). Anti-join keeps
+    documents with no near-dup pair untouched — no full-corpus shuffle."""
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    # left-anti, not broadcast: at corpus scale the duplicate set is itself
+    # huge (that's the point of deduping); AQE picks broadcast when small
+    return df.join(losers, id_col, "left_anti")
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, in_degree, out_degree, degree) in one pass: explode each edge
+    into two (node, is_out) votes, then a single groupBy."""
+    votes = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).cast("string").alias("node"), F.lit(1).alias("o")),
+                F.struct(F.col(dst).cast("string").alias("node"), F.lit(0).alias("o")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.o")
+    return votes.groupBy("node").agg(
+        F.sum(F.when(F.col("o") == 0, 1).otherwise(0)).alias("in_degree"),
+        F.sum("o").alias("out_degree"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after `num_iter` power iterations, Σrank = 1.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly — the
+    aggregate is one scalar per iteration, not a per-node join. Ranks are
+    persisted and lineage-truncated every iteration so the plan stays O(1)
+    deep instead of O(num_iter)."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # pre-join degree onto edges once; reused every iteration
+    ej = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(num_iter):
+        contribs = (
+            ej.join(ranks, ej.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # mass sitting on dangling nodes this iteration
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    ej.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Vertices reachable from `sources` (column `node`) in <= k directed
+    hops, with min hop distance — BFS as k joins, frontier-only (visited set
+    pruned each round with a left-anti join)."""
+    e = edges.select(F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst"))
+    visited = sources.select(F.col("node").cast("string")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = visited
+    for i in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1,0 +1,85 @@
+"""Graph layer kernels: connected components (alternating star), PageRank,
+degrees, k-hop. Reference analogue: Dgraph's graph traversals
+(dgraph/contracts.schema:96-212) and the analyse jobs' reverse-edge walks
+(src/analysys/lifetimes.rs:320-357)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.graph import (
+    connected_components,
+    dedup_by_clusters,
+    degrees,
+    duplicate_clusters,
+    k_hop,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_connected_components_two_components(spark):
+    # chain a-b-c-d plus triangle x-y-z, plus a duplicate/reversed edge
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("z", "x"), ("b", "a")],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter 63 — plain min-propagation would need 63 rounds; the
+    # star algorithm must finish well inside max_iter=20
+    e = _edges(spark, [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)])
+    got = connected_components(e, max_iter=20).collect()
+    assert len(got) == 64
+    assert {r["component"] for r in got} == {"n000"}
+
+
+def test_duplicate_clusters_and_dedup(spark):
+    docs = spark.createDataFrame(
+        [("d1", "t"), ("d2", "t"), ("d3", "t"), ("d4", "u"), ("d5", "v")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3")], "id_a string, id_b string"
+    )
+    clusters = {r["node"]: r["component"] for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {"d1": "d1", "d2": "d1", "d3": "d1"}
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == ["d1", "d4", "d5"]  # d2/d3 dropped, untouched docs kept
+
+
+def test_degrees(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {r["node"]: (r["in_degree"], r["out_degree"], r["degree"]) for r in degrees(e).collect()}
+    assert got == {"a": (0, 2, 2), "b": (1, 1, 2), "c": (2, 0, 2)}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    # star: everyone links to hub; hub is dangling
+    e = _edges(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub")])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, num_iter=15).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-6)
+    assert ranks["hub"] == max(ranks.values())
+    leaf = [v for k, v in ranks.items() if k != "hub"]
+    assert max(leaf) - min(leaf) < 1e-12  # symmetry
+
+
+def test_pagerank_known_cycle(spark):
+    # 3-cycle: uniform stationary distribution 1/3 each
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, num_iter=20).collect()}
+    for v in ranks.values():
+        assert math.isclose(v, 1 / 3, rel_tol=1e-9)
+
+
+def test_k_hop_distances(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "a")])
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in k_hop(e, srcs, k=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops, excluded
