@@ -85,41 +85,71 @@ def shingle_counts(
     )
 
 
+def _hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, h) distinct rows, h = xxhash64(shingle). The hash happens BEFORE
+    the set-dedup so the distinct's shuffle moves 8-byte longs, not shingle
+    strings — at corpus scale that's the dominant shuffle of the whole job.
+    Collisions (~2^-64/pair) can perturb a set size by 1; accepted."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(acc).alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join (no cross
-    join): |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    """Exact n-gram Jaccard near-dup pairs via an inverted index (no cross
+    join): |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|-|A∩B|.
 
     Scale shape: (1) per-doc sizes are counted BEFORE any pruning, so the
-    final Jaccard is exact; (2) shingles held by a single document are
-    dropped before the self-join — they cannot form a pair, and in real
-    corpora they are the vast majority of the index; (3) the join key is a
-    64-bit xxhash of the shingle, not the string — the shuffle moves 8-byte
-    keys. Result unchanged (Jaccard is computed from counts, not key values;
-    hash collisions are ~2^-64 per pair and would only perturb `inter` by 1).
+    final Jaccard is exact; (2) candidate pairs come from ONE
+    groupBy(shingle-hash) with an in-row triangular expansion over the
+    sorted posting list — vs. the prune-join + self-join formulation this
+    removes two shuffles of the full index and never materializes the
+    discarded j<=i half; (3) every shuffle key is a 64-bit hash, never a
+    string. `max_shingle_docs` optionally drops postings longer than the cap
+    (stop-shingles): at web scale a shingle shared by millions of docs
+    contributes O(f²) pairs while raising Jaccard evidence by 1 — cap it and
+    the result stays exact for every pair whose overlap isn't purely
+    stop-shingles (the MinHash path is the statistical alternative).
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = shingles(df, id_col, text_col, k).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
-    # the index feeds 4 plan branches (sizes, key counts, both join sides) —
-    # persist it instead of recomputing the explode lineage per branch;
-    # MEMORY_AND_DISK spills rather than OOMs at large scale
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _hashed_shingle_sets(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
-    sh = sh.join(counts.filter(F.col("_n") > 1).select("shingle"), "shingle")
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    posting = sh.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    posting = posting.filter(F.size("ids") > 1)
+    if max_shingle_docs is not None:
+        posting = posting.filter(F.size("ids") <= max_shingle_docs)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(pair)
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -155,8 +185,18 @@ def minhash_signatures(
     """(id, sig: array<long>) MinHash signatures over word shingles.
 
     h_i(s) = (a_i * (md5_60(s) mod p) + b_i) mod p with fixed seeds — fully
-    deterministic, no Date/random at plan time."""
-    sh = shingles(df, id_col, text_col, k).withColumn(
+    deterministic, no Date/random at plan time.
+
+    No distinct() on the exploded shingles: min() is duplicate-insensitive,
+    so the set-dedup shuffle the Jaccard path needs is pure waste here — the
+    whole job is explode → one groupBy(id)."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle")).withColumn(
         "x", _shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)
     )
     aggs = []
@@ -209,13 +249,40 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash+LSH pipeline: candidates from banding, then verify with
-    exact Jaccard (removes LSH false positives; output = true near-dups that
-    LSH surfaced). At scale this is the default near-dup path."""
+    """Full MinHash+LSH pipeline: candidates from banding, then CANDIDATE-
+    DRIVEN exact-Jaccard verification (removes LSH false positives; output =
+    true near-dups that LSH surfaced). At scale this is the default near-dup
+    path.
+
+    Verification cost is O(candidates), not O(all co-occurring pairs): only
+    documents that appear in some candidate pair have their shingle set
+    materialized (semi-join), and each candidate pair intersects two arrays
+    — the full inverted-index pair join never runs. That's the whole reason
+    LSH exists; verifying against a global exact-pairs table would redo the
+    quadratic work LSH avoided."""
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
     cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh = _hashed_shingle_sets(df, id_col, text_col, k)
+    docs = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(docs, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz"))
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_signatures(
