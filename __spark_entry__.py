@@ -395,6 +395,18 @@ def q_dedup_clusters(spark, sf):  # CC over near-dup pairs -> duplicate clusters
     return duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_search.brute_force_topk(e, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
 def q_pagerank_top(spark, sf):  # iterative graph kernel (no SQL oracle)
@@ -481,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "graph_degrees": q_graph_degrees,
         "dedup_clusters": q_dedup_clusters,
+        "embedding_topk": q_embedding_topk,
         "pagerank_top": q_pagerank_top,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
@@ -726,6 +739,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS c
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
         "graph_degrees": """
             WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
                        FROM orders JOIN lineitem ON o_orderkey=l_orderkey),

@@ -45,6 +45,8 @@ HEADLINE = [
     "lang_id",
     "token_count",
     "fingerprint",
+    "dedup_clusters",
+    "pagerank_top",
 ]
 
 

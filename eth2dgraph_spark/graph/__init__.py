@@ -145,25 +145,37 @@ def pagerank(
 ) -> DataFrame:
     """(node, rank) after `num_iter` power iterations, Σrank = 1.
 
-    Dangling nodes (no out-edges) redistribute their mass uniformly — the
-    aggregate is one scalar per iteration, not a per-node join. Ranks are
-    persisted and lineage-truncated every iteration so the plan stays O(1)
-    deep instead of O(num_iter)."""
+    Iteration cost discipline (this is the part that matters at scale):
+      - ONE action per iteration: the dangling-mass scalar is folded into
+        the plan as a broadcast 1-row aggregate, so the eager checkpoint is
+        the only materialization.
+      - The dangling set is a static column computed once (anti-join against
+        out-degree at setup), not re-derived per round.
+      - The edge frame is pre-joined with out-degree, hash-partitioned by
+        src, and persisted — the big side's shuffle happens once; only the
+        small ranks side moves each iteration.
+      - localCheckpoint truncates lineage so the plan stays O(1) deep."""
+    # persist the canonical edges: the upstream build (often a join) would
+    # otherwise re-run for every consumer below (ej AND nodes)
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ej = e.join(outdeg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+        .withColumn("dangling", F.lit(True))
+        .unionByName(
+            outdeg.select(F.col("src").alias("node")).withColumn("dangling", F.lit(False))
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # pre-join degree onto edges once; reused every iteration
-    ej = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(num_iter):
         contribs = (
@@ -172,25 +184,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        # mass sitting on dangling nodes this iteration
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        dangling_mass = ranks.filter(F.col("dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .join(F.broadcast(dangling_mass))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+                "dangling",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
     e.unpersist()
     ej.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:

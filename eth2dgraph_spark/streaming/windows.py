@@ -1,0 +1,119 @@
+"""Event-time streaming features beyond the reference (SURVEY.md §2.8 note:
+"No watermarks, no event-time windows ... exist in the reference. We add
+watermark-based variants only as engine features").
+
+The reference orders by block number and gets correctness from idempotent
+per-block overwrite (T3). These operators add the Structured-Streaming-native
+late-data story for consumers that want event-time analytics over the chain
+tables (block timestamps are event time):
+
+  - tumbling/sliding/session windowed aggregation with a watermark;
+  - streaming dedup with a watermark-bounded state (dropDuplicates);
+  - a custom stateful operator via applyInPandasWithState (running
+    per-contract counters — the streaming analog of the lifetime RQs).
+
+All take a STREAMING DataFrame and return a streaming DataFrame; the same
+calls work on batch frames (Spark's unified semantics) which is how the
+oracle-style tests pin the math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_block_stats(
+    blocks: DataFrame,
+    ts_col: str = "datetime",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time gas/size stats with
+    a watermark bounding state. On a stream, late blocks beyond the watermark
+    are dropped; on-time late data updates its window (append mode emits a
+    window once the watermark passes it)."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        blocks.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("tx_count").alias("n_txs"),
+            F.avg("gas_used").alias("avg_gas_used"),
+            F.max("base_fee_per_gas").alias("max_base_fee"),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "n_blocks", "n_txs", "avg_gas_used", "max_base_fee")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per key: activity bursts separated by >= `gap` of
+    silence (e.g. a contract's transaction sessions)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: state is bounded —
+    keys older than the watermark are evicted (vs. the unbounded DashMap of
+    src/extraction/stream.rs:184-246, this survives unbounded streams)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def running_contract_counters(events: DataFrame, timeout_s: int = 3600) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-contract
+    running (deploy_count, destroy_count) across micro-batches — the
+    streaming analog of the lifetime RQ counters (src/analysys/lifetimes.rs).
+
+    Input schema: (contract string, kind string['deploy'|'destroy'], ts timestamp).
+    Emits one row per contract per batch with updated totals. State times out
+    `timeout_s` after the last event (processing time), bounding memory."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "contract string, deploy_count long, destroy_count long"
+    state_schema = "deploys long, destroys long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        d = s = 0
+        for pdf in pdfs:
+            d += int((pdf["kind"] == "deploy").sum())
+            s += int((pdf["kind"] == "destroy").sum())
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev_d, prev_s = state.get if state.exists else (0, 0)
+        state.update((prev_d + d, prev_s + s))
+        state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame(
+            {"contract": [key[0]], "deploy_count": [prev_d + d], "destroy_count": [prev_s + s]}
+        )
+
+    return events.groupBy("contract").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

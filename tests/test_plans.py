@@ -81,6 +81,29 @@ def test_gas_stats_single_shuffle(spark):
     assert p.count("Exchange") <= 2  # one hash exchange (+AQE wrapper line)
 
 
+def test_minhash_has_no_distinct_shuffle(spark):
+    """MinHash min() is duplicate-insensitive — the plan must be exactly
+    explode -> one hash aggregate exchange, with no set-dedup shuffle."""
+    from eth2dgraph_spark.pipeline.dedup import minhash_signatures
+
+    d = read_table(spark, SF, "documents")
+    p = plan_of(minhash_signatures(d, k=3, num_hashes=8), "simple")
+    assert p.count("Exchange") <= 1, p
+
+
+def test_jaccard_posting_list_no_index_self_join(spark):
+    """The pair-generation must be the in-row posting-list expansion, not a
+    self-join of the full shingle index: the only joins left are the two
+    size lookups on already-reduced aggregates."""
+    from eth2dgraph_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, SF, "documents")
+    p = plan_of(ngram_jaccard_pairs(d, k=3, threshold=0.05), "simple")
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
+    assert joins <= 2, p
+    assert "Generate explode" in p  # posting-list expansion present
+
+
 def test_triangular_filter_in_similarity(spark):
     """J5: the candidate join carries id_a < id_b — no symmetric duplicates."""
     from eth2dgraph_spark.operators.similarity import cosine_similarity_pairs

@@ -1,0 +1,111 @@
+"""Event-time streaming engine features (SURVEY §2.8 'engine features'
+note): watermark + tumbling/session windows, bounded-state dedup, and the
+applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.streaming.windows import (
+    running_contract_counters,
+    session_windows,
+    streaming_dedup,
+    windowed_block_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _blocks(spark, n=10):
+    rows = [
+        (i, T0 + dt.timedelta(minutes=2 * i), 10 + i, 1_000_000 * (i + 1), 7.5 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "number long, datetime timestamp, tx_count long, gas_used long, base_fee_per_gas double",
+    )
+
+
+def test_windowed_block_stats_batch_semantics(spark):
+    # 10 blocks at 2-min spacing -> 4 tumbling 5-min windows (0,5,10,15)
+    out = windowed_block_stats(_blocks(spark), window="5 minutes").orderBy("window_start")
+    rows = out.collect()
+    assert len(rows) == 4
+    assert rows[0]["n_blocks"] == 3  # minutes 0,2,4
+    assert rows[0]["n_txs"] == 10 + 11 + 12
+    assert rows[1]["n_blocks"] == 2  # minutes 6,8
+
+
+def test_sliding_window_variant(spark):
+    out = windowed_block_stats(_blocks(spark), window="10 minutes", slide="5 minutes")
+    # sliding windows overlap: every block lands in 2 windows
+    assert out.agg(F.sum("n_blocks")).first()[0] == 20
+
+
+def test_session_windows_gap_split(spark):
+    rows = [
+        ("c1", T0),
+        ("c1", T0 + dt.timedelta(minutes=5)),   # same session (gap < 30m)
+        ("c1", T0 + dt.timedelta(hours=2)),     # new session
+        ("c2", T0),
+    ]
+    ev = spark.createDataFrame(rows, "contract string, ts timestamp")
+    out = session_windows(ev, "contract", "ts", gap="30 minutes").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["contract"], []).append(r["n_events"])
+    assert sorted(by_key["c1"]) == [1, 2]
+    assert by_key["c2"] == [1]
+
+
+def test_streaming_dedup_batch_semantics(spark):
+    rows = [("a", T0), ("a", T0), ("b", T0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    assert streaming_dedup(df, ["k"], "ts").count() == 2
+
+
+def test_running_contract_counters_stateful_stream(spark, tmp_path):
+    """Real streaming run: two files arrive as separate micro-batches; the
+    state must carry deploy/destroy counts across them."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    schema = "contract string, kind string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [("c1", "deploy", T0), ("c1", "destroy", T0), ("c2", "deploy", T0)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(landing))
+
+    def sink(batch_df, batch_id):  # update-mode emissions -> append files
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(landing))
+        q = (
+            running_contract_counters(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)  # same checkpoint: state resumes
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    batch2 = spark.createDataFrame([("c1", "deploy", T0)], schema)
+    batch2.coalesce(1).write.mode("append").parquet(str(landing))
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    # last emission for c1 must show cumulative (2 deploys, 1 destroy)
+    c1 = got.filter(F.col("contract") == "c1").orderBy(F.desc("deploy_count")).first()
+    assert (c1["deploy_count"], c1["destroy_count"]) == (2, 1)
+    c2 = got.filter(F.col("contract") == "c2").first()
+    assert (c2["deploy_count"], c2["destroy_count"]) == (1, 0)
