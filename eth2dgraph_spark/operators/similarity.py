@@ -31,22 +31,42 @@ def cosine_similarity_pairs(
     """A6/J5: all pairs with n-gram cosine >= threshold.
 
     Input: (id, ngram, cnt) rows from functions.ngrams.ngram_rows.
-    dot(a,b) via self-join on ngram; norms via a per-id agg joined back.
+    Norms via a per-id agg; dot(a,b) from ONE groupBy(ngram-hash) whose
+    sorted posting list is expanded in-row to triangular (id_a, id_b,
+    cnt_a*cnt_b) contributions — no self-join of the index, no j<=i half
+    ever materialized (vs. the reference's rayon loop,
+    similarities.rs:256-305).
     """
     norms = ngram_rows.groupBy("id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("norm2"))
     # norms are computed on the FULL vectors above; n-grams private to one
-    # skeleton can't contribute to any dot product, so prune them before the
-    # self-join (they dominate the index) and join on a 64-bit key.
-    nr = ngram_rows.select("id", F.xxhash64("ngram").alias("ngram"), "cnt")
-    key_counts = nr.groupBy("ngram").agg(F.count(F.lit(1)).alias("_n"))
-    nr = nr.join(key_counts.filter(F.col("_n") > 1).select("ngram"), "ngram")
-    a = nr.select(F.col("id").alias("id_a"), "ngram", F.col("cnt").alias("cnt_a"))
-    b = nr.select(F.col("id").alias("id_b"), "ngram", F.col("cnt").alias("cnt_b"))
+    # skeleton can't contribute to any dot product, so postings of length 1
+    # are dropped, and the grouping key is a 64-bit hash, never the string.
+    nr = ngram_rows.select(F.xxhash64("ngram").alias("ngram"), F.struct("id", "cnt").alias("e"))
+    posting = (
+        nr.groupBy("ngram")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))  # sorts by id
+        .filter(F.size("es") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "es",
+                lambda x, i: F.transform(
+                    F.slice("es", i + 2, F.size("es")),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (x["cnt"] * y["cnt"]).alias("prod"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
     dots = (
-        a.join(b, "ngram")
-        .filter(F.col("id_a") < F.col("id_b"))  # triangular (similarities.rs:258)
+        posting.select(pair)
+        .select("p.id_a", "p.id_b", "p.prod")
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+        .agg(F.sum("prod").alias("dot"))
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("norm2_a"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("norm2_b"))
@@ -68,17 +88,29 @@ def jaccard_similarity_pairs(
     similarities.rs:94-103 — or any token sets). |A∩B| from the join,
     |A∪B| = |A|+|B|-|A∩B|. Empty sets produce no rows => 0.0 (:233-234).
     """
-    tok = token_rows.select("id", "token").distinct()
+    tok = token_rows.select("id", F.xxhash64("token").alias("token")).distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # set sizes fixed above -> singleton tokens are prunable, hash join key
-    tok = tok.select("id", F.xxhash64("token").alias("token"))
-    key_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
-    tok = tok.join(key_counts.filter(F.col("_n") > 1).select("token"), "token")
-    a = tok.select(F.col("id").alias("id_a"), "token")
-    b = tok.select(F.col("id").alias("id_b"), "token")
+    # sizes fixed above -> singleton tokens prune away; pairs come from the
+    # sorted posting list of each token (same shape as the cosine path)
+    posting = (
+        tok.groupBy("token")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
     inter = (
-        a.join(b, "token")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(pair)
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

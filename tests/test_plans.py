@@ -104,12 +104,17 @@ def test_jaccard_posting_list_no_index_self_join(spark):
     assert "Generate explode" in p  # posting-list expansion present
 
 
-def test_triangular_filter_in_similarity(spark):
-    """J5: the candidate join carries id_a < id_b — no symmetric duplicates."""
+def test_triangular_pairs_in_similarity(spark):
+    """J5: pair generation is triangular by construction (sorted posting
+    list) — exactly one direction per pair, no index self-join in the plan."""
     from eth2dgraph_spark.operators.similarity import cosine_similarity_pairs
 
     rows = spark.createDataFrame(
-        [("a", "x", 1), ("b", "x", 1)], "id string, ngram string, cnt long"
+        [("a", "x", 1), ("b", "x", 1), ("a", "y", 2), ("b", "y", 2)],
+        "id string, ngram string, cnt long",
     )
-    p = plan_of(cosine_similarity_pairs(rows, 0.5), "extended")
-    assert "id_a < id_b" in p or "(id_a" in p
+    got = cosine_similarity_pairs(rows, 0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "b")]  # one direction only
+    p = plan_of(cosine_similarity_pairs(rows, 0.5), "simple")
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
+    assert joins <= 2  # only the two norm lookups
