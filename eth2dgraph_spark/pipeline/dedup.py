@@ -44,6 +44,22 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return fp.join(winners, ["_fp", id_col], "inner").drop("_fp")
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) rows (NOT distinct) — the shared explode all shingle
+    consumers start from. Built as a zip_with chain over k shifted slices —
+    O(k*n) per document and codegen-friendly; concat_ws skips zip_with's null
+    padding, which reproduces the shorter-than-k fallback."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle"))
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_SHINGLE
 ) -> DataFrame:
@@ -56,15 +72,7 @@ def shingles(
     and falls out of whole-stage codegen: 4x slower end-to-end.) concat_ws
     skips the nulls zip_with pads with, which exactly reproduces the
     shorter-than-k fallback."""
-    words = F.split(_norm_text(text_col), " ")
-    n = F.size(words)
-    m = F.greatest(n - F.lit(k - 1), F.lit(1))  # number of shingles
-    acc = F.slice(words, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle")).distinct()
+    return _exploded_shingles(df, id_col, text_col, k).distinct()
 
 
 def shingle_counts(
@@ -72,14 +80,8 @@ def shingle_counts(
 ) -> DataFrame:
     """(id, shingle, cnt) frequency rows — the text analog of the opcode
     n-gram rows (A5) that feed cosine similarity (A6)."""
-    words = F.split(_norm_text(text_col), " ")
-    n = F.size(words)
-    m = F.greatest(n - F.lit(k - 1), F.lit(1))
-    acc = F.slice(words, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle"))
+        _exploded_shingles(df, id_col, text_col, k)
         .groupBy("id", "shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -92,15 +94,9 @@ def _hashed_shingle_sets(
     the set-dedup so the distinct's shuffle moves 8-byte longs, not shingle
     strings — at corpus scale that's the dominant shuffle of the whole job.
     Collisions (~2^-64/pair) can perturb a set size by 1; accepted."""
-    words = F.split(_norm_text(text_col), " ")
-    n = F.size(words)
-    m = F.greatest(n - F.lit(k - 1), F.lit(1))
-    acc = F.slice(words, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(acc).alias("s"))
-        .select("id", F.xxhash64("s").alias("h"))
+        _exploded_shingles(df, id_col, text_col, k)
+        .select("id", F.xxhash64("shingle").alias("h"))
         .distinct()
     )
 
@@ -190,15 +186,13 @@ def minhash_signatures(
     No distinct() on the exploded shingles: min() is duplicate-insensitive,
     so the set-dedup shuffle the Jaccard path needs is pure waste here — the
     whole job is explode → one groupBy(id)."""
-    words = F.split(_norm_text(text_col), " ")
-    n = F.size(words)
-    m = F.greatest(n - F.lit(k - 1), F.lit(1))
-    acc = F.slice(words, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
-    sh = df.select(F.col(id_col).alias("id"), F.explode(acc).alias("shingle")).withColumn(
+    sh = _exploded_shingles(df, id_col, text_col, k).withColumn(
         "x", _shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)
     )
+    return _minhash_from_x(sh, num_hashes)
+
+
+def _minhash_aggs(num_hashes: int):
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers, coprime-ish with p (p is prime, any a<p works)
@@ -206,7 +200,11 @@ def minhash_signatures(
         aggs.append(
             F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"h{i}")
         )
-    sigs = sh.groupBy("id").agg(*aggs)
+    return aggs
+
+
+def _minhash_from_x(xrows: DataFrame, num_hashes: int) -> DataFrame:
+    sigs = xrows.groupBy("id").agg(*_minhash_aggs(num_hashes))
     return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
@@ -259,10 +257,26 @@ def minhash_dedup_pairs(
     materialized (semi-join), and each candidate pair intersects two arrays
     — the full inverted-index pair join never runs. That's the whole reason
     LSH exists; verifying against a global exact-pairs table would redo the
-    quadratic work LSH avoided."""
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    quadratic work LSH avoided.
+
+    The shingle explode (the widest intermediate) runs ONCE: both hash
+    columns — md5-based x for the signatures, xxhash h for the verify sets —
+    are derived from the same persisted explode instead of three separate
+    passes over the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    ex = (
+        _exploded_shingles(df, id_col, text_col, k)
+        .select(
+            "id",
+            (_shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)).alias("x"),
+            F.xxhash64("shingle").alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = _minhash_from_x(ex, num_hashes)
     cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands)
-    sh = _hashed_shingle_sets(df, id_col, text_col, k)
+    sh = ex.select("id", "h").distinct()
     docs = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
