@@ -395,6 +395,40 @@ def q_dedup_clusters(spark, sf):  # CC over near-dup pairs -> duplicate clusters
     return duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_cosine_one_vs_all(spark, sf):  # J6 one-vs-all broadcast cosine
+    from eth2dgraph_spark.operators.similarity import one_vs_all_cosine
+
+    rows = dedup.shingle_counts(_t(spark, sf, "documents"), k=3).withColumnRenamed(
+        "shingle", "ngram"
+    )
+    first = _t(spark, sf, "documents").agg(F.min("doc_id")).first()[0]
+    out = one_vs_all_cosine(rows, first, threshold=0.05)
+    return _r6(out, "similarity")
+
+
+def q_khop_reach(spark, sf):  # J4 multi-hop traversal (BFS) with min distance
+    from eth2dgraph_spark.graph import k_hop
+
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    edges = (
+        s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    seeds = s.filter(F.col("s_suppkey") < 3).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    return k_hop(edges, seeds, k=2).select("node", F.col("hops").cast("long").alias("hops"))
+
+
 def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
@@ -494,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
+        "cosine_one_vs_all": q_cosine_one_vs_all,
+        "khop_reach": q_khop_reach,
         "pagerank_top": q_pagerank_top,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
@@ -739,6 +775,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        "cosine_one_vs_all": f"""
+            WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
+            sh AS (SELECT id, array_to_string(w[i.i:i.i+2],' ') AS shingle
+                   FROM toks, UNNEST(range(1, greatest(len(w)-2,1)+1)) AS i(i)),
+            cnts AS (SELECT id, shingle, count(*)::BIGINT AS cnt FROM sh GROUP BY 1,2),
+            norms AS (SELECT id, CAST(sum(cnt*cnt) AS BIGINT) AS norm2 FROM cnts GROUP BY id),
+            tgt AS (SELECT min(doc_id) AS tid FROM documents),
+            t AS (SELECT shingle, cnt FROM cnts, tgt WHERE id = tid),
+            dots AS (SELECT c.id, CAST(sum(c.cnt*t.cnt) AS BIGINT) AS dot
+                     FROM cnts c JOIN t USING(shingle), tgt WHERE c.id != tid GROUP BY c.id)
+            SELECT id, round(c,6) AS similarity FROM (
+              SELECT d.id, d.dot*1.0/sqrt(n.norm2*tn.norm2) AS c
+              FROM dots d JOIN norms n ON n.id=d.id
+                   JOIN tgt ON true JOIN norms tn ON tn.id=tgt.tid)
+            WHERE c >= 0.05""",
+        "khop_reach": """
+            WITH RECURSIVE e AS (
+                SELECT 's'||s_suppkey AS src, 'n'||s_nationkey AS dst FROM supplier
+                UNION ALL
+                SELECT 'n'||n_nationkey, 'r'||n_regionkey FROM nation),
+            seeds AS (SELECT 's'||s_suppkey AS node FROM supplier WHERE s_suppkey < 3),
+            walk(node, hops) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 2)
+            SELECT node, min(hops)::BIGINT AS hops FROM walk GROUP BY node""",
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,
