@@ -443,7 +443,8 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
-def q_pagerank_top(spark, sf):  # iterative graph kernel (no SQL oracle)
+def q_pagerank_ranks(spark, sf):  # iterative graph kernel, oracled by
+    # unrolling the 5 power iterations as chained CTEs in DuckDB
     from eth2dgraph_spark.graph import pagerank
 
     o = _t(spark, sf, "orders")
@@ -457,9 +458,7 @@ def q_pagerank_top(spark, sf):  # iterative graph kernel (no SQL oracle)
         .distinct()
     )
     ranks = pagerank(edges, num_iter=5)
-    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20).select(
-        "node", F.round("rank", 9).alias("rank")
-    )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_minhash_lsh_pairs(spark, sf):
@@ -530,7 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "cosine_one_vs_all": q_cosine_one_vs_all,
         "khop_reach": q_khop_reach,
-        "pagerank_top": q_pagerank_top,
+        "pagerank_ranks": q_pagerank_ranks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -617,6 +616,36 @@ def _quality_oracle() -> str:
         f"round({stop_ratio},6) AS stopword_ratio, round({mwl},6) AS mean_word_len, "
         f"round({score},6) AS quality_score FROM documents"
     )
+
+
+def _pagerank_oracle(num_iter: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs — one (contribs,
+    dangling-mass, ranks) layer per power iteration, exactly mirroring
+    eth2dgraph_spark.graph.pagerank's update rule."""
+    d = damping
+    parts = [
+        """WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
+        r0 AS (SELECT node, (SELECT 1.0/n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, num_iter + 1):
+        parts.append(
+            f""",
+        dm{i} AS (SELECT coalesce(sum(r.rank),0) AS dm FROM r{i - 1} r
+                  LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL),
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / o.od) AS s
+                 FROM e JOIN r{i - 1} r ON r.node = e.src
+                      JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+        r{i} AS (SELECT n.node,
+                        (1-{d})/(SELECT n FROM nn)
+                        + {d} * (coalesce(c.s, 0) + (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank
+                 FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    parts.append(f"\n        SELECT node, round(rank, 9) AS rank FROM r{num_iter}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -834,9 +863,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node)
             SELECT node, min(lab) AS component FROM walk GROUP BY node""",
-        # minhash_lsh_pairs / ann_topk / simhash_dup_groups / pagerank_top:
-        # intentionally no oracle — LSH candidate generation and iterative
-        # PageRank are engine-specific (rows-only check).
+        "pagerank_ranks": _pagerank_oracle(num_iter=5, damping=0.85),
+        # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
+        # no oracle — LSH candidate generation is engine-specific
+        # (rows-only check).
     }
 
 

@@ -46,7 +46,7 @@ HEADLINE = [
     "token_count",
     "fingerprint",
     "dedup_clusters",
-    "pagerank_top",
+    "pagerank_ranks",
 ]
 
 
