@@ -443,6 +443,24 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
+def q_interface_jaccard(spark, sf):  # A7 via the real operator: token-SET Jaccard
+    from eth2dgraph_spark.operators.similarity import jaccard_similarity_pairs
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias(
+            "token"
+        ),
+    )
+    return _r6(jaccard_similarity_pairs(toks, threshold=0.6), "similarity")
+
+
+def q_simhash_near_pairs(spark, sf):  # banded-Hamming SimHash near-dups
+    sigs = dedup.simhash_signatures(_t(spark, sf, "documents"))
+    return dedup.simhash_near_pairs(sigs, max_hamming=3)
+
+
 def q_pagerank_ranks(spark, sf):  # iterative graph kernel, oracled by
     # unrolling the 5 power iterations as chained CTEs in DuckDB
     from eth2dgraph_spark.graph import pagerank
@@ -530,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_one_vs_all": q_cosine_one_vs_all,
         "khop_reach": q_khop_reach,
         "pagerank_ranks": q_pagerank_ranks,
+        "interface_jaccard": q_interface_jaccard,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -864,6 +884,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node)
             SELECT node, min(lab) AS component FROM walk GROUP BY node""",
         "pagerank_ranks": _pagerank_oracle(num_iter=5, damping=0.85),
+        "interface_jaccard": f"""
+            WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split({_NORM},' ')) AS token
+                          FROM documents),
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM toks GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                      FROM toks a JOIN toks b USING(token) WHERE a.id < b.id GROUP BY 1,2)
+            SELECT id_a, id_b, round(j,6) AS similarity FROM (
+              SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
+              FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+            WHERE j >= 0.6""",
+        "simhash_near_pairs": f"""
+            WITH v AS ({_simhash_oracle()})
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM v a JOIN v b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
         # no oracle — LSH candidate generation is engine-specific
         # (rows-only check).

@@ -323,6 +323,46 @@ def simhash_signatures(
     return votes.select("id", sig.alias("simhash"))
 
 
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming near-dup pairs over 60-bit SimHash signatures.
+
+    Pigeonhole banding: split the signature into `max_hamming + 1` chunks —
+    any pair within Hamming distance `max_hamming` must agree EXACTLY on at
+    least one chunk, so candidates come from equality joins on (band, chunk),
+    never a cross join. Candidates are then verified with the exact popcount
+    of the XOR. Same sub-quadratic shape as MinHash banding."""
+    nbands = max_hamming + 1
+    width = 60 // nbands  # 60-bit signatures (md5-60 hash)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    banded = signatures.select("id", "simhash", F.explode(chunks).alias("bk")).select(
+        "id", "simhash", "bk.band", "bk.chunk"
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "chunk")
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_duplicate_groups(signatures: DataFrame) -> DataFrame:
     """Documents sharing an identical simhash — the bucket form; banded
     Hamming-distance variants join on 15-bit chunks of the signature."""

@@ -31,22 +31,34 @@ def with_block_bucket(df: DataFrame, block_col: str = "block_number") -> DataFra
     )
 
 
-def write_eth_table(df: DataFrame, table: str, base_path: str, mode: str = "overwrite") -> None:
+def write_eth_table(
+    df: DataFrame,
+    table: str,
+    base_path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
     """Write one chain table. Dynamic tables are partitioned by block bucket;
     `mode='overwrite'` with dynamic partition overwrite gives the reference's
-    delete-then-reinsert idempotency (src/models/block.rs:171-284) per bucket."""
+    delete-then-reinsert idempotency (src/models/block.rs:171-284) per bucket.
+
+    `max_records_per_file` is the Spark analog of the reference's
+    size-bounded output files (8 MB buffers, src/main.rs:87-89,
+    src/extraction/writer.rs:88-104): it caps file size at write time
+    without an extra repartition."""
     path = f"{base_path}/{table}"
     block_col = "number" if table == "blocks" else "block_number"
     if table in _DYNAMIC or table == "blocks":
-        out = with_block_bucket(df, block_col)
-        (
-            out.write.mode(mode)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BLOCK_BUCKET_COL)
-            .parquet(path)
+        w = with_block_bucket(df, block_col).write.mode(mode).option(
+            "partitionOverwriteMode", "dynamic"
         )
     else:  # static entity tables (skeletons, abi, …): globally deduped, unpartitioned
-        df.write.mode(mode).parquet(path)
+        w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if table in _DYNAMIC or table == "blocks":
+        w = w.partitionBy(BLOCK_BUCKET_COL)
+    w.parquet(path)
 
 
 def read_eth_table(spark: SparkSession, table: str, base_path: str) -> DataFrame:

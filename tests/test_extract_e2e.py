@@ -126,3 +126,19 @@ def test_write_read_roundtrip(result, spark, tmp_path):
     back = read_eth_table(spark, "token_transfers", base)
     assert back.count() == result.token_transfers.count()
     assert set(back.columns) == set(result.token_transfers.columns)
+
+
+def test_size_bounded_output_files(spark, tmp_path):
+    """K1: maxRecordsPerFile caps file size like the reference's 8 MB output
+    buffers (src/extraction/writer.rs:88-104)."""
+    import glob
+
+    from eth2dgraph_spark.sources.eth import write_eth_table
+
+    base = str(tmp_path / "wh")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("signature"), F.lit("function").alias("type")
+    ).coalesce(1)
+    write_eth_table(df, "abi", base, max_records_per_file=100)
+    files = glob.glob(f"{base}/abi/*.parquet")
+    assert len(files) == 10  # 1000 rows / 100 per file

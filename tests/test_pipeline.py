@@ -67,6 +67,33 @@ def test_simhash(spark, docs):
     assert any(g["dup_count"] == 3 for g in groups)
 
 
+def test_simhash_near_pairs_banding_complete(spark):
+    """Pigeonhole banding must surface EVERY pair within max_hamming — check
+    against the brute-force answer on crafted signatures."""
+    sig_base = 0b1010_1100_1110_0001_1111_0000_1010_0101
+    rows = [
+        (1, sig_base),
+        (2, sig_base ^ 0b1),            # hamming 1
+        (3, sig_base ^ 0b111),          # hamming 3 from 1
+        (4, sig_base ^ (0b1111 << 20)), # hamming 4 from 1 -> excluded
+        (5, 0),                          # far away
+    ]
+    sigs = spark.createDataFrame(rows, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    expect = {}
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1 :]:
+            h = bin(sa ^ sb).count("1")
+            if h <= 3:
+                expect[(ia, ib)] = h
+    assert got == expect
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (1, 4) not in got
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
