@@ -443,6 +443,19 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
+def q_ivf_topk(spark, sf):  # IVF ANN, exhaustive probe -> must equal brute force
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity_search.ivf_index(e, nlist=8, iters=2)
+    out = similarity_search.ivf_topk(e, q, cents, k=10, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_interface_jaccard(spark, sf):  # A7 via the real operator: token-SET Jaccard
     from eth2dgraph_spark.operators.similarity import jaccard_similarity_pairs
 
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_ranks": q_pagerank_ranks,
         "interface_jaccard": q_interface_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -852,6 +866,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.hops < 2)
             SELECT node, min(hops)::BIGINT AS hops FROM walk GROUP BY node""",
         "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS c
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+        "ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,
                          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS c

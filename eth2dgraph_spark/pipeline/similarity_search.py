@@ -113,6 +113,117 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids trained with `iters` Lloyd
+    rounds, entirely in DataFrame ops (assign = argmin over broadcast
+    centroids; update = per-dimension mean via posexplode+groupBy).
+
+    Deterministic: initial centroids are the `nlist` lowest-id vectors (no
+    RNG at plan time). Returns (list_id, centroid array<double>). At 100 TB
+    the centroids are trained on a sample and the full assign is one
+    broadcast-join pass — the shape below IS that pass."""
+    ids = F.col(id_col).cast("string")
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(ids.alias("id"), v.alias("v"))
+    cents = (
+        base.orderBy("id")
+        .limit(nlist)
+        .select(F.monotonically_increasing_id().alias("list_id"), F.col("v").alias("c"))
+        .collect()
+    )
+    cent_rows = [(i, r["c"]) for i, r in enumerate(cents)]
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+        # assign: nearest centroid by squared L2 (argmin via struct-min trick)
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .groupBy("id", "v")
+            .agg(F.min(F.struct("d2", "list_id")).alias("m"))
+            .select("id", "v", F.col("m.list_id").alias("list_id"))
+        )
+        # update: element-wise mean per list
+        upd = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+            .select("list_id", F.transform("px", lambda e: e["x"]).alias("c"))
+            .collect()
+        )
+        cent_rows = [(r["list_id"], r["c"]) for r in upd]
+    return spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: assign every vector to its nearest centroid (one broadcast
+    pass), probe each query's `nprobe` nearest lists, exact cosine re-rank
+    inside the probed lists. nprobe == nlist degrades gracefully to exact
+    brute force (tested); smaller nprobe trades recall for a 1/nlist scan.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col), v.alias("v"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .groupBy(id_col, "v")
+        .agg(F.min(F.struct("d2", "list_id")).alias("m"))
+        .select(id_col, "v", F.col("m.list_id").alias("list_id"))
+    )
+    qv = F.col(query_vec_col).cast("array<double>")
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.asc("qd2"), F.asc("list_id"))
+    probes = (
+        queries.select(F.col(query_id_col), qv.alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("qd2", qd2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select(query_id_col, "qv", "list_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").withColumn(
+        "cosine", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -128,6 +128,38 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert (0, 1) in got
 
 
+def test_ivf_exhaustive_probe_equals_brute_force(spark, vectors):
+    """nprobe == nlist means every list is probed — results must be
+    IDENTICAL to exact brute force."""
+    from eth2dgraph_spark.pipeline import similarity_search as ss
+
+    q = vectors.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ss.ivf_index(vectors, nlist=4, iters=2)
+    assert cents.count() == 4
+    ivf = ss.ivf_topk(vectors, q, cents, k=5, nprobe=4)
+    bf = ss.brute_force_topk(vectors, q, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    got = {key(r): r["vec_id"] for r in ivf.collect()}
+    want = {key(r): r["vec_id"] for r in bf.collect()}
+    assert got == want
+
+
+def test_ivf_partial_probe_recall(spark, vectors):
+    """nprobe=1 still finds each query's own vector (it lives in the probed
+    nearest list) at rank 1 with cosine ~1."""
+    from eth2dgraph_spark.pipeline import similarity_search as ss
+
+    q = vectors.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ss.ivf_index(vectors, nlist=4, iters=2)
+    got = ss.ivf_topk(vectors, q, cents, k=3, nprobe=1).filter(F.col("rank") == 1).collect()
+    assert {r["query_id"] for r in got} == {r["vec_id"] for r in got}
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in got)
+
+
 def test_text_quality_and_tokens(spark):
     d = spark.createDataFrame(
         [(1, "the cat and the dog went to the park"), (2, "x!!! ???")],
