@@ -443,6 +443,47 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
+def q_small_qty_revenue(spark, sf):  # TPC-H Q17 shape: correlated avg per key
+    li = _t(spark, sf, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li["l_partkey"] == avg_qty["pk"])
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_segment_pivot(spark, sf):  # conditional-agg pivot (engine surface)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"])
+    seg = F.col("c_mktsegment")
+    return j.groupBy("c_nationkey").agg(
+        F.round(F.sum(F.when(seg == "BUILDING", F.col("o_totalprice")).otherwise(0.0)), 2).alias("building_rev"),
+        F.round(F.sum(F.when(seg == "MACHINERY", F.col("o_totalprice")).otherwise(0.0)), 2).alias("machinery_rev"),
+        F.count(F.when(seg == "AUTOMOBILE", F.lit(1))).alias("auto_orders"),
+    )
+
+
+def q_array_funcs(spark, sf):  # higher-order array functions (§2.7 surface)
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(
+            F.aggregate(F.filter(v, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("pos_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
+    )
+
+
 def q_ivf_topk(spark, sf):  # IVF ANN, exhaustive probe -> must equal brute force
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
@@ -564,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interface_jaccard": q_interface_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
+        "small_qty_revenue": q_small_qty_revenue,
+        "segment_pivot": q_segment_pivot,
+        "array_funcs": q_array_funcs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -874,6 +918,26 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
                   FROM s)
             SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+        "small_qty_revenue": """
+            WITH a AS (SELECT l_partkey AS pk, avg(l_quantity)*0.5 AS half_avg
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly, count(*)::BIGINT AS n_items
+            FROM lineitem JOIN a ON l_partkey = pk
+            WHERE l_quantity < half_avg""",
+        "segment_pivot": """
+            SELECT c_nationkey,
+                   round(sum(CASE WHEN c_mktsegment='BUILDING' THEN o_totalprice ELSE 0 END),2) AS building_rev,
+                   round(sum(CASE WHEN c_mktsegment='MACHINERY' THEN o_totalprice ELSE 0 END),2) AS machinery_rev,
+                   count(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 END)::BIGINT AS auto_orders
+            FROM customer JOIN orders ON c_custkey=o_custkey
+            GROUP BY c_nationkey""",
+        "array_funcs": """
+            SELECT vec_id,
+                   round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
+                   round(coalesce(list_sum(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)), 0.0), 6) AS pos_sum,
+                   len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))::BIGINT AS n_pos,
+                   round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+            FROM embeddings""",
         "ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,
