@@ -443,6 +443,39 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
+def q_asof_attach(spark, sf):  # as-of join (engine surface; DuckDB ASOF oracle)
+    from eth2dgraph_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("sv"))  # unique (key, ts): deterministic ties
+    )
+    out = asof_join(views, signups, "user_id", "ts", "ts", ["sv"])
+    return out.select(
+        "event_id", "user_id", F.round("sv", 6).alias("last_signup_value")
+    )
+
+
+def q_interval_attach(spark, sf):  # bucketized range join (engine surface)
+    from eth2dgraph_spark.operators.asof import interval_join
+
+    o = _t(spark, sf, "orders")
+    points = o.select("o_orderkey", F.unix_timestamp("o_orderdate").alias("e"))
+    intervals = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("iid"),
+            F.unix_timestamp("o_orderdate").alias("lo"),
+            (F.unix_timestamp("o_orderdate") + F.lit(14 * 86400)).alias("hi"),
+        )
+    )
+    out = interval_join(points, intervals, "e", "lo", "hi", bucket=7 * 86400)
+    return out.select(F.col("o_orderkey").alias("pid"), "iid")
+
+
 def q_small_qty_revenue(spark, sf):  # TPC-H Q17 shape: correlated avg per key
     li = _t(spark, sf, "lineitem")
     avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
@@ -608,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "segment_pivot": q_segment_pivot,
         "array_funcs": q_array_funcs,
+        "asof_attach": q_asof_attach,
+        "interval_attach": q_interval_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -918,6 +953,19 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
                   FROM s)
             SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+        "asof_attach": """
+            WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type='view'),
+                 r AS (SELECT user_id, ts, max(value) AS sv
+                       FROM events WHERE event_type='signup' GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id, round(r.sv, 6) AS last_signup_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "interval_attach": """
+            WITH p AS (SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS e FROM orders),
+                 i AS (SELECT o_orderkey AS iid, epoch(o_orderdate)::BIGINT AS lo,
+                              epoch(o_orderdate)::BIGINT + 14*86400 AS hi
+                       FROM orders WHERE o_orderkey % 100 = 0)
+            SELECT p.o_orderkey AS pid, i.iid
+            FROM p JOIN i ON p.e BETWEEN i.lo AND i.hi""",
         "small_qty_revenue": """
             WITH a AS (SELECT l_partkey AS pk, avg(l_quantity)*0.5 AS half_avg
                        FROM lineitem GROUP BY l_partkey)

@@ -1,0 +1,99 @@
+"""As-of and interval joins — engine surface beyond the reference (SURVEY
+§2.4 notes the reference has no range/as-of/interval joins; a chain-data
+engine wants them: "price as of block N", "events inside a deployment's
+lifetime").
+
+Scale shapes:
+  - asof_join: NOT a non-equi join (which Catalyst can only nested-loop).
+    Union both sides tagged, one window pass per key ordered by time with
+    last(..., ignorenulls=True) carrying the most recent right-side values
+    forward. One shuffle on the key, linear work, no range explosion.
+  - interval_join: bucketize time so the range predicate becomes an
+    equi-join on (key?, bucket) + a cheap residual filter. Intervals longer
+    than one bucket are exploded to every bucket they overlap — bounded by
+    interval_length / bucket. The classic trick that keeps a range join
+    shuffle-joinable at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the `value_cols` of the LATEST right row
+    with right_ts <= left_ts (or < if `strict`), matched on `by`. Left rows
+    with no prior right row keep nulls — the semantics of DuckDB/kdb ASOF
+    JOIN LEFT."""
+    lt = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # at equal timestamps the right row must sort BEFORE the left row for
+    # <= semantics (AFTER it for strict <)
+    order_bias = F.asc("_is_left") if not strict else F.desc("_is_left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), order_bias)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else Window.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        "_is_left",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_is_left") == 1).select(
+        "_l.*", *[F.col(f"_rv_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows with start <= point <= end (numeric
+    timestamps), as an equi-join on time bucket + residual filter. Intervals
+    are exploded to every bucket they overlap; `bucket` should be sized near
+    the typical interval length so the blow-up stays ~2x."""
+    p = points.withColumn("_b", (F.col(point_ts) / bucket).cast("long"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(start_ts) / bucket).cast("long"),
+                (F.col(end_ts) / bucket).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "_b", how).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_b")

@@ -1,0 +1,52 @@
+"""As-of and interval joins (engine surface; SURVEY §2.4 'not present in
+reference' note)."""
+
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.operators.asof import asof_join, interval_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", 5, "l1"), ("a", 10, "l2"), ("a", 3, "l0"), ("b", 7, "l3")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 40.0), ("a", 10, 100.0), ("a", 8, 80.0), ("b", 9, 90.0)],
+        "k string, t long, px double",
+    )
+    return left, right
+
+
+def test_asof_join_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    got = {
+        r["tag"]: r["px"]
+        for r in asof_join(left, right, "k", "t", "t", ["px"]).collect()
+    }
+    # l0@3: no right <= 3 -> null; l1@5: right@4; l2@10: right@10 (<=); l3@7 (b): none <= 7
+    assert got == {"l0": None, "l1": 40.0, "l2": 100.0, "l3": None}
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left, right = _frames(spark)
+    got = {
+        r["tag"]: r["px"]
+        for r in asof_join(left, right, "k", "t", "t", ["px"], strict=True).collect()
+    }
+    assert got["l2"] == 80.0  # right@10 excluded under strict <, falls back to 8
+
+
+def test_interval_join_buckets(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 25), (3, 42)], "pid long, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 30), (20, 26, 60), (30, 100, 200)], "iid long, lo long, hi long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "lo", "hi", bucket=10).collect()
+    )
+    # ts=5 in [0,30]; ts=25 in [0,30]; ts=42 in [26,60]; nothing in [100,200]
+    assert got == [(1, 10), (2, 10), (3, 20)]
