@@ -443,6 +443,18 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
 
 # --- non-SQL-expressible (rows-only check): LSH paths are engine-specific ---
 
+def q_session_count(spark, sf):  # session windows == SQL gaps-and-islands
+    from eth2dgraph_spark.streaming.windows import session_windows
+
+    ev = _t(spark, sf, "events")
+    out = session_windows(ev, "user_id", "ts", gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_asof_attach(spark, sf):  # as-of join (engine surface; DuckDB ASOF oracle)
     from eth2dgraph_spark.operators.asof import asof_join
 
@@ -643,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "asof_attach": q_asof_attach,
         "interval_attach": q_interval_attach,
+        "session_count": q_session_count,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
@@ -953,6 +966,20 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
                   FROM s)
             SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+        "session_count": """
+            WITH x AS (SELECT user_id, ts,
+                              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                        >= INTERVAL 30 MINUTE OR
+                                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events),
+                 g AS (SELECT user_id, ts,
+                              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       FROM x)
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id, sid""",
         "asof_attach": """
             WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type='view'),
                  r AS (SELECT user_id, ts, max(value) AS sv
