@@ -599,6 +599,201 @@ def q_simhash_dup_groups(spark, sf):
     return g.select("simhash", "dup_count", F.element_at("doc_ids", 1).alias("min_doc"))
 
 
+def q_order_priority(spark, sf):  # TPC-H Q4 shape: correlated EXISTS with a
+    # range predicate — compound-condition left-semi join (equi + non-equi)
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_custdist(spark, sf):  # TPC-H Q13 shape: left outer join + double agg
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_brand_supplier_count(spark, sf):  # TPC-H Q16 shape: NOT LIKE + countDistinct
+    p = _t(spark, sf, "part").filter(~F.col("p_type").startswith("SMALL"))
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_large_orders(spark, sf):  # TPC-H Q18 shape: grouped HAVING + join back
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+def q_top_balance_idle(spark, sf):  # TPC-H Q22 shape: scalar-subquery filter +
+    # anti join + substring bucketing
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_orderstatus") == "P"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy(F.col("c_name").substr(F.length("c_name") - 1, F.lit(2)).alias("tail2"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_important_parts(spark, sf):  # TPC-H Q11 shape: HAVING vs global scalar agg
+    li = _t(spark, sf, "lineitem")
+    per = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("val"))
+    thr = li.agg((F.sum("l_extendedprice") * F.lit(0.0005)).alias("thr"))
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .filter(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round("val", 2).alias("val"))
+    )
+
+
+def q_nation_flows(spark, sf):  # TPC-H Q7 shape: same dim joined twice (aliases)
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n1 = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    # decimal accumulation: double-sum is accumulation-order-dependent and this
+    # grouping sits right at the cent rounding boundary on some groups
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("snk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("cnk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("l_year"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+    )
+
+
+def q_rank_funcs(spark, sf):  # §2.6 engine surface: full ranking-function set
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q_set_ops(spark, sf):  # INTERSECT / EXCEPT / UNION surface
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_custkey").alias("k"))
+    active = o.select(F.col("o_custkey").alias("k")).distinct()
+    r1 = bld.intersect(active).withColumn("op", F.lit("building_active"))
+    r2 = bld.exceptAll(active).withColumn("op", F.lit("building_inactive"))
+    r3 = bld.union(auto).distinct().withColumn("op", F.lit("building_or_auto"))
+    return r1.unionByName(r2).unionByName(r3)
+
+
+def q_percentiles(spark, sf):  # exact percentile (linear interpolation) per group
+    c = _t(spark, sf, "customer")
+    q = F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(q.alias("qs"))
+        .select(
+            "c_nationkey",
+            F.round(F.element_at("qs", 1), 6).alias("q25"),
+            F.round(F.element_at("qs", 2), 6).alias("median"),
+            F.round(F.element_at("qs", 3), 6).alias("q75"),
+        )
+    )
+
+
+def q_string_agg(spark, sf):  # ordered distinct string aggregation per group
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_sliding_window(spark, sf):  # event-time sliding window (1h window, 30m slide)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def q_corr_stats(spark, sf):  # statistical aggregates: corr / covar_pop / var_pop
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_sd"),
+    )
+
+
+def q_cube_grouping(spark, sf):  # CUBE + grouping_id (grouping-sets surface)
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -659,6 +854,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
+        "order_priority": q_order_priority,
+        "custdist": q_custdist,
+        "brand_supplier_count": q_brand_supplier_count,
+        "large_orders": q_large_orders,
+        "top_balance_idle": q_top_balance_idle,
+        "important_parts": q_important_parts,
+        "nation_flows": q_nation_flows,
+        "rank_funcs": q_rank_funcs,
+        "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
+        "string_agg": q_string_agg,
+        "sliding_window": q_sliding_window,
+        "corr_stats": q_corr_stats,
+        "cube_grouping": q_cube_grouping,
     }
 
 
@@ -1062,6 +1271,105 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
             FROM v a JOIN v b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
+        "custdist": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus != 'F') o
+                   ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count""",
+        "brand_supplier_count": """
+            SELECT p_brand, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_type NOT LIKE 'SMALL%'
+            GROUP BY p_brand""",
+        "large_orders": """
+            SELECT c_custkey, o_orderkey, round(sum_qty, 2) AS sum_qty,
+                   round(o_totalprice, 2) AS total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                 JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+                 ON o_orderkey = b.l_orderkey""",
+        "top_balance_idle": """
+            SELECT substr(c_name, length(c_name) - 1, 2) AS tail2,
+                   count(*)::BIGINT AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'P')
+            GROUP BY 1""",
+        "important_parts": """
+            SELECT l_partkey, round(val, 2) AS val FROM (
+              SELECT l_partkey, sum(l_extendedprice) AS val FROM lineitem GROUP BY l_partkey)
+            WHERE val > (SELECT sum(l_extendedprice) * 0.0005 FROM lineitem)""",
+        "nation_flows": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(o_orderdate)::BIGINT AS l_year,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name < n2.n_name
+            GROUP BY 1, 2, 3""",
+        "rank_funcs": """
+            SELECT c_custkey, c_nationkey,
+                   dense_rank() OVER w ::BIGINT AS drank,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   ntile(4) OVER w ::BIGINT AS quartile,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+        "set_ops": """
+            WITH bld AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 auto AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+                 active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+            SELECT k, 'building_active' AS op FROM (SELECT k FROM bld INTERSECT SELECT k FROM active)
+            UNION ALL
+            SELECT k, 'building_inactive' FROM (SELECT k FROM bld EXCEPT ALL SELECT k FROM active)
+            UNION ALL
+            SELECT k, 'building_or_auto' FROM (SELECT k FROM bld UNION SELECT k FROM auto)""",
+        "percentiles": """
+            SELECT c_nationkey,
+                   round(quantile_cont(c_acctbal, 0.25), 6) AS q25,
+                   round(quantile_cont(c_acctbal, 0.5), 6) AS median,
+                   round(quantile_cont(c_acctbal, 0.75), 6) AS q75
+            FROM customer GROUP BY c_nationkey""",
+        "string_agg": """
+            SELECT c_nationkey,
+                   array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+                   count(*)::BIGINT AS n
+            FROM customer GROUP BY c_nationkey""",
+        "sliding_window": """
+            WITH s AS (SELECT event_type, value,
+                              date_trunc('hour', ts)
+                              + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                                     ELSE INTERVAL 0 MINUTE END AS w1
+                       FROM events),
+                 w AS (SELECT event_type, value, w1 AS ws FROM s
+                       UNION ALL
+                       SELECT event_type, value, w1 - INTERVAL 30 MINUTE FROM s)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                   count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
+            FROM w GROUP BY 1, 2""",
+        "corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar,
+                   round(var_pop(l_quantity), 6) AS qty_var,
+                   round(stddev_samp(l_extendedprice), 6) AS price_sd
+            FROM lineitem GROUP BY l_returnflag""",
+        "cube_grouping": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
+                   round(sum(o_totalprice), 2) AS total,
+                   GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
         # no oracle — LSH candidate generation is engine-specific
         # (rows-only check).
