@@ -47,6 +47,10 @@ HEADLINE = [
     "fingerprint",
     "dedup_clusters",
     "pagerank_ranks",
+    "order_priority",
+    "custdist",
+    "nation_flows",
+    "rank_funcs",
 ]
 
 
@@ -63,6 +67,10 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Each headline query is an independent job; drop persisted
+        # intermediates so one query's cache doesn't eat the next one's
+        # execution memory (measured 2x total slowdown without this).
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
