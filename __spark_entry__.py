@@ -782,6 +782,20 @@ def q_corr_stats(spark, sf):  # statistical aggregates: corr / covar_pop / var_p
     )
 
 
+def q_train_split(spark, sf):  # deterministic hash-based train/val/test split
+    from eth2dgraph_spark.pipeline.split import hash_split
+
+    return hash_split(_t(spark, sf, "documents")).select("doc_id", "split")
+
+
+def q_stratified_split(spark, sf):  # exact per-stratum split proportions
+    from eth2dgraph_spark.pipeline.split import stratified_split
+
+    return stratified_split(_t(spark, sf, "documents"), "lang").select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_cube_grouping(spark, sf):  # CUBE + grouping_id (grouping-sets surface)
     o = _t(spark, sf, "orders")
     return (
@@ -868,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "corr_stats": q_corr_stats,
         "cube_grouping": q_cube_grouping,
+        "train_split": q_train_split,
+        "stratified_split": q_stratified_split,
     }
 
 
@@ -1370,6 +1386,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total,
                    GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 AS b
+                  FROM documents)""",
+        "stratified_split": """
+            WITH h AS (SELECT doc_id, lang,
+                              ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 AS b
+                       FROM documents),
+                 r AS (SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM h)
+            SELECT doc_id, lang,
+                   CASE WHEN rn <= ceil(n * 0.9) THEN 'train'
+                        WHEN rn <= ceil(n * 0.95) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r""",
         # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
         # no oracle — LSH candidate generation is engine-specific
         # (rows-only check).

@@ -1,0 +1,107 @@
+"""Deterministic dataset splitting for training-data pipelines.
+
+A 100 TB corpus can't be split with `randomSplit` (nondeterministic across
+reruns/partitionings, and resplitting after an append reshuffles history).
+Both operators here are pure functions of the row's id:
+
+  - hash_split: label = f(md5(id)) — stable under appends, repartitioning,
+    and engine version; expected proportions, exact independence between
+    rows. The industry-standard split for web-scale corpora.
+  - stratified_split: exact per-stratum proportions via a rank within the
+    stratum ordered by the same hash — one window shuffle per call, used
+    when eval sets must hit quotas exactly (e.g. per-language).
+
+md5 (not xxhash64) so any engine can reproduce the assignment — the DuckDB
+oracle gates `train_split` / `stratified_split` in __spark_entry__.py prove
+bit-equality of the labeling.
+
+Reference parity note: the reference has no split operator (its analyse jobs
+consume everything); this is part of the training-pipeline surface the
+engine adds on top (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = "split-v1"
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: str, salt: str):
+    """Deterministic bucket in [0, 10000) from md5(id:salt) — first 8 hex
+    chars as an int. Engine-portable (md5 is everywhere; xxhash64 is not)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with probability ~fractions[label],
+    deterministically in the row id. Labels are assigned in the given dict
+    order by cumulative bucket ranges, so the same (id, salt, fractions)
+    always lands in the same split — across runs, appends, and engines."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    bucket = _hash_bucket(id_col, salt)
+    expr = None
+    hi = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        hi += frac
+        cond = bucket < int(round(hi * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose hash bucket falls
+    below the threshold. Re-running, repartitioning, or appending new rows
+    never changes which existing rows are kept."""
+    return df.filter(_hash_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+    out_col: str = "split",
+) -> DataFrame:
+    """Exact per-stratum proportions: rank rows inside each stratum by their
+    hash bucket (id tie-break) and cut at ceil(frac * stratum_size)
+    boundaries. One window shuffle, keyed by the stratum — at corpus scale
+    strata (language, source, license) are few and large, so this
+    partitions cleanly; skew within a stratum is a sort, not a hotspot."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    w = Window.partitionBy(strata_col).orderBy(_hash_bucket(id_col, salt), F.col(id_col))
+    ws = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(ws)
+    expr = None
+    hi = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        hi += frac
+        cond = rn <= F.ceil(n * F.lit(hi))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,76 @@
+"""Deterministic split operators (pipeline/split.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.pipeline.split import hash_split, sample_fraction, stratified_split
+from eth2dgraph_spark.sources.testdata import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_split_partitions_all_rows(spark):
+    d = read_table(spark, SF, "documents")
+    out = hash_split(d)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = d.count()
+    assert sum(counts.values()) == total  # every row labeled, none duplicated
+    # ~90/5/5 within loose tolerance (hash is uniform, n=~500)
+    assert counts["train"] / total > 0.8
+    assert 0 < counts.get("val", 0) < total * 0.15
+    assert 0 < counts.get("test", 0) < total * 0.15
+
+
+def test_hash_split_deterministic_and_append_stable(spark):
+    d = read_table(spark, SF, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(d).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d.repartition(7)).select("doc_id", "split").collect()}
+    assert a == b  # invariant to partitioning / rerun
+    # appending rows must not move existing assignments
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    c = {r["doc_id"]: r["split"] for r in hash_split(half).select("doc_id", "split").collect()}
+    assert all(a[k] == v for k, v in c.items())
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    d = read_table(spark, SF, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(d).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, salt="v2").select("doc_id", "split").collect()}
+    assert a != b
+
+
+def test_sample_fraction_subset_semantics(spark):
+    d = read_table(spark, SF, "documents")
+    s10 = {r["doc_id"] for r in sample_fraction(d, 0.1).select("doc_id").collect()}
+    s20 = {r["doc_id"] for r in sample_fraction(d, 0.2).select("doc_id").collect()}
+    assert s10 <= s20  # threshold sampling nests: smaller fraction ⊂ larger
+    n = d.count()
+    assert 0.03 * n < len(s10) < 0.2 * n
+
+
+def test_stratified_split_exact_proportions(spark):
+    d = read_table(spark, SF, "documents")
+    out = stratified_split(d, "lang")
+    per = (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("va"),
+        )
+        .collect()
+    )
+    import math
+
+    for r in per:
+        assert r["tr"] == math.ceil(r["n"] * 0.9)  # exact cut per stratum
+        assert r["va"] == math.ceil(r["n"] * 0.95) - math.ceil(r["n"] * 0.9)
+
+
+def test_split_rejects_bad_fractions(spark):
+    d = read_table(spark, SF, "documents")
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(d, fractions={"train": 0.5, "val": 0.1})
