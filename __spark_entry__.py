@@ -782,6 +782,108 @@ def q_corr_stats(spark, sf):  # statistical aggregates: corr / covar_pop / var_p
     )
 
 
+def q_filter_agg(spark, sf):  # TPC-H Q6 shape: pure scan-filter-aggregate
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_late_shipments(spark, sf):  # TPC-H Q12 shape: conditional counts by urgency
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf):  # TPC-H Q14 shape: conditional-to-total ratio
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_disjunctive_filter(spark, sf):  # TPC-H Q19 shape: OR-of-ANDs join predicate
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size") <= 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_range_frame(spark, sf):  # RANGE window frame (value-based, not row-based)
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id"))
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("range_sum"),
+        F.count(F.lit(1)).over(w).alias("range_cnt"),
+    )
+
+
+def q_value_window(spark, sf):  # first_value / last_value / nth_value over frames
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first_value("event_type").over(wf).alias("first_type"),
+        F.last_value("event_type").over(wf).alias("last_type"),
+        F.nth_value("event_type", 2).over(wf).alias("second_type"),
+        F.lead("event_type", 1, "NONE").over(w).alias("next_type"),
+    )
+
+
+def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
 def q_train_split(spark, sf):  # deterministic hash-based train/val/test split
     from eth2dgraph_spark.pipeline.split import hash_split
 
@@ -884,6 +986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_grouping": q_cube_grouping,
         "train_split": q_train_split,
         "stratified_split": q_stratified_split,
+        "filter_agg": q_filter_agg,
+        "late_shipments": q_late_shipments,
+        "promo_revenue": q_promo_revenue,
+        "disjunctive_filter": q_disjunctive_filter,
+        "range_frame": q_range_frame,
+        "value_window": q_value_window,
+        "posexplode_tokens": q_posexplode_tokens,
     }
 
 
@@ -1386,6 +1495,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total,
                    GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "filter_agg": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+        "late_shipments": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus""",
+        "promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey""",
+        "disjunctive_filter": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)""",
+        "range_frame": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 6) AS range_sum,
+                   count(*) OVER w ::BIGINT AS range_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)""",
+        "value_window": """
+            SELECT event_id, user_id,
+                   first_value(event_type) OVER wf AS first_type,
+                   last_value(event_type) OVER wf AS last_type,
+                   nth_value(event_type, 2) OVER wf AS second_type,
+                   coalesce(lead(event_type, 1) OVER w, 'NONE') AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        "posexplode_tokens": f"""
+            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+            SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS token
+            FROM toks, UNNEST(range(1, least(len(w), 5) + 1)) AS i(i)""",
         "train_split": """
             SELECT doc_id,
                    CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
