@@ -71,6 +71,44 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    within: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: rows match on `key` when the right
+    event lands within ±`within` of the left event's time.
+
+    The time-bound condition is not an optimization — it is what makes the
+    join finite: with both sides watermarked, Spark evicts buffered state
+    older than watermark + `within`, so state stays O(rate x horizon) instead
+    of O(stream). Outer variants emit the unmatched side only once the
+    watermark guarantees no future match (this is why `how='left_outer'`
+    requires the event-time constraint at all).
+
+    Column contract: `key` and both ts columns must be uniquely named across
+    the two inputs (rename upstream); output carries left's key column.
+
+    The reference never joins two live feeds (its per-block fetches are
+    tx-scoped joins resolved within one block — src/extraction/extract.rs:104-141);
+    this is the engine feature for correlating independent feeds, e.g. a
+    pending-tx stream against the confirmed-log stream.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark).withColumnRenamed(key, f"__r_{key}")
+    cond = (
+        (lw[key] == rw[f"__r_{key}"])
+        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (rw[right_ts] <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(f"__r_{key}")
+
+
 def streaming_dedup(
     df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from eth2dgraph_spark.streaming.windows import (
     running_contract_counters,
     session_windows,
+    stream_stream_join,
     streaming_dedup,
     windowed_block_stats,
 )
@@ -109,3 +110,63 @@ def test_running_contract_counters_stateful_stream(spark, tmp_path):
     assert (c1["deploy_count"], c1["destroy_count"]) == (2, 1)
     c2 = got.filter(F.col("contract") == "c2").first()
     assert (c2["deploy_count"], c2["destroy_count"]) == (1, 0)
+
+
+def test_stream_stream_join_batch_semantics(spark):
+    # unified semantics: the same operator on batch frames pins the time-bound
+    txs = spark.createDataFrame(
+        [
+            ("t1", T0),
+            ("t2", T0 + dt.timedelta(minutes=30)),
+            ("t3", T0 + dt.timedelta(hours=2)),
+        ],
+        "tx_hash string, tx_ts timestamp",
+    )
+    logs = spark.createDataFrame(
+        [
+            ("t1", T0 + dt.timedelta(minutes=2), "a"),   # within 5m of t1
+            ("t1", T0 + dt.timedelta(minutes=20), "b"),  # outside ±5m -> dropped
+            ("t2", T0 + dt.timedelta(minutes=27), "c"),  # within (3m before)
+            ("t9", T0, "d"),                             # no matching tx
+        ],
+        "tx_hash string, log_ts timestamp, payload string",
+    )
+    out = stream_stream_join(txs, logs, "tx_hash", "tx_ts", "log_ts", within="5 minutes")
+    got = sorted((r["tx_hash"], r["payload"]) for r in out.collect())
+    assert got == [("t1", "a"), ("t2", "c")]
+    assert "__r_tx_hash" not in out.columns
+
+
+def test_stream_stream_join_real_streams(spark, tmp_path):
+    # two file-source streams joined with state; results land in a parquet sink
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    txs = spark.createDataFrame(
+        [("t1", T0), ("t2", T0 + dt.timedelta(minutes=1))],
+        "tx_hash string, tx_ts timestamp",
+    )
+    logs = spark.createDataFrame(
+        [
+            ("t1", T0 + dt.timedelta(minutes=2), "a"),
+            ("t2", T0 + dt.timedelta(minutes=30), "late"),  # outside ±5m
+        ],
+        "tx_hash string, log_ts timestamp, payload string",
+    )
+    txs.coalesce(1).write.parquet(str(l_dir))
+    logs.coalesce(1).write.parquet(str(r_dir))
+
+    ls = spark.readStream.schema(txs.schema).parquet(str(l_dir))
+    rs = spark.readStream.schema(logs.schema).parquet(str(r_dir))
+    joined = stream_stream_join(ls, rs, "tx_hash", "tx_ts", "log_ts", within="5 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert [(r["tx_hash"], r["payload"]) for r in got.collect()] == [("t1", "a")]
