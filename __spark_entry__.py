@@ -884,6 +884,46 @@ def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
     )
 
 
+def q_triangle_count(spark, sf):  # degree-oriented triangle counting over the
+    # near-dup pair graph (orientation is perf-only; count is invariant, which
+    # lets the simple-enumeration DuckDB oracle check the skew-safe algorithm)
+    from eth2dgraph_spark.graph import triangle_count
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.02)
+    return triangle_count(pairs.select("id_a", "id_b"), "id_a", "id_b")
+
+
+def q_returned_revenue(spark, sf):  # TPC-H Q10 shape: wide group-by + top-k
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_top_supplier(spark, sf):  # TPC-H Q15 shape: grouped view + max-of-agg
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    srev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), srev["total_revenue"] == mx["mx"])
+        .join(s, srev["sk"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_train_split(spark, sf):  # deterministic hash-based train/val/test split
     from eth2dgraph_spark.pipeline.split import hash_split
 
@@ -993,6 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "value_window": q_value_window,
         "posexplode_tokens": q_posexplode_tokens,
+        "triangle_count": q_triangle_count,
+        "returned_revenue": q_returned_revenue,
+        "top_supplier": q_top_supplier,
     }
 
 
@@ -1541,6 +1584,33 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
             SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS token
             FROM toks, UNNEST(range(1, least(len(w), 5) + 1)) AS i(i)""",
+        "triangle_count": f"""
+            WITH {_SHINGLES_CTE},
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                      FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2),
+            p AS (SELECT id_a, id_b FROM (
+                    SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
+                    FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+                  WHERE j >= 0.02)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a
+                 JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
+        "returned_revenue": """
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "top_supplier": """
+            WITH srev AS (SELECT l_suppkey AS sk,
+                                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                          FROM lineitem GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM srev JOIN supplier ON sk = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM srev)""",
         "train_split": """
             SELECT doc_id,
                    CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'

@@ -83,3 +83,20 @@ def test_k_hop_distances(spark):
     srcs = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["hops"] for r in k_hop(e, srcs, k=3).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops, excluded
+
+
+def test_triangle_count_known_graphs(spark):
+    from eth2dgraph_spark.graph import triangle_count
+
+    def tri(pairs):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return triangle_count(e).first()["n_triangles"]
+
+    # K4 = 4 triangles; edge direction and duplicates must not matter
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    assert tri(k4) == 4
+    assert tri(k4 + [(b, a) for a, b in k4]) == 4  # symmetric dup input
+    # triangle + pendant edge = 1; star/path/bipartite = 0
+    assert tri([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]) == 1
+    assert tri([("h", x) for x in "abcde"]) == 0
+    assert tri([("a", "b"), ("b", "c"), ("c", "d")]) == 0
