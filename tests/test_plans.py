@@ -118,3 +118,48 @@ def test_triangular_pairs_in_similarity(spark):
     p = plan_of(cosine_similarity_pairs(rows, 0.5), "simple")
     joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
     assert joins <= 2  # only the two norm lookups
+
+
+def test_disjunctive_predicate_pushes_to_scan(spark):
+    """Q19-shape OR-of-ANDs must reach the parquet reader as an Or filter,
+    not evaluate post-scan only."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["disjunctive_filter"](spark, SF))
+    assert "Or(" in p and "PushedFilters" in p
+
+
+def test_q6_aggregate_is_partial_then_final(spark):
+    """Scan-filter-agg must map-side combine (partial HashAggregate before
+    the exchange) — the shape that makes a 100 TB scan-agg a 1-row shuffle."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["filter_agg"](spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in plan_of(E.queries()["filter_agg"](spark, SF), "extended")
+
+
+def test_order_priority_semi_join_shape(spark):
+    """Q4-shape EXISTS compiles to a semi join (no row explosion), with the
+    range predicate as the join condition."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["order_priority"](spark, SF), "extended")
+    assert "LeftSemi" in p
+
+
+def test_nation_flows_broadcasts_both_dims(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["nation_flows"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Degree-oriented wedge join must stay an equi-join — a cross join here
+    is the O(n^2) failure mode the orientation exists to prevent."""
+    from eth2dgraph_spark.graph import triangle_count
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    p = plan_of(triangle_count(e), "extended")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
