@@ -884,6 +884,19 @@ def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
     )
 
 
+def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
+    # exact baseline a count-min/TopK sketch would approximate at 100 TB
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def q_triangle_count(spark, sf):  # degree-oriented triangle counting over the
     # near-dup pair graph (orientation is perf-only; count is invariant, which
     # lets the simple-enumeration DuckDB oracle check the skew-safe algorithm)
@@ -1036,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "returned_revenue": q_returned_revenue,
         "top_supplier": q_top_supplier,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1584,6 +1598,10 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
             SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS token
             FROM toks, UNNEST(range(1, least(len(w), 5) + 1)) AS i(i)""",
+        "heavy_hitters": f"""
+            SELECT token, count(*)::BIGINT AS freq
+            FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
         "triangle_count": f"""
             WITH {_SHINGLES_CTE},
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
