@@ -884,6 +884,23 @@ def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
     )
 
 
+def q_argmax_customer(spark, sf):  # max_by with composite (deterministic) order
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest"),
+        F.min_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("poorest"),
+    )
+
+
+def q_bool_aggs(spark, sf):  # bool_and / bool_or / count_if surface
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+    )
+
+
 def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     # exact baseline a count-min/TopK sketch would approximate at 100 TB
     d = _t(spark, sf, "documents")
@@ -1050,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "top_supplier": q_top_supplier,
         "heavy_hitters": q_heavy_hitters,
+        "argmax_customer": q_argmax_customer,
+        "bool_aggs": q_bool_aggs,
     }
 
 
@@ -1598,6 +1617,23 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
             SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS token
             FROM toks, UNNEST(range(1, least(len(w), 5) + 1)) AS i(i)""",
+        "argmax_customer": """
+            WITH r AS (SELECT c_nationkey, c_name,
+                              row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rhi,
+                              row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal ASC, c_custkey ASC) AS rlo
+                       FROM customer)
+            SELECT c_nationkey,
+                   max(CASE WHEN rhi = 1 THEN c_name END) AS richest,
+                   max(CASE WHEN rlo = 1 THEN c_name END) AS poorest
+            FROM r GROUP BY c_nationkey""",
+        "bool_aggs": """
+            SELECT c_mktsegment,
+                   bool_and(c_acctbal > 0) AS all_positive,
+                   bool_or(c_acctbal > 9000) AS any_rich,
+                   count_if(c_acctbal < 0)::BIGINT AS n_negative
+            FROM customer GROUP BY c_mktsegment""",
         "heavy_hitters": f"""
             SELECT token, count(*)::BIGINT AS freq
             FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
