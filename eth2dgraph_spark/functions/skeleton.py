@@ -29,8 +29,7 @@ def extract_skeleton(code: bytes) -> bytes:
         if 0x60 <= op <= 0x7F:  # PUSH1..PUSH32
             width = op - 0x5F
             end = min(i + width, n)
-            for j in range(i, end):
-                out[j] = 0
+            out[i:end] = bytes(end - i)
             i = end
     return bytes(out)
 
