@@ -884,6 +884,19 @@ def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
     )
 
 
+def q_length_histogram(spark, sf):  # corpus length distribution (fixed-width buckets)
+    d = _t(spark, sf, "documents")
+    b = F.floor(F.length("text") / 50).cast("long")
+    return (
+        d.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("text")).cast("long").alias("min_len"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+    )
+
+
 def q_argmax_customer(spark, sf):  # max_by with composite (deterministic) order
     c = _t(spark, sf, "customer")
     return c.groupBy("c_nationkey").agg(
@@ -1069,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "argmax_customer": q_argmax_customer,
         "bool_aggs": q_bool_aggs,
+        "length_histogram": q_length_histogram,
     }
 
 
@@ -1617,6 +1631,12 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
             SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS token
             FROM toks, UNNEST(range(1, least(len(w), 5) + 1)) AS i(i)""",
+        "length_histogram": """
+            SELECT floor(length(text) / 50)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   min(length(text))::BIGINT AS min_len,
+                   max(length(text))::BIGINT AS max_len
+            FROM documents GROUP BY 1""",
         "argmax_customer": """
             WITH r AS (SELECT c_nationkey, c_name,
                               row_number() OVER (PARTITION BY c_nationkey
