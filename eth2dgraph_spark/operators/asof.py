@@ -82,10 +82,23 @@ def interval_join(
     """Join point rows to interval rows with start <= point <= end (numeric
     timestamps), as an equi-join on time bucket + residual filter. Intervals
     are exploded to every bucket they overlap; `bucket` should be sized near
-    the typical interval length so the blow-up stays ~2x."""
-    p = points.withColumn("_b", (F.col(point_ts) / bucket).cast("long"))
+    the typical interval length so the blow-up stays ~2x.
+
+    `how` supports 'inner' and 'left' (left = keep unmatched point rows with
+    null interval columns). The residual range predicate is part of the JOIN
+    CONDITION, not a post-join filter — a post-join filter would silently
+    drop unmatched left rows (null start/end) and degrade 'left' to inner.
+    'right'/'full' are rejected: the interval side is exploded per bucket, so
+    an unmatched interval would surface once per overlapped bucket."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r}: the "
+            "interval side is bucket-exploded, so right/full outer would "
+            "duplicate unmatched intervals per bucket"
+        )
+    p = points.withColumn("_pb", (F.col(point_ts) / bucket).cast("long"))
     iv = intervals.withColumn(
-        "_b",
+        "_ib",
         F.explode(
             F.sequence(
                 (F.col(start_ts) / bucket).cast("long"),
@@ -93,7 +106,10 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(iv, "_b", how).filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    cond = (
+        (p["_pb"] == iv["_ib"])
+        & (p[point_ts] >= iv[start_ts])
+        & (p[point_ts] <= iv[end_ts])
     )
-    return joined.drop("_b")
+    joined = p.join(iv, cond, how)
+    return joined.drop("_pb", "_ib")

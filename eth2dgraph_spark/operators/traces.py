@@ -29,9 +29,13 @@ PARENT_FAILED = "Parent failed"
 def propagate_trace_errors(traces: DataFrame) -> DataFrame:
     """P3: rewrite `error` so children of failed traces inherit failure.
 
-    A trace T fails if some errored trace P in the same tx has
-    trace_address = a strict prefix of T.trace_address
-    (src/extraction/traces.rs:29-31 sets "Parent failed").
+    Exact reference semantics (src/extraction/traces.rs:26-32): the prefix
+    check is NON-strict (`address.starts_with(f)`), so an errored trace
+    matches its own address and its own error string is ALSO overwritten
+    with "Parent failed" — within a tx, every errored trace and every
+    descendant of one ends up with error = "Parent failed"; the original
+    error strings do not survive propagation. Downstream failed/failed_deploy
+    booleans only depend on error IS NOT NULL, which this preserves.
     """
     failed = (
         traces.filter(F.col("error").isNotNull())
@@ -41,15 +45,13 @@ def propagate_trace_errors(traces: DataFrame) -> DataFrame:
     joined = traces.join(failed, "tx_hash", "left")
     t = F.col("trace_address")
 
-    def is_strict_prefix(p):
-        return (F.size(p) < F.size(t)) & (F.slice(t, 1, F.size(p)) == p)
+    def is_prefix(p):
+        return (F.size(p) <= F.size(t)) & (F.slice(t, 1, F.size(p)) == p)
 
-    inherited = F.exists("_failed_prefixes", is_strict_prefix)
+    inherited = F.coalesce(F.exists("_failed_prefixes", is_prefix), F.lit(False))
     return joined.withColumn(
         "error",
-        F.when(F.col("error").isNotNull(), F.col("error")).otherwise(
-            F.when(F.coalesce(inherited, F.lit(False)), F.lit(PARENT_FAILED))
-        ),
+        F.when(inherited, F.lit(PARENT_FAILED)).otherwise(F.col("error")),
     ).drop("_failed_prefixes")
 
 

@@ -46,9 +46,14 @@ def _hex_word_to_decimal_string(word):
     so the recombination happens in string space via a final concat-free sum
     using Decimal(38,0) on the low 128 bits and a separate high-128 check.
 
-    Practical bound: token values overwhelmingly fit in 128 bits. We compute
-    the exact value for <= 2^128 - 1 (Decimal(38) holds up to ~3.4e38) and
-    fall back to the raw hex string above that, flagged by value_overflow.
+    Practical bound: token values overwhelmingly fit well under 10^38.
+    Decimal(38,0) holds at most 10^38 - 1 (38 digits), NOT the full 128-bit
+    range (~3.4e38), so the exact-decimal path covers values <= 10^38 - 1 and
+    we fall back to the raw hex word for anything larger — both values in
+    [10^38, 2^128) and values with nonzero high 128 bits — flagged by the
+    returned overflow column. The boundary is exact:
+        10^38 - 1 = T * 2^64 + R  with  T = 5421010862427522170,
+                                        R = 687399551400673279.
     """
     h = F.lpad(F.regexp_replace(word, "^0x", ""), 64, "0")
     hi = F.substring(h, 1, 32)  # high 128 bits
@@ -56,8 +61,16 @@ def _hex_word_to_decimal_string(word):
     lo_lo = F.conv(F.substring(h, 49, 16), 16, 10).cast("decimal(38,0)")
     # 2^64 exceeds a Java long, so go through the SQL parser's decimal literal
     two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
+    # exact capacity check: lo_hi*2^64 + lo_lo > 10^38-1  <=>
+    #   lo_hi > T  or  (lo_hi == T and lo_lo > R)
+    cap_t = F.lit(5421010862427522170).cast("decimal(38,0)")
+    cap_r = F.lit(687399551400673279).cast("decimal(38,0)")
+    overflow = (
+        (hi != F.lit("0" * 32))
+        | (lo_hi > cap_t)
+        | ((lo_hi == cap_t) & (lo_lo > cap_r))
+    )
     low128 = (lo_hi * two64 + lo_lo).cast("decimal(38,0)")
-    overflow = hi != F.lit("0" * 32)
     return F.when(overflow, word).otherwise(low128.cast("string")), overflow
 
 

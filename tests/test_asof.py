@@ -50,3 +50,29 @@ def test_interval_join_buckets(spark):
     )
     # ts=5 in [0,30]; ts=25 in [0,30]; ts=42 in [26,60]; nothing in [100,200]
     assert got == [(1, 10), (2, 10), (3, 20)]
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 999)], "pid long, ts long"  # 999 matches no interval
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 30)], "iid long, lo long, hi long"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "lo", "hi", bucket=10, how="left").collect()
+    )
+    # unmatched left row survives with null interval columns (true left join;
+    # the range predicate is in the join condition, not a post-join filter)
+    assert got == [(1, 10), (2, None)]
+
+
+def test_interval_join_rejects_outer_on_interval_side(spark):
+    points = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    intervals = spark.createDataFrame([(10, 0, 30)], "iid long, lo long, hi long")
+    import pytest
+
+    for how in ("right", "full"):
+        with pytest.raises(ValueError):
+            interval_join(points, intervals, "ts", "lo", "hi", bucket=10, how=how)

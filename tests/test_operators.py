@@ -36,11 +36,14 @@ def test_error_propagation(spark, trace_df):
     out = traces.propagate_trace_errors(trace_df)
     got = {(r["tx_hash"], tuple(r["trace_address"] or [])): r["error"] for r in out.collect()}
     assert got[("0xt1", ())] is None
-    assert got[("0xt1", (0,))] == "Reverted"  # own error kept
+    # reference's non-strict prefix (src/extraction/traces.rs:28): an errored
+    # trace matches itself, so its OWN error string is overwritten too
+    assert got[("0xt1", (0,))] == traces.PARENT_FAILED
     assert got[("0xt1", (0, 0))] == traces.PARENT_FAILED  # inherited
     assert got[("0xt1", (0, 1))] == traces.PARENT_FAILED
     assert got[("0xt1", (1,))] is None  # sibling unaffected
-    assert got[("0xt2", (0,))] == "OutOfGas"
+    assert got[("0xt2", (0,))] == traces.PARENT_FAILED  # own error, overwritten
+    assert got[("0xt2", ())] is None
 
 
 def test_extract_deployments(spark, trace_df):
@@ -124,6 +127,33 @@ def test_transfer_value_overflow_keeps_hex(spark):
     )
     row = transfers.decode_token_transfers(logs).collect()[0]
     assert row["value"] == big
+
+
+def test_transfer_value_decimal38_boundary(spark):
+    # Decimal(38,0) holds up to 10^38-1. Values in [10^38, 2^128) must fall
+    # back to the raw hex word (NOT decode to null): the low-128 recombination
+    # lo_hi*2^64+lo_lo overflows Decimal(38,0) even with zero high bits.
+    fits = 10**38 - 1
+    too_big_low128 = 10**38  # zero high-128 bits, still > Decimal(38,0)
+    mid_range = 2**127 + 12345  # deep inside [10^38, 2^128)
+
+    def word(v):
+        return "0x" + format(v, "064x")
+
+    rows = [
+        (1, "0xt", 0, i, "0xc",
+         [TRANSFER_TOPIC, "0x" + "00" * 32, "0x" + "00" * 32], word(v), False)
+        for i, v in enumerate([fits, too_big_low128, mid_range])
+    ]
+    logs = spark.createDataFrame(
+        rows,
+        "block_number long, tx_hash string, tx_index long, log_index long, "
+        "address string, topics array<string>, data string, removed boolean",
+    )
+    out = {r["log_index"]: r["value"] for r in transfers.decode_token_transfers(logs).collect()}
+    assert out[0] == str(fits)  # exactly at capacity: exact decimal
+    assert out[1] == word(too_big_low128)  # just over: hex fallback, not null
+    assert out[2] == word(mid_range)
 
 
 def test_explode_topics(spark):
