@@ -1132,6 +1132,74 @@ def _simhash_oracle() -> str:
     )
 
 
+def _minhash_lsh_oracle() -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline (k=3, 32 hashes,
+    8 bands of 4): same md5-60 shingle hash, same affine minhash family,
+    band-slice-equality candidates (the Spark side keys bands on the raw
+    4-long slice, so equality here is the identical candidate set), exact
+    Jaccard verification over distinct shingles."""
+    p = 2147483647
+    cols = []
+    for i in range(32):
+        a = 2 * i + 1
+        b = 104729 * (i + 1) % p
+        cols.append(f"CAST(min((x*{a}+{b})%{p}) AS BIGINT) AS h{i}")
+    band_clauses = []
+    for bnd in range(8):
+        band_clauses.append(
+            "(" + " AND ".join(f"a.h{i}=b.h{i}" for i in range(bnd * 4, bnd * 4 + 4)) + ")"
+        )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        hx AS (SELECT id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {p} AS x FROM sh),
+        sig AS (SELECT id, {', '.join(cols)} FROM hx GROUP BY id),
+        cand AS (SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b
+                 ON a.id < b.id AND ({' OR '.join(band_clauses)})),
+        sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+        inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+                  FROM cand c JOIN sh sa ON sa.id = c.id_a
+                       JOIN sh sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
+                  GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+            SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) AS j
+            FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+        WHERE j >= 0.05"""
+
+
+def _ann_topk_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
+    """DuckDB replica of random-hyperplane LSH top-k: the xorshift64 plane
+    constants are emitted as SQL literals, the sign-bucket join and the
+    in-bucket cosine re-rank mirror lsh_topk. Dot products are written as
+    explicit left-to-right sums so the IEEE result (and therefore bucket
+    signs and tie-breaks) is bit-identical to Spark's aggregate() fold."""
+    from eth2dgraph_spark.pipeline.similarity_search import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes)
+
+    def dot_plane(vec, plane):
+        return " + ".join(f"{vec}[{j + 1}]*({plane[j]!r})" for j in range(dim))
+
+    def dot_vv(va, vb):
+        return " + ".join(f"{va}[{j + 1}]*{vb}[{j + 1}]" for j in range(dim))
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_plane('v', planes[i])} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(num_planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+        s AS (SELECT q.query_id, b.vec_id,
+                     ({dot_vv('b.v', 'q.qv')}) /
+                     (sqrt({dot_vv('b.v', 'b.v')}) * sqrt({dot_vv('q.qv', 'q.qv')})) AS c
+              FROM b JOIN q ON b.bucket = q.bucket),
+        r AS (SELECT query_id, vec_id, c,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
+              FROM s)
+        SELECT query_id, vec_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
+
+
 def _langid_oracle() -> str:
     hits = ", ".join(
         f"len(list_intersect(string_split({_NORM},' '), {stops})) AS h_{lang}"
@@ -1705,9 +1773,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn <= ceil(n * 0.95) THEN 'val'
                         ELSE 'test' END AS split
             FROM r""",
-        # minhash_lsh_pairs / ann_topk / simhash_dup_groups: intentionally
-        # no oracle — LSH candidate generation is engine-specific
-        # (rows-only check).
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "ann_topk": _ann_topk_oracle(),
+        "simhash_dup_groups": f"""
+            WITH v AS ({_simhash_oracle()})
+            SELECT simhash, count(*)::BIGINT AS dup_count, min(id) AS min_doc
+            FROM v GROUP BY simhash HAVING count(*) > 1""",
     }
 
 

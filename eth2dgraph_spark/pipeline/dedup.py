@@ -211,9 +211,15 @@ def _minhash_from_x(xrows: DataFrame, num_hashes: int) -> DataFrame:
 def minhash_lsh_candidates(
     signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: split each signature into bands, hash each band, and
-    emit candidate pairs that collide in >=1 band. groupBy (band, key) —
-    sub-quadratic; never a cross join."""
+    """LSH banding: split each signature into bands and emit candidate pairs
+    that collide in >=1 band. groupBy (band, key) — sub-quadratic; never a
+    cross join.
+
+    The band key is the raw band slice (array of `rows_per_band` longs), not
+    a 32-bit rehash of it: the slice is already a fixed small shuffle key
+    (8*rows_per_band bytes), it can't introduce collision false-positives,
+    and — unlike Spark's Murmur3 `hash()` — the resulting candidate set is
+    engine-portable, so the DuckDB oracle reproduces it exactly."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -221,7 +227,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("key"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
                     )
                     for b in range(num_bands)
                 ]
