@@ -599,6 +599,146 @@ def q_simhash_dup_groups(spark, sf):
     return g.select("simhash", "dup_count", F.element_at("doc_ids", 1).alias("min_doc"))
 
 
+def q_approx_sketches(spark, sf):  # approx sketches vs their exact baselines
+    """approx_count_distinct (HLL++) and approx_percentile (Greenwald-Khanna)
+    checked IN-QUERY against the exact aggregates: sketch outputs differ
+    across engines, so the deterministic gate output is (exact value, flags
+    that the sketch landed within tolerance). Spark's sketches are
+    deterministic for fixed input, so the flags hash-match a TRUE literal."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey").alias("_a_nd"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_e_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("_a_p50"),
+    )
+    nd_tol = F.greatest(F.lit(2.0), F.col("exact_nd") * F.lit(0.15))
+    return g.select(
+        "l_suppkey",
+        "exact_nd",
+        (F.abs(F.col("_a_nd") - F.col("exact_nd")) <= nd_tol).alias("nd_ok"),
+        (F.abs(F.col("_a_p50") - F.col("_e_p50"))
+         <= F.abs(F.col("_e_p50")) * 0.05 + 0.01).alias("p50_ok"),
+    )
+
+
+def q_percentile_disc(spark, sf):  # discrete percentiles (actual elements)
+    c = _t(spark, sf, "customer")
+    c.createOrReplaceTempView("_pd_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p25,
+               round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal), 6) AS p50,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p75
+        FROM _pd_customer GROUP BY c_nationkey"""
+    )
+
+
+def q_map_funcs(spark, sf):  # map_from_entries -> map_filter -> explode(map)
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("m").alias("n_statuses"),
+        F.explode(F.map_filter("m", lambda k, v: v > 4)).alias("status", "cnt"),
+    )
+
+
+def q_lateral_topk(spark, sf):  # correlated LATERAL subquery (top-2 per key)
+    _t(spark, sf, "nation").createOrReplaceTempView("_lt_nation")
+    _t(spark, sf, "customer").createOrReplaceTempView("_lt_customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+        FROM _lt_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM _lt_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c"""
+    )
+
+
+def q_window_ignore_nulls(spark, sf):  # first/last/lead/lag over nulls
+    """ignoreNulls window family: forward-fill (last non-null at-or-before),
+    backfill, previous/next non-null — via first()/last() with ignorenulls
+    over one-sided frames. The oracle emulates IGNORE NULLS (absent in this
+    DuckDB build) with count-of-non-nulls groups + lag/lead of the fills."""
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("value") >= 0.3, F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ffill = F.last("v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_nn = F.last("v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bfill = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_nn = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round(ffill, 6).alias("ffill"),
+        F.round(prev_nn, 6).alias("prev_nn"),
+        F.round(bfill, 6).alias("bfill"),
+        F.round(next_nn, 6).alias("next_nn"),
+    )
+
+
+def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
+    """P6+P8+P13+P15 end to end over a synthetic distinct-bytecode frame:
+    metadata split, skeleton extraction, keccak skeleton hash, opcode n-gram
+    rows — the extract-path kernels (SURVEY §7 hard part (b)), which the
+    driver tables can't exercise relationally. Bytecode is deterministic
+    md5-derived pseudo-code (4 KB per document row), so timings are
+    comparable across rounds. Not oracle-gated (keccak/CBOR aren't DuckDB-
+    expressible); byte-exactness is covered by the golden CSV unit tests."""
+    from eth2dgraph_spark.functions.metadata import metadata_udf
+    from eth2dgraph_spark.functions.ngrams import ngram_rows
+    from eth2dgraph_spark.functions.skeleton import skeleton_udf
+    from eth2dgraph_spark.functions.keccak import keccak256_udf
+
+    docs = _t(spark, sf, "documents")
+    block = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(16)]
+    )  # 512 hex chars = 256 bytes
+    code = F.concat(F.lit("0x"), F.repeat(block, 16))  # 4 KB of pseudo-bytecode
+    frame = docs.select(F.col("doc_id").alias("id"), code.alias("deployed_bytecode"))
+    # documents is 1-2 parquet files; without a repartition the Arrow UDF
+    # stage runs on 1-2 cores. One narrow-ish shuffle buys full parallelism
+    # for the kernel stage — the same layout a real distinct-bytecode frame
+    # has after its dedup shuffle.
+    frame = frame.repartition(spark.sparkContext.defaultParallelism)
+    enriched = (
+        frame.withColumn("_meta", metadata_udf(F.col("deployed_bytecode")))
+        .withColumn("skeleton", skeleton_udf(F.col("deployed_bytecode")))
+        .withColumn("skeleton_hash", keccak256_udf(F.col("skeleton")))
+        .persist()  # both agg branches read it; never recompute the UDFs
+    )
+    ng = ngram_rows(enriched, id_col="skeleton_hash", code_col="skeleton")
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.count_distinct("skeleton_hash").alias("n_skeletons"),
+    ).crossJoin(
+        ng.agg(
+            F.count(F.lit(1)).alias("n_ngram_rows"),
+            F.sum("cnt").alias("total_ngrams"),
+        )
+    )
+
+
 def q_order_priority(spark, sf):  # TPC-H Q4 shape: correlated EXISTS with a
     # range predicate — compound-condition left-semi join (equi + non-equi)
     o = _t(spark, sf, "orders")
@@ -1083,6 +1223,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_customer": q_argmax_customer,
         "bool_aggs": q_bool_aggs,
         "length_histogram": q_length_histogram,
+        "approx_sketches": q_approx_sketches,
+        "percentile_disc": q_percentile_disc,
+        "map_funcs": q_map_funcs,
+        "lateral_topk": q_lateral_topk,
+        "window_ignore_nulls": q_window_ignore_nulls,
+    }
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries bench.py times but the oracle gate skips: kernels whose
+    semantics aren't DuckDB-expressible (keccak, CBOR) and are instead
+    golden-tested byte-for-byte in tests/test_kernels.py."""
+    return {
+        "byte_kernels": q_byte_kernels,
     }
 
 
@@ -1773,6 +1927,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn <= ceil(n * 0.95) THEN 'val'
                         ELSE 'test' END AS split
             FROM r""",
+        "approx_sketches": """
+            SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS exact_nd,
+                   TRUE AS nd_ok, TRUE AS p50_ok
+            FROM lineitem GROUP BY l_suppkey""",
+        "percentile_disc": """
+            -- percentile_disc semantics (smallest value with cume_dist >= p)
+            -- emulated portably: this DuckDB's quantile_disc uses a
+            -- different tie rule (floor((n-1)p) indexing)
+            WITH cd AS (SELECT c_nationkey, c_acctbal,
+                               cume_dist() OVER (PARTITION BY c_nationkey
+                                                 ORDER BY c_acctbal) AS cd
+                        FROM customer)
+            SELECT c_nationkey,
+                   round(min(CASE WHEN cd >= 0.25 THEN c_acctbal END), 6) AS p25,
+                   round(min(CASE WHEN cd >= 0.5  THEN c_acctbal END), 6) AS p50,
+                   round(min(CASE WHEN cd >= 0.75 THEN c_acctbal END), 6) AS p75
+            FROM cd GROUP BY c_nationkey""",
+        "map_funcs": """
+            WITH per AS (SELECT o_custkey, o_orderstatus AS status,
+                                count(*)::BIGINT AS cnt
+                         FROM orders GROUP BY 1, 2),
+                 n AS (SELECT o_custkey, count(*)::INTEGER AS n_statuses
+                       FROM per GROUP BY o_custkey)
+            SELECT per.o_custkey, n.n_statuses, per.status, per.cnt
+            FROM per JOIN n ON per.o_custkey = n.o_custkey
+            WHERE per.cnt > 4""",
+        "lateral_topk": """
+            SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+            FROM nation n,
+            LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                     WHERE c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""",
+        "window_ignore_nulls": """
+            WITH base AS (SELECT user_id, event_id,
+                                 CASE WHEN value >= 0.3 THEN value END AS v
+                          FROM events),
+            g AS (SELECT user_id, event_id, v,
+                         count(v) OVER (PARTITION BY user_id ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING) AS gf,
+                         count(v) OVER (PARTITION BY user_id ORDER BY event_id DESC
+                                        ROWS UNBOUNDED PRECEDING) AS gb
+                  FROM base),
+            f AS (SELECT user_id, event_id,
+                         max(v) OVER (PARTITION BY user_id, gf) AS ffill,
+                         max(v) OVER (PARTITION BY user_id, gb) AS bfill
+                  FROM g)
+            SELECT user_id, event_id, round(ffill, 6) AS ffill,
+                   round(lag(ffill) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS prev_nn,
+                   round(bfill, 6) AS bfill,
+                   round(lead(bfill) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS next_nn
+            FROM f""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""

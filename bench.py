@@ -51,6 +51,7 @@ HEADLINE = [
     "custdist",
     "nation_flows",
     "rank_funcs",
+    "byte_kernels",
 ]
 
 
@@ -58,6 +59,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
+    qs.update(E.bench_only_queries())
 
     # warmup: spin up executors + codegen on a tiny query
     qs["last_block"](spark, SF_DIR).collect()

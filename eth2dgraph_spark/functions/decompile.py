@@ -20,6 +20,11 @@ pattern (SURVEY.md §4; src/extraction/extract.rs:170-246).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import subprocess
+import tempfile
 from typing import Callable
 
 import pandas as pd
@@ -75,6 +80,114 @@ def selector_lifter(bytecode_hex: str | None) -> list[dict]:
         {"type": "function", "name": f"Unresolved_{sel}", "inputs": None, "outputs": None}
         for sel in lift_selectors(code)
     ]
+
+
+class DecompilationError(Exception):
+    """Raised when every attempt failed; `kind` mirrors the reference's enum
+    Timeout | FailedToReadABI | FailedToParseABI (src/utils/decompile.rs:8-12)."""
+
+    def __init__(self, kind: str, detail: str = ""):
+        super().__init__(f"{kind}{': ' + detail if detail else ''}")
+        self.kind = kind
+
+
+def parse_abi_json(text: str) -> list[dict]:
+    """Standard ABI JSON array -> rows matching ABI_ENTRY: inputs/outputs as
+    comma-joined type strings, the reference's Function/Event/Error model
+    (src/models/function.rs:30-36, src/models/abi.rs:62-70)."""
+    nodes = json.loads(text)
+    if not isinstance(nodes, list):
+        raise ValueError("ABI json must be an array")
+    out = []
+    for node in nodes:
+        kind = node.get("type")
+        if kind not in ("function", "event", "error"):
+            continue  # constructor/fallback/receive carry no signature
+        out.append(
+            {
+                "type": kind,
+                "name": node.get("name"),
+                "inputs": ",".join(p.get("type", "") for p in node.get("inputs", []) or []),
+                "outputs": ",".join(p.get("type", "") for p in node.get("outputs", []) or [])
+                if kind == "function"
+                else None,
+            }
+        )
+    return out
+
+
+def subprocess_decompiler(
+    cmd: list[str] | None = None,
+    timeout_ms: int = 5000,
+    max_retries: int = 10,
+) -> Callable[[str | None], list[dict]]:
+    """External-decompiler runner with the reference's process semantics
+    (src/utils/decompile.rs:14-65): spawn the command with stdout/stderr
+    discarded, KILL it after `timeout_ms`, read `<output_dir>/abi.json`,
+    parse it, and always clean the work dir. `cmd` is an argv template;
+    `{bytecode}` and `{output_dir}` are substituted per call (the default
+    mirrors `heimdall decompile <code> --default --output <dir>`, with a
+    unique temp dir standing in for the reference's .tmp/<address>/).
+
+    Retry cap: the reference tracks <=10 attempts per distinct skeleton in a
+    DashMap and retries on later encounters (src/extraction/extract.rs:
+    184-245); here the distinct-skeleton frame visits each skeleton once, so
+    the cap becomes an in-call bounded loop with the same give-up semantics.
+    Exhausting it raises DecompilationError, which decompile_udf turns into
+    a null row -> failed_decompilation=true downstream.
+
+    The returned callable exposes `impl.stats` (attempts/timeouts/failures)
+    for bookkeeping; stats are per-process (executor-local under Spark)."""
+    cmd = cmd or [
+        "heimdall",
+        "decompile",
+        "{bytecode}",
+        "--default",
+        "--output",
+        "{output_dir}",
+    ]
+
+    def impl(bytecode_hex: str | None) -> list[dict]:
+        if not bytecode_hex:
+            return []
+        last: DecompilationError | None = None
+        for _ in range(max_retries):
+            impl.stats["attempts"] += 1
+            out_dir = tempfile.mkdtemp(prefix="eth2dgraph-decompile-")
+            try:
+                argv = [
+                    a.format(bytecode=bytecode_hex, output_dir=out_dir) for a in cmd
+                ]
+                try:
+                    subprocess.run(
+                        argv,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                        timeout=timeout_ms / 1000.0,
+                    )
+                except subprocess.TimeoutExpired:  # run() kills the child
+                    impl.stats["timeouts"] += 1
+                    last = DecompilationError("Timeout")
+                    continue
+                try:
+                    with open(os.path.join(out_dir, "abi.json")) as fh:
+                        text = fh.read()
+                except OSError:
+                    impl.stats["failures"] += 1
+                    last = DecompilationError("FailedToReadABI")
+                    continue
+                try:
+                    return parse_abi_json(text)
+                except Exception as exc:  # noqa: BLE001 — malformed ABI is data
+                    impl.stats["failures"] += 1
+                    last = DecompilationError("FailedToParseABI", str(exc))
+                    continue
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        raise last if last is not None else DecompilationError("FailedToReadABI")
+
+    impl.stats = {"attempts": 0, "timeouts": 0, "failures": 0}
+    return impl
 
 
 def decompile_udf(impl: Callable[[str | None], list[dict]] = selector_lifter):

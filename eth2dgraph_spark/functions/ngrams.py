@@ -13,20 +13,19 @@ instead of all-pairs.
 
 from __future__ import annotations
 
-from typing import Iterator
-
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from .skeleton import _NP_MIN_BYTES, instruction_mask
+
 DEFAULT_N = 5  # src/main.rs:132-134
 
 
-def opcode_tokens(code: bytes) -> list[int]:
-    """Opcode sequence with PUSH args skipped
-    (src/analysys/similarities.rs:113-126)."""
+def _opcode_tokens_scalar(code: bytes) -> list[int]:
     out = []
     i = 0
     n = len(code)
@@ -39,13 +38,29 @@ def opcode_tokens(code: bytes) -> list[int]:
     return out
 
 
+def opcode_tokens(code: bytes) -> bytes:
+    """Opcode sequence with PUSH args skipped, as a byte string
+    (src/analysys/similarities.rs:113-126). Shares the vectorized
+    instruction-start mask with the skeleton kernel (P8)."""
+    if len(code) < _NP_MIN_BYTES:
+        return bytes(_opcode_tokens_scalar(code))
+    arr = np.frombuffer(code, dtype=np.uint8)
+    return arr[instruction_mask(arr)].tobytes()
+
+
 def opcode_ngrams(code: bytes, n: int = DEFAULT_N) -> list[str]:
     """All n-grams (as hex strings) of the opcode sequence — duplicates kept;
-    frequency counting happens in the groupBy (A5)."""
+    frequency counting happens in the groupBy (A5).
+
+    Hex encoding happens ONCE over the whole token string (C speed); each
+    n-gram is then a 2n-char slice of that hex string — no per-gram
+    bytes()/hex() round trip."""
     toks = opcode_tokens(code)
-    if len(toks) < n:
+    m = len(toks) - n + 1
+    if m <= 0:
         return []
-    return [bytes(toks[i : i + n]).hex() for i in range(len(toks) - n + 1)]
+    h = toks.hex()
+    return [h[2 * i : 2 * (i + n)] for i in range(m)]
 
 
 def _ngram_udf(n: int):

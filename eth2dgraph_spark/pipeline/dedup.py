@@ -101,28 +101,59 @@ def _hashed_shingle_sets(
     )
 
 
+# Posting lists longer than this are dropped from the pair expansion: a
+# shingle shared by f documents contributes O(f^2) in-row pairs on ONE
+# reducer while adding 1 unit of Jaccard evidence per pair. 1024 keeps the
+# worst single row at ~0.5M pair structs (~17 MB — bounded, not an OOM), and
+# at web scale an uncapped stop-shingle ("click here to", boilerplate
+# headers) is the single-reducer job-killer. Far above any honest near-dup
+# posting length.
+DEFAULT_MAX_SHINGLE_DOCS = 1024
+
+
+def stop_shingle_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    max_shingle_docs: int = DEFAULT_MAX_SHINGLE_DOCS,
+) -> DataFrame:
+    """(h, doc_count) for the postings ngram_jaccard_pairs drops under the
+    cap — the observability companion: run it when you need to know what a
+    capped dedup pass ignored (count, or join back to shingles for text)."""
+    return (
+        _hashed_shingle_sets(df, id_col, text_col, k)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") > max_shingle_docs)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
-    max_shingle_docs: int | None = None,
+    max_shingle_docs: int | None = DEFAULT_MAX_SHINGLE_DOCS,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted index (no cross
-    join): |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|-|A∩B|.
+    """n-gram Jaccard near-dup pairs via an inverted index (no cross join):
+    |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|-|A∩B|.
 
-    Scale shape: (1) per-doc sizes are counted BEFORE any pruning, so the
-    final Jaccard is exact; (2) candidate pairs come from ONE
-    groupBy(shingle-hash) with an in-row triangular expansion over the
-    sorted posting list — vs. the prune-join + self-join formulation this
-    removes two shuffles of the full index and never materializes the
-    discarded j<=i half; (3) every shuffle key is a 64-bit hash, never a
-    string. `max_shingle_docs` optionally drops postings longer than the cap
-    (stop-shingles): at web scale a shingle shared by millions of docs
-    contributes O(f²) pairs while raising Jaccard evidence by 1 — cap it and
-    the result stays exact for every pair whose overlap isn't purely
-    stop-shingles (the MinHash path is the statistical alternative).
+    Scale shape: (1) per-doc sizes are counted BEFORE any pruning; (2)
+    candidate pairs come from ONE groupBy(shingle-hash) with an in-row
+    triangular expansion over the sorted posting list — vs. the prune-join +
+    self-join formulation this removes two shuffles of the full index and
+    never materializes the discarded j<=i half; (3) every shuffle key is a
+    64-bit hash, never a string.
+
+    `max_shingle_docs` (finite BY DEFAULT) drops postings longer than the
+    cap before the O(f²) expansion. Pairs whose shared shingles are all
+    under the cap keep their exact Jaccard; a pair loses (at most) the
+    intersection evidence carried by capped stop-shingles, i.e. scores are
+    exact-or-underestimated, never inflated. Pass None to disable (exact but
+    vulnerable to the hot-shingle reducer); use stop_shingle_postings() to
+    see what a cap dropped.
     """
     from pyspark.storagelevel import StorageLevel
 

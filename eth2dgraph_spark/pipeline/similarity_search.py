@@ -119,52 +119,80 @@ def ivf_index(
     vec_col: str = "embedding",
     nlist: int = 16,
     iters: int = 3,
+    train_fraction: float | None = None,
+    max_train_rows: int = 1_000_000,
 ) -> DataFrame:
     """IVF coarse quantizer: k-means centroids trained with `iters` Lloyd
     rounds, entirely in DataFrame ops (assign = argmin over broadcast
     centroids; update = per-dimension mean via posexplode+groupBy).
 
-    Deterministic: initial centroids are the `nlist` lowest-id vectors (no
-    RNG at plan time). Returns (list_id, centroid array<double>). At 100 TB
-    the centroids are trained on a sample and the full assign is one
-    broadcast-join pass — the shape below IS that pass."""
+    Scale shape: training never rescans the source — the (sampled) training
+    frame is projected once and PERSISTED, so each Lloyd round reads the
+    cached columnar rows. Centroid quality needs only a sample (k-means
+    converges on sketch-sized data); `train_fraction` takes a deterministic
+    md5-bucket sample (same engine-portable scheme as pipeline/split.py —
+    stable across runs/appends/partitionings, no RNG at plan time). When
+    None, the fraction is auto-sized so expected training rows ~=
+    `max_train_rows` (full corpus when it's already smaller). The exact
+    full-corpus pass happens exactly once, in ivf_topk's assignment join —
+    not per round. Each round issues ONE bounded collect: the nlist x dim
+    centroid matrix, nothing row-scale.
+
+    Deterministic: initial centroids are the `nlist` lowest-id training
+    vectors. Returns (list_id, centroid array<double>)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .split import sample_fraction
+
     ids = F.col(id_col).cast("string")
     v = F.col(vec_col).cast("array<double>")
     base = embeddings.select(ids.alias("id"), v.alias("v"))
-    cents = (
-        base.orderBy("id")
-        .limit(nlist)
-        .select(F.monotonically_increasing_id().alias("list_id"), F.col("v").alias("c"))
-        .collect()
-    )
-    cent_rows = [(i, r["c"]) for i, r in enumerate(cents)]
-    spark = embeddings.sparkSession
-    for _ in range(iters):
-        cdf = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
-        # assign: nearest centroid by squared L2 (argmin via struct-min trick)
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("d2", d2)
-            .groupBy("id", "v")
-            .agg(F.min(F.struct("d2", "list_id")).alias("m"))
-            .select("id", "v", F.col("m.list_id").alias("list_id"))
-        )
-        # update: element-wise mean per list
-        upd = (
-            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-            .select("list_id", F.transform("px", lambda e: e["x"]).alias("c"))
+    if train_fraction is None:
+        n = base.count()
+        train_fraction = 1.0 if n <= max_train_rows else max_train_rows / n
+    train = base
+    if train_fraction < 1.0:
+        train = sample_fraction(base, train_fraction, id_col="id", salt="ivf-train-v1")
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = (
+            train.orderBy("id")
+            .limit(nlist)
+            .select(F.col("v").alias("c"))
             .collect()
         )
-        cent_rows = [(r["list_id"], r["c"]) for r in upd]
+        cent_rows = [(i, r["c"]) for i, r in enumerate(cents)]
+        spark = embeddings.sparkSession
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+            # assign: nearest centroid by squared L2 (argmin via struct-min)
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            assigned = (
+                train.crossJoin(F.broadcast(cdf))
+                .withColumn("d2", d2)
+                .groupBy("id", "v")
+                .agg(F.min(F.struct("d2", "list_id")).alias("m"))
+                .select("v", F.col("m.list_id").alias("list_id"))
+            )
+            # update: element-wise mean per list (one bounded collect/round)
+            upd = (
+                assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.avg("x").alias("x"))
+                .groupBy("list_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+                .select("list_id", F.transform("px", lambda e: e["x"]).alias("c"))
+                .collect()
+            )
+            # empty lists keep their previous centroid instead of vanishing
+            new = {r["list_id"]: r["c"] for r in upd}
+            cent_rows = [(lid, new.get(lid, c)) for lid, c in cent_rows]
+    finally:
+        train.unpersist()
     return spark.createDataFrame(cent_rows, "list_id long, c array<double>")
 
 

@@ -16,8 +16,8 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # every oracle-less query is a documented LSH/engine-specific one
-    assert qs - os_ == {"minhash_lsh_pairs", "ann_topk", "simhash_dup_groups"}
+    # since round 2 every registered query carries a DuckDB oracle
+    assert qs - os_ == set()
 
 
 def test_all_queries_run_at_sf0001(spark):

@@ -133,7 +133,34 @@ def test_cosine_similarity_short_pair():
 def test_opcode_tokens_skip_push_args():
     # PUSH1 0xff ADD PUSH2 0xaabb STOP -> [0x60, 0x01, 0x61, 0x00]
     toks = opcode_tokens(bytes.fromhex("60ff0161aabb00"))
-    assert toks == [0x60, 0x01, 0x61, 0x00]
+    assert list(toks) == [0x60, 0x01, 0x61, 0x00]
+
+
+def test_numpy_kernels_match_scalar_scan():
+    # the vectorized pointer-doubling mask must agree byte-for-byte with the
+    # interpreted scan on adversarial inputs: PUSH args that themselves look
+    # like PUSH opcodes, truncated PUSH at the end, all-PUSH runs
+    import hashlib
+
+    from eth2dgraph_spark.functions.ngrams import _opcode_tokens_scalar
+    from eth2dgraph_spark.functions.skeleton import _extract_skeleton_scalar, extract_skeleton
+
+    cases = [
+        b"",
+        b"\x7f" * 1000,               # PUSH32 chain, truncated tail
+        bytes(range(256)) * 8,
+        bytes.fromhex("60ff0161aabb00") * 400,
+    ]
+    for i in range(8):  # pseudorandom, PUSH-dense
+        seed = f"k{i}".encode()
+        buf = bytearray()
+        while len(buf) < 4096:
+            seed = hashlib.md5(seed).digest()
+            buf += seed
+        cases.append(bytes(buf))
+    for code in cases:
+        assert extract_skeleton(code) == _extract_skeleton_scalar(code)
+        assert opcode_tokens(code) == bytes(_opcode_tokens_scalar(code))
 
 
 def test_ngrams_shorter_than_n_empty():
