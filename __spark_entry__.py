@@ -697,6 +697,60 @@ def q_window_ignore_nulls(spark, sf):  # first/last/lead/lag over nulls
     )
 
 
+def q_min_cost_lineitem(spark, sf):  # TPC-H Q2 shape: correlated scalar
+    # subquery (per-part minimum) — every line hitting its part's min price
+    _t(spark, sf, "part").createOrReplaceTempView("_q2_part")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_q2_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, l_orderkey, round(l_extendedprice, 2) AS price
+        FROM _q2_part JOIN _q2_lineitem ON p_partkey = l_partkey
+        WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM _q2_lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)"""
+    )
+
+
+def q_waiting_supplier(spark, sf):  # TPC-H Q21 shape: EXISTS + NOT EXISTS
+    # both correlated on the same order — the classic decorrelation stress
+    # (adapted to the slimmed schema: late = shipped >60 days after order)
+    _t(spark, sf, "supplier").createOrReplaceTempView("_q21_supplier")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_q21_lineitem")
+    _t(spark, sf, "orders").createOrReplaceTempView("_q21_orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM _q21_supplier
+        JOIN _q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN _q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s_name"""
+    )
+
+
+def q_unpivot_metrics(spark, sf):  # wide -> long reshape (UNPIVOT / melt)
+    c = _t(spark, sf, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["sum_bal", "avg_bal", "n_cust"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     """P6+P8+P13+P15 end to end over a synthetic distinct-bytecode frame:
     metadata split, skeleton extraction, keccak skeleton hash, opcode n-gram
@@ -1228,6 +1282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
+        "min_cost_lineitem": q_min_cost_lineitem,
+        "waiting_supplier": q_waiting_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
     }
 
 
@@ -1978,6 +2035,38 @@ def oracle_sql() -> dict[str, str]:
                    round(bfill, 6) AS bfill,
                    round(lead(bfill) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS next_nn
             FROM f""",
+        "min_cost_lineitem": """
+            SELECT p_partkey, l_orderkey, round(l_extendedprice, 2) AS price
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                     FROM lineitem l2
+                                     WHERE l2.l_partkey = p_partkey)""",
+        "waiting_supplier": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name""",
+        "unpivot_metrics": """
+            WITH wide AS (SELECT c_nationkey,
+                                 round(sum(c_acctbal), 2) AS sum_bal,
+                                 round(avg(c_acctbal), 6) AS avg_bal,
+                                 count(*)::DOUBLE AS n_cust
+                          FROM customer GROUP BY c_nationkey)
+            SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS value FROM wide
+            UNION ALL
+            SELECT c_nationkey, 'avg_bal', avg_bal FROM wide
+            UNION ALL
+            SELECT c_nationkey, 'n_cust', n_cust FROM wide""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
