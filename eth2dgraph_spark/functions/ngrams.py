@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from .skeleton import _NP_MIN_BYTES, instruction_mask
 
@@ -80,15 +80,53 @@ def _ngram_udf(n: int):
     return udf
 
 
+def _packed_ngram_udf(n: int):
+    """n-grams packed losslessly into int64 (big-endian byte order, n <= 8;
+    n = 8 wraps through the sign bit but stays injective mod 2^64). The
+    whole kernel is numpy — sliding windows + one matmul — so no Python
+    string is ever materialized, and every downstream shuffle/join moves
+    8-byte longs instead of 2n-char strings."""
+    powers = np.array([256 ** i for i in range(n - 1, -1, -1)], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def udf(code_hex: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h = v[2:] if v.startswith("0x") else v
+            try:
+                code = bytes.fromhex(h)
+            except ValueError:
+                return []
+            toks = np.frombuffer(opcode_tokens(code), dtype=np.uint8)
+            m = toks.shape[0] - n + 1
+            if m <= 0:
+                return []
+            win = np.lib.stride_tricks.sliding_window_view(toks, n).astype(np.int64)
+            return (win @ powers).tolist()
+
+        return code_hex.map(one)
+
+    return udf
+
+
 def ngram_rows(
     skeletons: DataFrame,
     id_col: str = "skeleton_hash",
     code_col: str = "bytecode",
     n: int = DEFAULT_N,
+    packed: bool | None = None,
 ) -> DataFrame:
     """(id, ngram, cnt) frequency rows — A5
-    (src/analysys/similarities.rs:127-142)."""
-    udf = _ngram_udf(n)
+    (src/analysys/similarities.rs:127-142).
+
+    By default (n <= 8) the ngram column is the PACKED int64 form — an
+    injective encoding, so counts, joins, and cosine similarity over these
+    rows are identical to the hex-string form while shuffling 8-byte keys.
+    Pass packed=False for the human-readable hex n-grams."""
+    if packed is None:
+        packed = n <= 8
+    udf = _packed_ngram_udf(n) if packed else _ngram_udf(n)
     return (
         skeletons.select(F.col(id_col).alias("id"), udf(F.col(code_col)).alias("_ngrams"))
         .select("id", F.explode("_ngrams").alias("ngram"))

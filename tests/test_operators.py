@@ -263,6 +263,22 @@ def test_cosine_pairs_spark_golden(spark):
     assert pairs[0]["similarity"] > 0.98  # similarities.rs:495
 
 
+def test_ngram_rows_packed_matches_hex(spark):
+    # the packed int64 encoding is injective, so per-id frequency
+    # multisets must be identical to the hex-string form
+    code = "0x" + "60ff0161aabb005b565b" * 50
+    df = spark.createDataFrame(
+        [("a", code), ("b", "0x6001600201")], "skeleton_hash string, bytecode string"
+    )
+    packed = ngram_rows(df, n=5).collect()
+    hexed = ngram_rows(df, n=5, packed=False).collect()
+
+    def key(rows, conv):
+        return sorted((r["id"], conv(r["ngram"]), r["cnt"]) for r in rows)
+
+    assert key(packed, lambda g: format(g, "010x")) == key(hexed, lambda g: g)
+
+
 def test_jaccard_pairs(spark):
     rows = [("s1", "f1"), ("s1", "f2"), ("s1", "f3"), ("s2", "f1"), ("s2", "f2"), ("s2", "f3"), ("s3", "f9")]
     df = spark.createDataFrame(rows, "id string, token string")
