@@ -313,14 +313,18 @@ def minhash_dedup_pairs(
     )
     sigs = _minhash_from_x(ex, num_hashes)
     cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands)
-    sh = ex.select("id", "h").distinct()
     docs = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # semi-join BEFORE the set-dedup: the distinct's shuffle then moves only
+    # candidate documents' shingle rows, not the whole corpus — at scale the
+    # candidate set is orders of magnitude smaller than the explode
     sets = (
-        sh.join(docs, "id", "left_semi")
+        ex.select("id", "h")
+        .join(docs, "id", "left_semi")
+        .distinct()
         .groupBy("id")
         .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz"))
     )
