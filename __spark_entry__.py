@@ -751,6 +751,30 @@ def q_unpivot_metrics(spark, sf):  # wide -> long reshape (UNPIVOT / melt)
     )
 
 
+def q_try_funcs(spark, sf):  # ANSI-safe error-handling scalar surface:
+    # this engine runs with spark.sql.ansi.enabled=true, so the try_*
+    # family is the sanctioned way to get null-on-error semantics
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("try_cast(substring(c_name, 10, 9) AS LONG)").alias("name_num"),
+        F.round(F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")), 6).alias(
+            "bal_per_nat"
+        ),  # c_nationkey=0 rows -> null, not an ANSI error
+        F.expr("try_cast(c_mktsegment AS DOUBLE)").alias("seg_num"),  # null
+    )
+
+
+def q_regexp_funcs(spark, sf):  # regexp scalar family over documents
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z]{4,}")).alias("long_words"),
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_numbers"),
+    )
+
+
 def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     """P6+P8+P13+P15 end to end over a synthetic distinct-bytecode frame:
     metadata split, skeleton extraction, keccak skeleton hash, opcode n-gram
@@ -1285,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
         "unpivot_metrics": q_unpivot_metrics,
+        "try_funcs": q_try_funcs,
+        "regexp_funcs": q_regexp_funcs,
     }
 
 
@@ -2067,6 +2093,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, 'avg_bal', avg_bal FROM wide
             UNION ALL
             SELECT c_nationkey, 'n_cust', n_cust FROM wide""",
+        "try_funcs": """
+            SELECT c_custkey,
+                   TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS name_num,
+                   CASE WHEN c_nationkey = 0 THEN NULL
+                        ELSE round(c_acctbal / c_nationkey, 6) END AS bal_per_nat,
+                   TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num
+            FROM customer""",
+        "regexp_funcs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z]{4,}'))::INTEGER AS long_words,
+                   regexp_extract(text, '([a-z]+)', 1) AS first_word,
+                   len(regexp_extract_all(text, '[0-9]+'))::INTEGER AS n_numbers
+            FROM documents""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
