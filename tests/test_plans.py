@@ -104,6 +104,28 @@ def test_jaccard_posting_list_no_index_self_join(spark):
     assert "Generate explode" in p  # posting-list expansion present
 
 
+def test_window_ignore_nulls_single_shuffle(spark):
+    """All four ignoreNulls window columns share partitionBy(user_id) +
+    orderBy(event_id); only the frames differ — the plan must pay ONE
+    exchange, not one per window column."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["window_ignore_nulls"](spark, SF), "simple")
+    assert p.count("Exchange") <= 1, p
+
+
+def test_correlated_shapes_decorrelate_to_hash_joins(spark):
+    """Q21-shape (EXISTS + NOT EXISTS on one order) and the LATERAL top-k
+    must decorrelate: no nested-loop/cartesian execution survives in the
+    physical plan."""
+    import __spark_entry__ as E
+
+    for name in ("waiting_supplier", "lateral_topk", "min_cost_lineitem"):
+        p = plan_of(E.queries()[name](spark, SF), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_triangular_pairs_in_similarity(spark):
     """J5: pair generation is triangular by construction (sorted posting
     list) — exactly one direction per pair, no index self-join in the plan."""
