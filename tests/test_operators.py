@@ -247,6 +247,26 @@ def test_lifetimes_rq4(spark, lifecycle_frames):
     assert rq4["avg_lifetime_blocks"] == 2.0
 
 
+def test_observe_run_counters(spark, trace_df):
+    # A12 (extract.rs:446-466): counters ride the SAME action as the data —
+    # derive deployments from traces, observe totals/failed, read after the
+    # action; no second pass over the frame
+    from eth2dgraph_spark.operators import metrics
+
+    deps = traces.extract_deployments(trace_df)
+    frame, obs = metrics.observe_counts(
+        deps, failed_col="failed_deploy", distinct_col="contract"
+    )
+    with metrics.timed_run(obs) as run:
+        n = frame.count()
+    assert n == 2
+    assert run.report["total"] == 2
+    assert run.report["failed"] == 1 and run.report["succeeded"] == 1
+    assert run.report["success_ratio"] == 0.5
+    assert run.report["approx_distinct"] == 2
+    assert run.report["rows_per_sec"] > 0
+
+
 # -------------------------------------------------------------- similarity
 
 def test_cosine_pairs_spark_golden(spark):
