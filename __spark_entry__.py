@@ -775,6 +775,32 @@ def q_regexp_funcs(spark, sf):  # regexp scalar family over documents
     )
 
 
+def q_date_funcs(spark, sf):  # date arithmetic scalar family
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_98"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )
+
+
+def q_null_funcs(spark, sf):  # null-handling scalar family
+    c = _t(spark, sf, "customer")
+    seg_or_null = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_or_null, F.lit("(building)")).alias("seg"),
+        F.expr("nvl2(nullif(c_mktsegment, 'BUILDING'), 'other', 'bld')").alias("kind"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("bal_cap"),
+        F.isnull(seg_or_null).alias("is_bld"),
+    )
+
+
 def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     """P6+P8+P13+P15 end to end over a synthetic distinct-bytecode frame:
     metadata split, skeleton extraction, keccak skeleton hash, opcode n-gram
@@ -1311,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "try_funcs": q_try_funcs,
         "regexp_funcs": q_regexp_funcs,
+        "date_funcs": q_date_funcs,
+        "null_funcs": q_null_funcs,
     }
 
 
@@ -2106,6 +2134,24 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(text, '([a-z]+)', 1) AS first_word,
                    len(regexp_extract_all(text, '[0-9]+'))::INTEGER AS n_numbers
             FROM documents""",
+        "date_funcs": """
+            SELECT o_orderkey,
+                   date_trunc('quarter', o_orderdate)::DATE AS qtr,
+                   (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
+                   last_day(o_orderdate) AS eom,
+                   date_diff('day', o_orderdate, DATE '1998-01-01')::INTEGER AS days_to_98,
+                   (dayofweek(o_orderdate) + 1)::INTEGER AS dow,
+                   weekofyear(o_orderdate)::INTEGER AS woy
+            FROM orders""",
+        "null_funcs": """
+            SELECT c_custkey,
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), '(building)') AS seg,
+                   CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                        THEN 'other' ELSE 'bld' END AS kind,
+                   round(greatest(c_acctbal, 0.0), 2) AS bal_floor,
+                   round(least(c_acctbal, 1000.0), 2) AS bal_cap,
+                   (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_bld
+            FROM customer""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
