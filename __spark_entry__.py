@@ -801,6 +801,21 @@ def q_null_funcs(spark, sf):  # null-handling scalar family
     )
 
 
+def q_explode_outer(spark, sf):  # outer explode: null/empty arrays keep rows
+    d = _t(spark, sf, "documents")
+    arr = F.when(
+        F.length("text") >= 120, F.split(F.lower(F.trim("text")), r"\s+")
+    )  # short docs -> null array
+    return (
+        d.select("doc_id", F.explode_outer(arr).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("w").alias("n_words"),  # null word rows not counted
+        )
+    )
+
+
 def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     """P6+P8+P13+P15 end to end over a synthetic distinct-bytecode frame:
     metadata split, skeleton extraction, keccak skeleton hash, opcode n-gram
@@ -1339,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_funcs": q_regexp_funcs,
         "date_funcs": q_date_funcs,
         "null_funcs": q_null_funcs,
+        "explode_outer": q_explode_outer,
     }
 
 
@@ -2152,6 +2168,15 @@ def oracle_sql() -> dict[str, str]:
                    round(least(c_acctbal, 1000.0), 2) AS bal_cap,
                    (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_bld
             FROM customer""",
+        "explode_outer": f"""
+            WITH base AS (SELECT doc_id,
+                                 CASE WHEN length(text) >= 120
+                                      THEN string_split({_NORM}, ' ') END AS arr
+                          FROM documents),
+            ex AS (SELECT b.doc_id, t.w
+                   FROM base b LEFT JOIN LATERAL (SELECT unnest(arr) AS w) t ON TRUE)
+            SELECT doc_id, count(*)::BIGINT AS n_rows, count(w)::BIGINT AS n_words
+            FROM ex GROUP BY doc_id""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
