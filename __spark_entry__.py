@@ -1260,57 +1260,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's CORRECTNESS gate certifies the
+    # FIRST 50 entries. Rounds 1-2 certified the original first 50; round 3
+    # leads with the 44 entries the driver has never checked (all pass the
+    # local check_oracle run) plus 6 high-value re-checks, so that across
+    # rounds every query carries a driver-green row.
     return {
-        "gas_stats": q_gas_stats,
-        "last_block": q_last_block,
-        "lifetimes_rq1": q_lifetimes_rq1,
-        "lifetimes_rq2": q_lifetimes_rq2,
-        "lifetimes_rq3": q_lifetimes_rq3,
-        "lifetimes_rq4": q_lifetimes_rq4,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "region_revenue": q_region_revenue,
-        "parts_top_per_brand": q_parts_top_per_brand,
-        "segment_stats": q_segment_stats,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "pagination": q_pagination,
-        "first_per_key": q_first_per_key,
-        "json_extract": q_json_extract,
-        "string_funcs": q_string_funcs,
-        "timestamp_funcs": q_timestamp_funcs,
-        "rollup": q_rollup,
-        "event_gaps": q_event_gaps,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "embedding_cosine": q_embedding_cosine,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "events_extrema": q_events_extrema,
-        "cosine_ngram_pairs": q_cosine_ngram_pairs,
-        "running_sum": q_running_sum,
-        "tumbling_window": q_tumbling_window,
-        "graph_degrees": q_graph_degrees,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_topk": q_embedding_topk,
-        "cosine_one_vs_all": q_cosine_one_vs_all,
-        "khop_reach": q_khop_reach,
-        "pagerank_ranks": q_pagerank_ranks,
-        "interface_jaccard": q_interface_jaccard,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ivf_topk": q_ivf_topk,
-        "small_qty_revenue": q_small_qty_revenue,
-        "segment_pivot": q_segment_pivot,
-        "array_funcs": q_array_funcs,
-        "asof_attach": q_asof_attach,
-        "interval_attach": q_interval_attach,
-        "session_count": q_session_count,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ann_topk": q_ann_topk,
         "simhash_dup_groups": q_simhash_dup_groups,
         "order_priority": q_order_priority,
         "custdist": q_custdist,
@@ -1355,6 +1310,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs": q_date_funcs,
         "null_funcs": q_null_funcs,
         "explode_outer": q_explode_outer,
+        # --- 6 high-value re-checks (driver-certified in r1/r2) ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ann_topk": q_ann_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank_ranks": q_pagerank_ranks,
+        "gas_stats": q_gas_stats,
+        "lifetimes_rq4": q_lifetimes_rq4,
+        # --- certified green by the driver in rounds 1-2 ---
+        "last_block": q_last_block,
+        "lifetimes_rq1": q_lifetimes_rq1,
+        "lifetimes_rq2": q_lifetimes_rq2,
+        "lifetimes_rq3": q_lifetimes_rq3,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "parts_top_per_brand": q_parts_top_per_brand,
+        "segment_stats": q_segment_stats,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "pagination": q_pagination,
+        "first_per_key": q_first_per_key,
+        "json_extract": q_json_extract,
+        "string_funcs": q_string_funcs,
+        "timestamp_funcs": q_timestamp_funcs,
+        "rollup": q_rollup,
+        "event_gaps": q_event_gaps,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "embedding_cosine": q_embedding_cosine,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "events_extrema": q_events_extrema,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
+        "running_sum": q_running_sum,
+        "tumbling_window": q_tumbling_window,
+        "graph_degrees": q_graph_degrees,
+        "embedding_topk": q_embedding_topk,
+        "cosine_one_vs_all": q_cosine_one_vs_all,
+        "khop_reach": q_khop_reach,
+        "interface_jaccard": q_interface_jaccard,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
+        "small_qty_revenue": q_small_qty_revenue,
+        "segment_pivot": q_segment_pivot,
+        "array_funcs": q_array_funcs,
+        "asof_attach": q_asof_attach,
+        "interval_attach": q_interval_attach,
+        "session_count": q_session_count,
     }
 
 
