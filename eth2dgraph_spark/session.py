@@ -38,9 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps vs the DuckDB oracle and chain data (UTC).
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
-        # Spark has no timestamp type for — read as long (ns since epoch) and
-        # convert at the source layer (sources.testdata).
+        # The driver testdata's events.ts has changed parquet type across
+        # driver versions (TIMESTAMP(NANOS), then timestamp[us]/NTZ). Keep
+        # nanosAsLong on so a NANOS file reads as long instead of erroring;
+        # the source layer (sources.testdata._fix_nanos) normalizes every
+        # representation to one session-TZ TIMESTAMP.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep scans well-sized at local scale; on a cluster this is the same
         # knob that bounds per-task input at ~128 MB.

@@ -10,7 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import TESTDATA_TABLES
 
@@ -18,12 +18,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it reads as long ns-since-epoch.
-    Convert to a proper timestamp (integer division — ns magnitudes overflow
-    double precision, so no float math here)."""
-    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Normalize events.ts to one session-TZ TIMESTAMP no matter how the
+    driver wrote the parquet. Seen in the wild across driver versions:
+
+    - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it reads as
+      long ns-since-epoch — convert with integer division (ns magnitudes
+      overflow double precision, so no float math here).
+    - timestamp[us] without isAdjustedToUTC: reads as TIMESTAMP_NTZ, which
+      time-zone-aware functions (unix_micros, ...) reject — cast to TIMESTAMP.
+      The session TZ is pinned UTC (session.py), so the cast is identity on
+      the wall-clock values and matches the DuckDB oracle's naive reading.
+    - plain TIMESTAMP: pass through.
+    """
+    if "ts" in df.columns:
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
