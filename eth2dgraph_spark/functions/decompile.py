@@ -132,9 +132,12 @@ def subprocess_decompiler(
     Retry cap: the reference tracks <=10 attempts per distinct skeleton in a
     DashMap and retries on later encounters (src/extraction/extract.rs:
     184-245); here the distinct-skeleton frame visits each skeleton once, so
-    the cap becomes an in-call bounded loop with the same give-up semantics.
-    Exhausting it raises DecompilationError, which decompile_udf turns into
-    a null row -> failed_decompilation=true downstream.
+    the cap becomes an in-call bounded loop with the same give-up semantics
+    for RETRYABLE failures (timeout, missing output file). FailedToParseABI
+    is terminal — the tool ran and wrote garbage; that is deterministic, so
+    it gives up on the first parse failure. Giving up raises
+    DecompilationError, which decompile_udf turns into a null row ->
+    failed_decompilation=true downstream.
 
     The returned callable exposes `impl.stats` (attempts/timeouts/failures)
     for bookkeeping; stats are per-process (executor-local under Spark)."""
@@ -181,7 +184,13 @@ def subprocess_decompiler(
                 except Exception as exc:  # noqa: BLE001 — malformed ABI is data
                     impl.stats["failures"] += 1
                     last = DecompilationError("FailedToParseABI", str(exc))
-                    continue
+                    # TERMINAL: the decompiler ran and produced output; a
+                    # parse failure is deterministic, so re-running would
+                    # spend the whole retry budget (up to max_retries x
+                    # timeout of blocked executor core) to fail identically.
+                    # Timeouts/missing-output above stay retryable — those
+                    # are environmental.
+                    break
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
         raise last if last is not None else DecompilationError("FailedToReadABI")

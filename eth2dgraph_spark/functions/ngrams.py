@@ -41,7 +41,12 @@ def _opcode_tokens_scalar(code: bytes) -> list[int]:
 def opcode_tokens(code: bytes) -> bytes:
     """Opcode sequence with PUSH args skipped, as a byte string
     (src/analysys/similarities.rs:113-126). Shares the vectorized
-    instruction-start mask with the skeleton kernel (P8)."""
+    instruction-start mask with the skeleton kernel (P8).
+
+    API NOTE: this returns ``bytes``, not ``list[int]`` (it changed in an
+    early revision to feed numpy zero-copy). ``bytes`` still iterates and
+    indexes as ints, but is NOT ``==`` to the old list form — callers that
+    compared against lists need ``list(opcode_tokens(code))``."""
     if len(code) < _NP_MIN_BYTES:
         return bytes(_opcode_tokens_scalar(code))
     arr = np.frombuffer(code, dtype=np.uint8)
@@ -123,9 +128,29 @@ def ngram_rows(
     By default (n <= 8) the ngram column is the PACKED int64 form — an
     injective encoding, so counts, joins, and cosine similarity over these
     rows are identical to the hex-string form while shuffling 8-byte keys.
-    Pass packed=False for the human-readable hex n-grams."""
+    Pass packed=False for the human-readable hex n-grams.
+
+    The output type depends on the mode: LONG when packed, STRING when not.
+    To keep that flip from being silent: packed=True with n > 8 is an ERROR
+    (int64 packing stops being injective there — it would return wrong
+    counts, not a wrong type), and leaving packed unset with n > 8 warns
+    that the column type differs from the n <= 8 default."""
     if packed is None:
         packed = n <= 8
+        if not packed:
+            import warnings
+
+            warnings.warn(
+                f"ngram_rows(n={n}): ngram column will be STRING (hex); the "
+                "n <= 8 default is packed LONG. Pass packed=False explicitly "
+                "to silence.",
+                stacklevel=2,
+            )
+    elif packed and n > 8:
+        raise ValueError(
+            f"packed int64 n-grams require n <= 8 (got n={n}); packing more "
+            "than 8 opcode bytes into int64 is not injective"
+        )
     udf = _packed_ngram_udf(n) if packed else _ngram_udf(n)
     return (
         skeletons.select(F.col(id_col).alias("id"), udf(F.col(code_col)).alias("_ngrams"))

@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Codec availability is a FEATURE FLAG: at import we attempt PIL (Pillow). On
-a real cluster with Pillow installed the decode kernels run the real codec;
-in this container (no codec libraries) they fall back to a deterministic
-stub that preserves the full Spark-side contract — schemas, Arrow batch
-shapes, mapInPandas signatures and partitioning are identical in both modes,
-and `decode_ok` records which path produced each row ('ok' | 'stubbed' |
-'error'). Tests cover both modes by injecting the decoder callable.
+Codec availability is a FEATURE FLAG per modality: Pillow for images,
+soundfile for audio, PyAV for video. On a real cluster with the codec
+installed the decode kernels run it; in this container (no codec libraries)
+they fall back to a deterministic stub that preserves the full Spark-side
+contract — schemas, Arrow batch shapes, mapInPandas signatures and
+partitioning are identical in both modes, and `decode_ok` records which path
+produced each row ('ok' | 'stubbed' | 'error'). Tests cover both modes by
+injecting the decoder callable.
+
+Driver/worker mismatch safety: the flags above are the DRIVER's view, used
+only to pick the plan; the kernels re-import the codec on the WORKER, and a
+`probe` runs at kernel start (outside the per-row try/except) so an executor
+missing the codec the driver planned for fails the task with a named
+environment-mismatch error instead of silently labeling every row 'error'.
 """
 
 from __future__ import annotations
@@ -14,13 +21,27 @@ from __future__ import annotations
 import io
 from typing import Callable, Iterator
 
-try:  # feature flag: real codec path when Pillow exists on the workers
-    from PIL import Image as _PIL_Image  # type: ignore
+try:  # feature flag: real codec path when Pillow exists (driver view; the
+    # kernels re-import worker-side so each executor's truth is what runs)
+    import PIL.Image  # noqa: F401
 
     HAS_PIL = True
 except ImportError:
-    _PIL_Image = None
     HAS_PIL = False
+
+try:  # audio codec flag (same pattern)
+    import soundfile  # noqa: F401
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    HAS_SOUNDFILE = False
+
+try:  # video codec flag (same pattern)
+    import av  # noqa: F401
+
+    HAS_AV = True
+except ImportError:
+    HAS_AV = False
 
 import numpy as np
 import pandas as pd
@@ -71,13 +92,31 @@ def _decode_image_stub(payload: bytes | None) -> np.ndarray:
     return hist / max(float(hist.sum()), 1.0)
 
 
+def _probe_pil() -> None:
+    """Worker-side codec probe. Runs at kernel START (outside the per-row
+    try/except), so a driver/worker environment mismatch — Pillow on the
+    driver, missing on an executor — fails the task with this message
+    instead of silently labeling every row 'error'."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "Pillow was selected on the driver but is not importable on this "
+            "worker — driver/worker environment mismatch; install Pillow on "
+            "every executor or pass an explicit decoder"
+        ) from e
+
+
 def _decode_image_pil(payload: bytes | None) -> np.ndarray:
     """Real codec path (requires Pillow): decode, grayscale, pool to a 4x4
     luminance grid -> 16-dim feature in [0, 1]. Same shape/dtype contract as
-    the stub."""
+    the stub. Imports Pillow worker-side (sys.modules-cached after the first
+    call) instead of dereferencing a driver-resolved module global."""
     if not payload:
         return np.zeros(16, dtype=np.float32)
-    img = _PIL_Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    from PIL import Image  # worker-side import; _probe_pil vets it at kernel start
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
     return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
 
 
@@ -95,18 +134,26 @@ def decode_features(
     batch_hint: int = 1024,
     decoder: Callable[[bytes | None], np.ndarray] | None = None,
     ok_label: str | None = None,
+    probe: Callable[[], None] | None = None,
 ) -> DataFrame:
     """mapInPandas decode/feature-extract: Arrow batches, per-partition
     iteration, column pruning of the heavy payload AFTER the kernel. The
     decode callable comes from the PIL feature flag by default; rows whose
     decode raises degrade to 'error' with a null feature instead of failing
-    the task (bad bytes are data at corpus scale, not a job crash)."""
+    the task (bad bytes are data at corpus scale, not a job crash). An
+    environment mismatch is NOT data: `probe` runs once at kernel start,
+    outside the per-row try/except, so a worker missing the codec the driver
+    planned for fails the task loudly."""
     if decoder is None:
         decoder, ok_label = default_image_decoder()
+        if decoder is _decode_image_pil and probe is None:
+            probe = _probe_pil
     elif ok_label is None:
         ok_label = "ok"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if probe is not None:
+            probe()
         for pdf in batches:
             feats, status = [], []
             for p in pdf["payload"]:
@@ -154,22 +201,31 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize behind the same feature flag: with Pillow the kernel
     decodes, resizes, and re-encodes PNG; without it the kernel raises
     NotImplementedError when EXECUTED (plan building always succeeds, so the
-    API surface and schema stay stable in this container)."""
-    has_pil = HAS_PIL  # captured at plan time, not worker import time
+    API surface and schema stay stable in this container). The import
+    happens inside the kernel on the WORKER, so the decision reflects each
+    executor's actual environment, and a driver/worker mismatch names itself
+    instead of surfacing as a NoneType dereference."""
+    driver_had_pil = HAS_PIL  # only used to word the error message
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not has_pil:
-            raise NotImplementedError(
-                "image resize requires Pillow (not in this container); "
+        try:
+            from PIL import Image
+        except ImportError as e:
+            msg = (
+                "image resize requires Pillow, which the driver had but this "
+                "worker does not — driver/worker environment mismatch"
+                if driver_had_pil
+                else "image resize requires Pillow (not in this container); "
                 "install it on the cluster and this kernel runs as-is"
             )
+            raise NotImplementedError(msg) from e
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
                 if p is None:
                     out.append(None)
                     continue
-                img = _PIL_Image.open(io.BytesIO(p)).resize((width, height))
+                img = Image.open(io.BytesIO(p)).resize((width, height))
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 out.append(buf.getvalue())
@@ -181,3 +237,188 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Backwards-compatible alias for resize_images (pre-flag name)."""
     return resize_images(assets, width, height)
+
+
+# ------------------------------------------------------------------ audio
+
+def _probe_soundfile() -> None:
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "soundfile was selected on the driver but is not importable on "
+            "this worker — driver/worker environment mismatch; install "
+            "soundfile on every executor or pass an explicit decoder"
+        ) from e
+
+
+def _decode_audio_stub(payload: bytes | None) -> np.ndarray:
+    """Deterministic audio fallback: 16-dim feature from the high-nibble
+    byte histogram (a different projection than the image stub, so mixed
+    corpora don't collide in feature space)."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+    return hist / max(float(hist.sum()), 1.0)
+
+
+def _decode_audio_sf(payload: bytes | None) -> np.ndarray:
+    """Real audio path (requires soundfile): decode, mono-mix, 16-bin RMS
+    energy envelope. Same 16-float32 contract as the stub."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    import soundfile as sf  # worker-side import; _probe_soundfile vets it
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
+    mono = data.mean(axis=1)
+    bins = np.array_split(mono, 16)
+    return np.array(
+        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bins],
+        dtype=np.float32,
+    )
+
+
+def default_audio_decoder() -> tuple[Callable[[bytes | None], np.ndarray], str]:
+    if HAS_SOUNDFILE:
+        return _decode_audio_sf, "ok"
+    return _decode_audio_stub, "stubbed"
+
+
+def decode_audio_features(
+    assets: DataFrame,
+    decoder: Callable[[bytes | None], np.ndarray] | None = None,
+    ok_label: str | None = None,
+    probe: Callable[[], None] | None = None,
+) -> DataFrame:
+    """Audio analog of decode_features: same mapInPandas kernel shape, same
+    DECODED_SCHEMA, soundfile feature flag instead of Pillow."""
+    if decoder is None:
+        decoder, ok_label = default_audio_decoder()
+        if decoder is _decode_audio_sf and probe is None:
+            probe = _probe_soundfile
+    return decode_features(
+        assets.filter(F.col("modality") == "audio"),
+        decoder=decoder,
+        ok_label=ok_label,
+        probe=probe,
+    )
+
+
+# ------------------------------------------------------------------ video
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def _probe_av() -> None:
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "PyAV was selected on the driver but is not importable on this "
+            "worker — driver/worker environment mismatch; install av on "
+            "every executor or pass an explicit decoder"
+        ) from e
+
+
+def _decode_video_frames_stub(payload: bytes | None, ts_list: list[int]) -> list[np.ndarray]:
+    """Deterministic video fallback: the image-stub histogram rotated by the
+    frame index, so frames of one asset are distinct but reproducible."""
+    base = _decode_image_stub(payload)
+    return [np.roll(base, i % 16).astype(np.float32) for i in range(len(ts_list))]
+
+
+def _decode_video_frames_av(payload: bytes | None, ts_list: list[int]) -> list[np.ndarray]:
+    """Real video path (requires PyAV): open the container ONCE, seek to each
+    sampled timestamp, decode one frame, pool to the 16-dim luminance grid
+    (same contract as the image path)."""
+    if not payload:
+        return [np.zeros(16, dtype=np.float32) for _ in ts_list]
+    import av  # worker-side import; _probe_av vets it
+
+    feats: list[np.ndarray] = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        for ts_ms in ts_list:
+            container.seek(int(ts_ms * 1000), any_frame=True, stream=stream)
+            frame = next(container.decode(stream))
+            arr = frame.to_ndarray(format="gray").astype(np.float32) / 255.0
+            h, w = arr.shape
+            pooled = arr[: h - h % 4 or h, : w - w % 4 or w]
+            ph, pw = pooled.shape
+            pooled = pooled.reshape(4, ph // 4, 4, pw // 4).mean(axis=(1, 3))
+            feats.append(pooled.reshape(16))
+    return feats
+
+
+def default_video_decoder() -> tuple[Callable[[bytes | None, list[int]], list[np.ndarray]], str]:
+    if HAS_AV:
+        return _decode_video_frames_av, "ok"
+    return _decode_video_frames_stub, "stubbed"
+
+
+def decode_video_frames(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes | None, list[int]], list[np.ndarray]] | None = None,
+    ok_label: str | None = None,
+    probe: Callable[[], None] | None = None,
+) -> DataFrame:
+    """Frame decode plugged into the frame_sample_plan schedule: one kernel
+    row in (asset) -> many rows out (one per sampled frame). The container is
+    opened ONCE per asset and all sampled frames extracted from that handle —
+    the payload is never duplicated per frame the way a plan-join would.
+    Emits the same frame_ts_ms schedule as frame_sample_plan (0..duration_ms
+    step every_ms), so the plan view and the decoded view line up 1:1."""
+    if decoder is None:
+        decoder, ok_label = default_video_decoder()
+        if decoder is _decode_video_frames_av and probe is None:
+            probe = _probe_av
+    elif ok_label is None:
+        ok_label = "ok"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if probe is not None:
+            probe()
+        for pdf in batches:
+            aid_out: list[int] = []
+            ts_out: list[int] = []
+            feat_out: list[list[float] | None] = []
+            ok_out: list[str] = []
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur_ms = 0 if dur is None or pd.isna(dur) else int(dur)
+                ts_list = list(range(0, dur_ms + 1, every_ms))
+                try:
+                    feats: list = [f.tolist() for f in decoder(payload, ts_list)]
+                    status = ok_label
+                except Exception:  # noqa: BLE001 — undecodable container is data
+                    feats = [None] * len(ts_list)
+                    status = "error"
+                for ts, ft in zip(ts_list, feats):
+                    aid_out.append(aid)
+                    ts_out.append(ts)
+                    feat_out.append(ft)
+                    ok_out.append(status)
+            yield pd.DataFrame(
+                {
+                    "asset_id": aid_out,
+                    "frame_ts_ms": ts_out,
+                    "feature": feat_out,
+                    "decode_ok": ok_out,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload", "duration_ms")
+        .mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+    )

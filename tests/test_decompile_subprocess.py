@@ -101,6 +101,18 @@ def test_malformed_abi_is_parse_failure(tmp_path):
     assert exc.value.kind == "FailedToParseABI"
 
 
+def test_parse_failure_is_terminal_not_retried(tmp_path):
+    # a parse failure is deterministic — the retry budget must NOT be spent
+    # re-running the tool to fail identically (up to retries x timeout of
+    # blocked executor core otherwise)
+    cmd = _script(tmp_path, "garbage.sh", "echo 'not json' > \"$2/abi.json\"\n")
+    impl = subprocess_decompiler(cmd, timeout_ms=2000, max_retries=10)
+    with pytest.raises(DecompilationError) as exc:
+        impl("0x6001")
+    assert exc.value.kind == "FailedToParseABI"
+    assert impl.stats["attempts"] == 1  # gave up on first parse failure
+
+
 def test_workdir_cleaned_up(tmp_path):
     out_dirs = tmp_path / "seen"
     cmd = _script(

@@ -299,6 +299,24 @@ def test_ngram_rows_packed_matches_hex(spark):
     assert key(packed, lambda g: format(g, "010x")) == key(hexed, lambda g: g)
 
 
+def test_ngram_rows_schema_flip_is_loud(spark):
+    import warnings
+
+    import pytest
+
+    df = spark.createDataFrame([("a", "0x6001600201")], "skeleton_hash string, bytecode string")
+    # explicit packed=True with n > 8 would silently return wrong counts
+    # (int64 packing stops being injective) -> hard error
+    with pytest.raises(ValueError, match="n <= 8"):
+        ngram_rows(df, n=9, packed=True)
+    # implicit flip to STRING at n > 8 warns; explicit packed=False doesn't
+    with pytest.warns(UserWarning, match="STRING"):
+        ngram_rows(df, n=9)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ngram_rows(df, n=9, packed=False)
+
+
 def test_jaccard_pairs(spark):
     rows = [("s1", "f1"), ("s1", "f2"), ("s1", "f3"), ("s2", "f1"), ("s2", "f2"), ("s2", "f3"), ("s3", "f9")]
     df = spark.createDataFrame(rows, "id string, token string")

@@ -264,6 +264,103 @@ def test_frame_sample_plan(spark):
     assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
 
 
+def test_codec_probe_mismatch_fails_loudly(spark):
+    # a worker missing the codec the driver planned for must FAIL the task
+    # (env mismatch is not data) — not degrade every row to 'error'
+    import numpy as np
+
+    def boom():
+        raise RuntimeError("driver/worker environment mismatch")
+
+    rows = [(1, "image", "image/png", bytearray(b"x"), 1, 1, None)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    df = multimodal.decode_features(
+        assets, decoder=lambda p: np.zeros(16, dtype=np.float32), probe=boom
+    )
+    with pytest.raises(Exception, match="environment mismatch"):
+        df.collect()
+
+
+def test_audio_decode_stub_mode(spark):
+    rows = [
+        (1, "audio", "audio/wav", bytearray(b"RIFF fake audio"), None, None, 2000),
+        (2, "image", "image/png", bytearray(b"\x89PNG"), 2, 2, None),  # filtered out
+        (3, "audio", "audio/wav", None, None, None, 0),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
+    assert set(got) == {1, 3}  # modality filter applied
+    if not multimodal.HAS_SOUNDFILE:
+        assert got[1]["decode_ok"] == "stubbed"
+        assert len(got[1]["feature"]) == 16
+        # deterministic: same payload -> same feature on a re-run
+        again = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
+        assert got[1]["feature"] == again[1]["feature"]
+    assert got[3]["feature"] == [0.0] * 16  # empty payload -> zeros
+
+
+def test_audio_injected_codec(spark):
+    import numpy as np
+
+    def fake_codec(payload):
+        if payload and bytes(payload).startswith(b"RIFF"):
+            return np.full(16, 0.25, dtype=np.float32)
+        raise ValueError("undecodable")
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(b"RIFF ok"), None, None, 1000),
+        (2, "audio", "audio/wav", bytearray(b"garbage"), None, None, 1000),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: r
+        for r in multimodal.decode_audio_features(assets, decoder=fake_codec).collect()
+    }
+    assert got[1]["decode_ok"] == "ok" and got[1]["feature"] == [0.25] * 16
+    assert got[2]["decode_ok"] == "error" and got[2]["feature"] is None
+
+
+def test_video_frame_decode_matches_plan_schedule(spark):
+    rows = [
+        (2, "video", "video/mp4", bytearray(b"\x00mp4 fake"), None, None, 3500),
+        (9, "image", "image/png", bytearray(b"x"), 1, 1, None),  # filtered out
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    frames = multimodal.decode_video_frames(assets, every_ms=1000).collect()
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    # decoded view and plan view line up 1:1 on (asset_id, frame_ts_ms)
+    assert sorted((r["asset_id"], r["frame_ts_ms"]) for r in frames) == sorted(
+        (r["asset_id"], r["frame_ts_ms"]) for r in plan
+    )
+    if not multimodal.HAS_AV:
+        by_ts = {r["frame_ts_ms"]: r for r in frames}
+        assert all(r["decode_ok"] == "stubbed" for r in frames)
+        assert all(len(r["feature"]) == 16 for r in frames)
+        # frames of one asset are distinct but deterministic (rotated stub)
+        assert by_ts[0]["feature"] != by_ts[1000]["feature"]
+        again = {
+            r["frame_ts_ms"]: r
+            for r in multimodal.decode_video_frames(assets, every_ms=1000).collect()
+        }
+        assert by_ts[2000]["feature"] == again[2000]["feature"]
+
+
+def test_video_injected_codec_error_path(spark):
+    def bad_codec(payload, ts_list):
+        raise ValueError("corrupt container")
+
+    rows = [(5, "video", "video/mp4", bytearray(b"zz"), None, None, 2500)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    frames = multimodal.decode_video_frames(assets, every_ms=1000, decoder=bad_codec).collect()
+    # error still emits the full schedule, with null features
+    assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_ts_ms"])] == [
+        0,
+        1000,
+        2000,
+    ]
+    assert all(r["decode_ok"] == "error" and r["feature"] is None for r in frames)
+
+
 def test_resize_behavior_by_flag(spark):
     rows = [(1, "image", "image/png", bytearray(b"x"), 1, 1, None)]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
