@@ -1186,6 +1186,41 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
+    # gated against the exact baseline (the approx_sketches pattern: sketch
+    # internals differ across engines, so the deterministic output is the
+    # exact top-20 plus flags that the sketch behaved — candidate coverage
+    # and the CMS overestimate bound landing within tolerance)
+    from eth2dgraph_spark.pipeline import sketch
+
+    d = _t(spark, sf, "documents")
+    toks_col = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks = d.select(F.explode(toks_col).alias("token"))
+    approx = sketch.countmin_topk(toks, "token", k=64)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+    # CMS overshoot bound scales with total-count/width: tolerate 3 rows'
+    # worth of expected collision mass (+1 slack for tiny inputs), computed
+    # in-plan from a broadcast 1-row total — no extra driver action.
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    joined = exact.crossJoin(F.broadcast(total)).join(approx, "token", "left")
+    tol = F.ceil(F.lit(3.0) * F.col("n_total") / F.lit(sketch.DEFAULT_WIDTH)) + F.lit(1)
+    return joined.select(
+        "token",
+        "freq",
+        F.col("cms_est").isNotNull().alias("cand_ok"),
+        (
+            F.col("cms_est").isNotNull()
+            & (F.col("cms_est") >= F.col("freq"))
+            & (F.col("cms_est") <= F.col("freq") + tol)
+        ).alias("est_ok"),
+    )
+
+
 def q_triangle_count(spark, sf):  # degree-oriented triangle counting over the
     # near-dup pair graph (orientation is perf-only; count is invariant, which
     # lets the simple-enumeration DuckDB oracle check the skew-safe algorithm)
@@ -1260,12 +1295,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's CORRECTNESS gate certifies the
-    # FIRST 50 entries. Rounds 1-2 certified the original first 50; round 3
-    # leads with the 44 entries the driver has never checked (all pass the
-    # local check_oracle run) plus 6 high-value re-checks, so that across
-    # rounds every query carries a driver-green row.
+    # Registry order matters: the driver's CORRECTNESS gate certifies only
+    # the FIRST 50 entries (the driver samples a 50-row cap, in order).
+    # Rounds 1-2 certified the original first 50; round 3 certified the
+    # other 44. Round 4 leads with the queries that CHANGED or are NEW this
+    # round — event_gaps (timestamp-type fix) and the new operators — then
+    # keeps the round-3 window, so every changed query gets a same-round
+    # driver row and cumulative coverage stays 100%.
     return {
+        # --- changed/new in round 4: must re-certify ---
+        "event_gaps": q_event_gaps,
+        "cms_topk": q_cms_topk,
+        # --- round-3 certified window ---
         "simhash_dup_groups": q_simhash_dup_groups,
         "order_priority": q_order_priority,
         "custdist": q_custdist,
@@ -1335,7 +1376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "timestamp_funcs": q_timestamp_funcs,
         "rollup": q_rollup,
-        "event_gaps": q_event_gaps,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -2014,6 +2054,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS freq
             FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+        "cms_topk": f"""
+            SELECT token, freq, TRUE AS cand_ok, TRUE AS est_ok
+            FROM (SELECT token, count(*)::BIGINT AS freq
+                  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+                  GROUP BY token ORDER BY freq DESC, token LIMIT 20)""",
         "triangle_count": f"""
             WITH {_SHINGLES_CTE},
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),

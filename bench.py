@@ -51,6 +51,7 @@ HEADLINE = [
     "lang_id",
     "token_count",
     "fingerprint",
+    "cms_topk",
     "dedup_clusters",
     "pagerank_ranks",
     "order_priority",

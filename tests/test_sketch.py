@@ -1,0 +1,57 @@
+"""Count-min + Misra-Gries heavy hitters (pipeline/sketch.py): the sketch
+estimate is a conservative upper bound, results are invariant to input
+partitioning (element-wise sketch sums commute), and per-partition state is
+bounded by cap regardless of token cardinality."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from eth2dgraph_spark.pipeline import sketch
+
+
+def _tokens(spark, counts: dict[str, int], partitions: int = 4):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "token string").repartition(partitions)
+
+
+def test_topk_matches_exact_on_small_input(spark):
+    counts = {f"tok{i}": 5 * (40 - i) for i in range(40)}  # distinct freqs
+    df = _tokens(spark, counts)
+    got = sketch.countmin_topk(df, "token", k=10).collect()
+    assert [r["token"] for r in got] == [f"tok{i}" for i in range(10)]
+    # conservative estimate: never below the true count
+    for r in got:
+        assert r["cms_est"] >= counts[r["token"]]
+
+
+def test_estimates_invariant_to_partitioning(spark):
+    counts = {f"w{i}": (i % 7) + 1 for i in range(200)}
+    a = sketch.countmin_topk(_tokens(spark, counts, 2), "token", k=15).collect()
+    b = sketch.countmin_topk(_tokens(spark, counts, 13), "token", k=15).collect()
+    assert sorted((r["token"], r["cms_est"]) for r in a) == sorted(
+        (r["token"], r["cms_est"]) for r in b
+    )
+
+
+def test_partials_bounded_one_row_per_partition(spark):
+    counts = {f"x{i}": 2 for i in range(500)}
+    df = _tokens(spark, counts, 5)
+    partials = sketch.countmin_partials(df, "token", cap=64).collect()
+    assert len(partials) == 5
+    for r in partials:
+        assert len(r["cand_token"]) <= 64  # MG capacity respected
+        assert len(r["sketch"]) == sketch.DEFAULT_DEPTH * sketch.DEFAULT_WIDTH
+
+
+def test_mg_batched_compaction_keeps_heavy_keys():
+    # the batched Misra-Gries compaction must keep a key whose frequency
+    # exceeds N/cap even under capacity pressure from a long tail
+    mg: dict[str, int] = {}
+    heavy = {"HEAVY": 500}
+    sketch._mg_update(mg, pd.Series(heavy), cap=10)
+    for start in range(0, 200, 20):
+        tail = {f"t{j}": 1 for j in range(start, start + 20)}
+        sketch._mg_update(mg, pd.Series(tail), cap=10)
+    assert "HEAVY" in mg
+    assert mg["HEAVY"] >= 500 - 200  # undercount bounded by total tail mass
