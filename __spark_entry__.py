@@ -111,11 +111,15 @@ def q_lifetimes_rq4(spark, sf):  # A11
 
 def q_pricing_summary(spark, sf):  # TPC-H Q1 shape: groupBy + 6 aggs
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-01-01"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal accumulation on every rounded money sum (here and in the other
+    # TPC-H-shape gates): double-sum is accumulation-order-dependent, so at a
+    # cent rounding boundary the same query can hash differently per
+    # partitioning/engine; decimal(18,4) makes the sum exact and order-free
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -126,12 +130,12 @@ def q_shipping_priority(spark, sf):  # TPC-H Q3 shape: 3-way join + top-k
     cu = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
     return (
         cu.join(o, cu["c_custkey"] == o["o_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -143,14 +147,14 @@ def q_region_revenue(spark, sf):  # 5-way join + agg (J1/J4 shape)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
     return (
         r.join(n, r["r_regionkey"] == n["n_regionkey"])
         .join(c, n["n_nationkey"] == c["c_nationkey"])
         .join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("r_name")
-        .agg(F.round(rev, 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -372,6 +376,32 @@ def q_tumbling_window(spark, sf):  # event-time tumbling agg (streaming shape)
     )
 
 
+def q_windowed_stream(spark, sf):  # the SAME tumbling-window aggregation as
+    # tumbling_window, but PHYSICALLY EXECUTED as a Structured Streaming
+    # query (file source -> watermarked window agg -> availableNow trigger ->
+    # complete-mode memory sink). Checks the stream==batch property the
+    # reference's idempotent per-block overwrite story (T3,
+    # src/extraction/stream.rs:70-166) needs: same oracle as the batch gate.
+    # The helper raises if the stream never made progress, so this gate can
+    # only go green with a stream that actually ran.
+    from eth2dgraph_spark.sources.testdata import read_table_stream
+    from eth2dgraph_spark.streaming.windows import execute_stream_to_batch
+
+    ev = read_table_stream(spark, sf, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+    return execute_stream_to_batch(agg)
+
+
 def q_graph_degrees(spark, sf):  # graph layer: degrees over a derived edge set
     from eth2dgraph_spark.graph import degrees
 
@@ -497,7 +527,9 @@ def q_small_qty_revenue(spark, sf):  # TPC-H Q17 shape: correlated avg per key
         li.join(avg_qty, li["l_partkey"] == avg_qty["pk"])
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1051,7 +1083,9 @@ def q_filter_agg(spark, sf):  # TPC-H Q6 shape: pure scan-filter-aggregate
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1099,7 +1133,11 @@ def q_disjunctive_filter(spark, sf):  # TPC-H Q19 shape: OR-of-ANDs join predica
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size") <= 15))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1234,12 +1272,12 @@ def q_returned_revenue(spark, sf):  # TPC-H Q10 shape: wide group-by + top-k
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1249,9 +1287,11 @@ def q_top_supplier(spark, sf):  # TPC-H Q15 shape: grouped view + max-of-agg
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     srev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
         )
+        .cast("double")
+        .alias("total_revenue")
     )
     mx = srev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -1306,6 +1346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed/new in round 4: must re-certify ---
         "event_gaps": q_event_gaps,
         "cms_topk": q_cms_topk,
+        "windowed_stream": q_windowed_stream,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
         # --- round-3 certified window ---
         "simhash_dup_groups": q_simhash_dup_groups,
         "order_priority": q_order_priority,
@@ -1363,9 +1408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifetimes_rq1": q_lifetimes_rq1,
         "lifetimes_rq2": q_lifetimes_rq2,
         "lifetimes_rq3": q_lifetimes_rq3,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "region_revenue": q_region_revenue,
         "parts_top_per_brand": q_parts_top_per_brand,
         "segment_stats": q_segment_stats,
         "semi_join": q_semi_join,
@@ -1396,7 +1438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interface_jaccard": q_interface_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
-        "small_qty_revenue": q_small_qty_revenue,
         "segment_pivot": q_segment_pivot,
         "array_funcs": q_array_funcs,
         "asof_attach": q_asof_attach,
@@ -1634,20 +1675,22 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(ld-fd),6) AS stddev_lifetime_blocks
             FROM dep JOIN des USING(user_id)""",
         "pricing_summary": """
-            SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-                   round(sum(l_extendedprice),2) AS sum_base_price,
-                   round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(l_quantity AS DECIMAL(18,4))),2)::DOUBLE AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2)::DOUBLE AS sum_base_price,
+                   round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS sum_disc_price,
                    round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price,
                    count(*)::BIGINT AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01' GROUP BY l_returnflag, l_linestatus""",
         "shipping_priority": """
             SELECT l_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS orderdate,
-                   round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+                   round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS revenue
             FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
             WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "region_revenue": """
-            SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*)::BIGINT AS n_items
+            SELECT r_name, round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS revenue,
+                   count(*)::BIGINT AS n_items
             FROM region JOIN nation ON r_regionkey=n_regionkey JOIN customer ON n_nationkey=c_nationkey
                  JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
             GROUP BY r_name""",
@@ -1750,6 +1793,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        "windowed_stream": """
+            SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
+            FROM events GROUP BY 1, 2""",
         "cosine_one_vs_all": f"""
             WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
             sh AS (SELECT id, array_to_string(w[i.i:i.i+2],' ') AS shingle
@@ -1816,7 +1863,8 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": """
             WITH a AS (SELECT l_partkey AS pk, avg(l_quantity)*0.5 AS half_avg
                        FROM lineitem GROUP BY l_partkey)
-            SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly, count(*)::BIGINT AS n_items
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))/7.0, 2)::DOUBLE AS avg_yearly,
+                   count(*)::BIGINT AS n_items
             FROM lineitem JOIN a ON l_partkey = pk
             WHERE l_quantity < half_avg""",
         "segment_pivot": """
@@ -1982,7 +2030,7 @@ def oracle_sql() -> dict[str, str]:
                    GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "filter_agg": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2000,7 +2048,7 @@ def oracle_sql() -> dict[str, str]:
                          / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey""",
         "disjunctive_filter": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
@@ -2073,7 +2121,7 @@ def oracle_sql() -> dict[str, str]:
                  JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
         "returned_revenue": """
             SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
             FROM customer JOIN orders ON c_custkey = o_custkey
                  JOIN lineitem ON o_orderkey = l_orderkey
             WHERE l_returnflag = 'R'
@@ -2081,7 +2129,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "top_supplier": """
             WITH srev AS (SELECT l_suppkey AS sk,
-                                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                                 round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS total_revenue
                           FROM lineitem GROUP BY l_suppkey)
             SELECT s_suppkey, s_name, total_revenue
             FROM srev JOIN supplier ON sk = s_suppkey

@@ -215,11 +215,19 @@ def pagerank(
 def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
     """Vertices reachable from `sources` (column `node`) in <= k directed
     hops, with min hop distance — BFS as k joins, frontier-only (visited set
-    pruned each round with a left-anti join)."""
+    pruned each round with a left-anti join).
+
+    Per-hop cost discipline (same trick as connected_components): the new
+    frontier is eagerly checkpointed FIRST, then the emptiness probe reads
+    the materialized partitions — the frontier is computed exactly once per
+    hop, where probing the lazy plan then unioning it would compute it
+    twice. Only the per-hop DELTA is ever checkpointed; `visited` stays a
+    union of already-materialized frontiers (shallow lineage, no
+    re-materialization of the whole visited set each hop)."""
     e = edges.select(F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst"))
     visited = sources.select(F.col("node").cast("string")).distinct().withColumn(
         "hops", F.lit(0)
-    )
+    ).localCheckpoint(eager=True)
     frontier = visited
     for i in range(1, k + 1):
         nxt = (
@@ -228,10 +236,11 @@ def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: s
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if nxt.isEmpty():  # reads the checkpointed partitions — no recompute
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

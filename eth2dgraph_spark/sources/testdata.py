@@ -47,6 +47,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of a testdata table (file source). Schema comes from a
+    batch footer read (streams can't infer), and the same ts normalization
+    as the batch path applies — stream and batch consumers see one type."""
+    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the file stream source requires a DIRECTORY base path; select just this
+    # table's file(s) out of the shared dir with a glob filter
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return _fix_nanos(stream)
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

@@ -49,6 +49,40 @@ def windowed_block_stats(
     )
 
 
+def execute_stream_to_batch(
+    stream_df: DataFrame, query_name: str | None = None, timeout_s: int = 300
+) -> DataFrame:
+    """Physically execute a streaming aggregation over the currently
+    available data (trigger=availableNow) into a complete-mode memory sink
+    and return the final table — the stream==batch bridge the oracle gate
+    needs. Complete mode re-emits every window at the last trigger, so the
+    final table equals the batch aggregation regardless of how the watermark
+    landed relative to the tail windows (append mode would hold those back).
+
+    Raises if the stream never made progress or missed the deadline, so a
+    silently-unexecuted stream can't masquerade as a green gate."""
+    import uuid
+
+    spark = stream_df.sparkSession
+    name = query_name or f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(f"stream {name} did not finish within {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.lastProgress is None:
+        raise RuntimeError(f"stream {name} terminated without making progress")
+    return spark.table(name)
+
+
 def session_windows(
     events: DataFrame,
     key_col: str,

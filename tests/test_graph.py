@@ -85,6 +85,20 @@ def test_k_hop_distances(spark):
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops, excluded
 
 
+def test_k_hop_materialized_rounds_and_early_exit(spark):
+    # per-hop frontiers are checkpointed deltas: the returned plan is a pure
+    # union of materialized scans — no join lineage left to re-execute
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = k_hop(e, srcs, k=10)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan
+    # early exit: the chain exhausts after 2 hops, so only 3 materialized
+    # frontiers (hop 0,1,2) appear — not 11
+    assert plan.count("LogicalRDD") == 3
+    assert {r["node"]: r["hops"] for r in out.collect()} == {"a": 0, "b": 1, "c": 2}
+
+
 def test_triangle_count_known_graphs(spark):
     from eth2dgraph_spark.graph import triangle_count
 

@@ -170,3 +170,43 @@ def test_stream_stream_join_real_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir)
     assert [(r["tx_hash"], r["payload"]) for r in got.collect()] == [("t1", "a")]
+
+
+def test_execute_stream_to_batch_equals_batch(spark, tmp_path):
+    # the stream==batch property: the same windowed agg physically executed
+    # as a stream (availableNow, complete-mode memory sink) must produce the
+    # batch result — and the helper must prove the stream actually ran
+    import pytest
+
+    from eth2dgraph_spark.streaming.windows import execute_stream_to_batch
+
+    blocks = _blocks(spark, 24)
+    src = str(tmp_path / "blocks")
+    blocks.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(blocks.schema).parquet(src)
+    streamed = execute_stream_to_batch(
+        windowed_block_stats(stream), query_name="wbs_gate_test"
+    )
+    batch = windowed_block_stats(blocks)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(streamed) == key(batch)
+
+    # an empty source still fires one (zero-row) trigger: the stream ran,
+    # the result table is just empty — same as the batch agg on no rows
+    empty_dir = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty_dir)
+    empty = spark.readStream.schema(blocks.schema).parquet(empty_dir)
+    got = execute_stream_to_batch(windowed_block_stats(empty), query_name="wbs_gate_empty")
+    assert got.count() == 0
+
+    # a stream that fails outright must raise, not return a stale table
+    with pytest.raises(Exception):
+        execute_stream_to_batch(
+            windowed_block_stats(
+                spark.readStream.schema(blocks.schema).parquet(str(tmp_path / "missing"))
+            ),
+            query_name="wbs_gate_missing",
+        )
