@@ -402,6 +402,30 @@ def q_windowed_stream(spark, sf):  # the SAME tumbling-window aggregation as
     return execute_stream_to_batch(agg)
 
 
+def q_motif_paths(spark, sf):  # general motif finder (J4 / Dgraph traversal
+    # parity): typed 2-hop pattern over a heterogeneous edge set, plain-join
+    # implementation (GraphFrames delegation when that library is present)
+    from eth2dgraph_spark.plans.views import motif
+
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    edges = (
+        s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+            F.lit("in_nation").alias("type"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+                F.lit("in_region").alias("type"),
+            )
+        )
+    )
+    return motif(edges, "(a)-[in_nation]->(b); (b)-[in_region]->(c)", use_graphframes=False)
+
+
 def q_graph_degrees(spark, sf):  # graph layer: degrees over a derived edge set
     from eth2dgraph_spark.graph import degrees
 
@@ -1347,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "cms_topk": q_cms_topk,
         "windowed_stream": q_windowed_stream,
+        "motif_paths": q_motif_paths,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2102,6 +2127,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS freq
             FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+        "motif_paths": """
+            SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
         "cms_topk": f"""
             SELECT token, freq, TRUE AS cand_ok, TRUE AS est_ok
             FROM (SELECT token, count(*)::BIGINT AS freq

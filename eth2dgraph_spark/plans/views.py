@@ -103,3 +103,99 @@ def two_hop(edges: DataFrame, type_a: str, type_b: str) -> DataFrame:
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
     return a.join(b, "b").select("a", "b", "c")
+
+
+_MOTIF_TERM = r"\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w+)\s*\)"
+
+
+def motif(
+    edges: DataFrame, pattern: str, use_graphframes: bool | None = None
+) -> DataFrame:
+    """General motif finder over a (src, dst, type) edge frame — the
+    Dgraph-traversal parity seam (dgraph/schema.graphql reverse edges; the
+    reference's DQL expansions are fixed 1-2 hop motifs).
+
+    `pattern` is GraphFrames-flavored, with the edge slot naming the edge
+    TYPE instead of an output alias: terms `(a)-[deployed]->(b)` separated
+    by `;`, empty type (`(a)-[]->(b)`) matching any edge, repeated vertex
+    variables expressing equality constraints. Result columns are the
+    vertex variables in first-appearance order; row multiplicity follows
+    edge multiplicity (no implicit distinct), matching `two_hop`.
+
+    Implementation is plain joins — one filtered edge scan per term, joined
+    on shared variables (Catalyst reorders; AQE broadcasts the small
+    sides). When GraphFrames is importable (or `use_graphframes=True`), the
+    same pattern is delegated to `GraphFrame.find` with type post-filters,
+    so clusters that ship GraphFrames get its motif planner for free.
+    Disconnected patterns are an error, not a silent cross join."""
+    import re
+
+    terms: list[tuple[str, str, str]] = []
+    for part in pattern.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.fullmatch(_MOTIF_TERM, part)
+        if not m:
+            raise ValueError(f"unparseable motif term: {part!r}")
+        terms.append((m.group(1), m.group(2), m.group(3)))
+    if not terms:
+        raise ValueError("empty motif pattern")
+
+    var_order: list[str] = []
+    for sv, _, dv in terms:
+        for v in (sv, dv):
+            if v not in var_order:
+                var_order.append(v)
+
+    if use_graphframes is None:
+        try:
+            import graphframes  # noqa: F401
+
+            use_graphframes = True
+        except ImportError:
+            use_graphframes = False
+    if use_graphframes:
+        return _motif_graphframes(edges, terms, var_order)
+
+    result: DataFrame | None = None
+    for sv, etype, dv in terms:
+        t = edges
+        if etype:
+            t = t.filter(F.col("type") == etype)
+        if sv == dv:  # self-loop term: one output column
+            t = t.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(sv))
+        else:
+            t = t.select(F.col("src").alias(sv), F.col("dst").alias(dv))
+        if result is None:
+            result = t
+        else:
+            shared = [c for c in t.columns if c in result.columns]
+            if not shared:
+                raise ValueError(
+                    f"motif term ({sv})-[{etype}]->({dv}) shares no variable "
+                    "with the preceding terms — disconnected patterns are not "
+                    "supported (that would be a cross join)"
+                )
+            result = result.join(t, shared)
+    return result.select(*var_order)
+
+
+def _motif_graphframes(edges: DataFrame, terms, var_order) -> DataFrame:
+    """GraphFrames delegation: translate typed terms to named-edge terms,
+    post-filter each edge's relationship, project vertex ids."""
+    from graphframes import GraphFrame
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = edges.select("src", "dst", F.col("type").alias("relationship"))
+    g = GraphFrame(verts, e)
+    pat = "; ".join(f"({sv})-[e{i}]->({dv})" for i, (sv, _, dv) in enumerate(terms))
+    r = g.find(pat)
+    for i, (_, etype, _dv) in enumerate(terms):
+        if etype:
+            r = r.filter(F.col(f"e{i}.relationship") == etype)
+    return r.select(*[F.col(f"{v}.id").alias(v) for v in var_order])

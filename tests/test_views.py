@@ -40,3 +40,47 @@ def test_graph_edges_and_two_hop(spark, warehouse):
     assert hops.count() == warehouse["deployments"].filter(
         F.col("skeleton_hash").isNotNull() & F.col("creator").isNotNull()
     ).count()
+
+
+def test_motif_equals_two_hop(spark):
+    from eth2dgraph_spark.plans.views import motif
+
+    rows = [
+        ("u1", "c1", "deployed"),
+        ("u1", "c2", "deployed"),
+        ("c1", "k1", "has_skeleton"),
+        ("c2", "k1", "has_skeleton"),
+        ("c1", "u9", "refunded_to"),  # different type: must not match
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, type string")
+    via_motif = motif(
+        edges, "(a)-[deployed]->(b); (b)-[has_skeleton]->(c)", use_graphframes=False
+    )
+    via_two_hop = two_hop(edges, "deployed", "has_skeleton")
+    assert via_motif.columns == ["a", "b", "c"]
+    assert sorted(map(tuple, via_motif.collect())) == sorted(
+        map(tuple, via_two_hop.collect())
+    )
+
+
+def test_motif_untyped_repeated_vars_and_errors(spark):
+    from eth2dgraph_spark.plans.views import motif
+
+    rows = [
+        ("a", "b", "t1"),
+        ("b", "a", "t2"),  # closes the 2-cycle
+        ("b", "c", "t1"),
+        ("x", "x", "t1"),  # self loop
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, type string")
+    # untyped edges + repeated variable: directed 2-cycles (v)-[]->(w)-[]->(v)
+    cyc = motif(edges, "(v)-[]->(w); (w)-[]->(v)", use_graphframes=False).collect()
+    got = sorted((r["v"], r["w"]) for r in cyc)
+    assert got == [("a", "b"), ("b", "a"), ("x", "x")]
+    # self-loop term
+    loops = motif(edges, "(v)-[t1]->(v)", use_graphframes=False).collect()
+    assert [r["v"] for r in loops] == ["x"]
+    with pytest.raises(ValueError, match="disconnected"):
+        motif(edges, "(a)-[]->(b); (c)-[]->(d)", use_graphframes=False)
+    with pytest.raises(ValueError, match="unparseable"):
+        motif(edges, "a->b", use_graphframes=False)
