@@ -16,6 +16,7 @@ round's numbers). `--repeat N` runs each query N times and keeps the best
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -94,10 +95,17 @@ def main() -> None:
             # Each headline query is an independent job; drop persisted
             # intermediates so one query's cache doesn't eat the next one's
             # execution memory (measured 2x total slowdown without this).
+            # clearCache does NOT free localCheckpoint'ed RDDs (the iterative
+            # graph queries pin those) — a Python gc pass releases the last
+            # references so Spark's ContextCleaner can unpersist them
+            # (measured: byte_kernels 17.3s late in the run vs 3.1s isolated
+            # before this, within noise of isolated after).
             spark.catalog.clearCache()
+            gc.collect()
         if best is not None:
             timings[name] = best
         spark.catalog.clearCache()
+        gc.collect()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
