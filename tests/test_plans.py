@@ -185,3 +185,44 @@ def test_triangle_count_no_cartesian(spark):
     e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     p = plan_of(triangle_count(e), "extended")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_countmin_partials_no_preshuffle(spark):
+    # the whole point of the sketch: per-partition partials must run on the
+    # scan partitioning — no Exchange between the parquet scan and the
+    # Arrow kernel (the exact baseline's token shuffle is what we avoid)
+    from eth2dgraph_spark.pipeline.sketch import countmin_partials
+
+    d = read_table(spark, SF, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("token")
+    )
+    p = plan_of(countmin_partials(toks))
+    kernel_idx = p.index("MapInPandas")
+    assert "Exchange" not in p[:kernel_idx]
+    # and the scan only reads the text column
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" not in read_schema
+
+
+def test_motif_is_hash_joins_no_cartesian(spark):
+    from eth2dgraph_spark.plans.views import motif
+
+    s = read_table(spark, SF, "supplier")
+    n = read_table(spark, SF, "nation")
+    edges = s.select(
+        F.col("s_suppkey").cast("string").alias("src"),
+        F.col("s_nationkey").cast("string").alias("dst"),
+        F.lit("in_nation").alias("type"),
+    ).unionByName(
+        n.select(
+            F.col("n_nationkey").cast("string").alias("src"),
+            F.col("n_regionkey").cast("string").alias("dst"),
+            F.lit("in_region").alias("type"),
+        )
+    )
+    p = plan_of(motif(edges, "(a)-[in_nation]->(b); (b)-[in_region]->(c)", use_graphframes=False))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
