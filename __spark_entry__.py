@@ -1248,6 +1248,22 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_corpus_pipeline(spark, sf):  # the composed training-data curation DAG:
+    # exact-dedup -> quality floor -> lang ID -> token counts -> hash split,
+    # reported per (lang, split). One dedup shuffle (16-byte digests), then
+    # pure column math — the end-to-end shape of a pretraining-data job.
+    from eth2dgraph_spark.pipeline.corpus import corpus_report, curate_corpus
+
+    d = _t(spark, sf, "documents")
+    return corpus_report(curate_corpus(d)).select(
+        "lang_pred",
+        "split",
+        "n_docs",
+        F.col("total_tokens_ws").cast("long").alias("total_tokens_ws"),
+        F.col("total_tokens_bpe").cast("long").alias("total_tokens_bpe"),
+    )
+
+
 def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
     # gated against the exact baseline (the approx_sketches pattern: sketch
     # internals differ across engines, so the deterministic output is the
@@ -1372,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "windowed_stream": q_windowed_stream,
         "motif_paths": q_motif_paths,
+        "corpus_pipeline": q_corpus_pipeline,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2130,6 +2147,52 @@ def oracle_sql() -> dict[str, str]:
         "motif_paths": """
             SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        "corpus_pipeline": f"""
+            WITH kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN (SELECT md5({_NORM}) AS fp, min(doc_id) AS mdoc
+                    FROM documents GROUP BY 1) w ON w.mdoc = d.doc_id
+            ),
+            feat AS (
+              SELECT doc_id, text,
+                len(string_split_regex(trim(text),'\\s+')) AS n_words,
+                (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
+                len(list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> list_contains({_STOPS_ALL}, x)))*1.0
+                  / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS stop_ratio,
+                (length(text) - len(string_split_regex(trim(text),'\\s+')) + 1)*1.0
+                  / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS mwl
+              FROM kept
+            ),
+            filt AS (
+              SELECT doc_id, text, n_words, ceil(length(text)/4.0)::BIGINT AS n_tokens_bpe
+              FROM feat
+              WHERE (CASE WHEN n_words < 5 THEN 0.0 WHEN punct_ratio > 0.3 THEN 0.2
+                          ELSE least(1.0, 0.5 + stop_ratio
+                               + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.2 ELSE 0.0 END) END) >= 0.5
+            ),
+            lang AS (
+              SELECT doc_id, n_words, n_tokens_bpe,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['en']})) AS h_en,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['de']})) AS h_de,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['fr']})) AS h_fr,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['es']})) AS h_es
+              FROM filt
+            ),
+            tagged AS (
+              SELECT doc_id, n_words, n_tokens_bpe,
+                CASE WHEN h_fr > greatest(h_es, greatest(h_en, greatest(h_de, 0))) THEN 'fr'
+                     ELSE CASE WHEN h_es > greatest(h_en, greatest(h_de, 0)) THEN 'es'
+                          ELSE CASE WHEN h_en > greatest(h_de, 0) THEN 'en'
+                               ELSE CASE WHEN h_de > 0 THEN 'de' ELSE 'und' END END END END AS lang_pred,
+                CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 < 9000 THEN 'train'
+                     WHEN ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 < 9500 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM lang
+            )
+            SELECT lang_pred, split, count(*)::BIGINT AS n_docs,
+                   sum(n_words)::BIGINT AS total_tokens_ws,
+                   sum(n_tokens_bpe)::BIGINT AS total_tokens_bpe
+            FROM tagged GROUP BY 1, 2""",
         "cms_topk": f"""
             SELECT token, freq, TRUE AS cand_ok, TRUE AS est_ok
             FROM (SELECT token, count(*)::BIGINT AS freq

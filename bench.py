@@ -53,6 +53,7 @@ HEADLINE = [
     "token_count",
     "fingerprint",
     "cms_topk",
+    "corpus_pipeline",
     "dedup_clusters",
     "pagerank_ranks",
     "order_priority",

@@ -1,0 +1,54 @@
+"""End-to-end corpus curation: the composed training-data pipeline run.
+
+The individual operators (dedup, quality, lang ID, token counting, split)
+are each gated on their own; this module chains them the way a real
+pretraining-data job does — one declarative DAG, so Catalyst fuses the
+column stages and the only shuffles are the ones the semantics require
+(the dedup groupBy; everything downstream of it is narrow).
+
+Stage order is deliberate: dedup FIRST (cheapest way to shrink the corpus
+before any scoring work), then the pure-column filters (quality, lang),
+then bookkeeping (token counts, split assignment). At 100 TB the dedup
+shuffle moves 16-byte digests, not text; every later stage is
+shuffle-free column math on the surviving rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact
+from .split import hash_split
+from .text import lang_id, quality_score, token_count
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-document curated frame: exact-dedup representatives that pass the
+    quality floor, annotated with (lang_pred, n_tokens_ws, n_tokens_bpe_est,
+    quality_score, split). Deterministic end to end — every stage is either
+    exact or hash-based, so the same corpus always curates identically."""
+    kept = dedup_exact(df, id_col, text_col)
+    scored = quality_score(kept, text_col).filter(F.col("quality_score") >= min_quality)
+    tagged = lang_id(scored, text_col)
+    counted = token_count(tagged, text_col)
+    assigned = hash_split(counted, id_col, fractions)
+    return assigned.select(
+        id_col, "lang_pred", "n_tokens_ws", "n_tokens_bpe_est", "quality_score", "split"
+    )
+
+
+def corpus_report(curated: DataFrame) -> DataFrame:
+    """Curation summary per (lang, split): document and token counts — the
+    run report a data job publishes (and the oracle-gated aggregate)."""
+    return curated.groupBy("lang_pred", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_ws").alias("total_tokens_ws"),
+        F.sum("n_tokens_bpe_est").alias("total_tokens_bpe"),
+    )

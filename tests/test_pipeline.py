@@ -386,3 +386,27 @@ def test_resize_real_roundtrip(spark):
     out = multimodal.resize_images(assets, 4, 4).collect()
     resized = Image.open(io.BytesIO(bytes(out[0]["payload"])))
     assert resized.size == (4, 4)
+
+
+def test_curate_corpus_end_to_end(spark):
+    from eth2dgraph_spark.pipeline.corpus import corpus_report, curate_corpus
+
+    rows = [
+        (1, "the cat and the dog of a house sat on the mat", "en"),
+        (2, "the cat and the dog of a house sat on the mat", "en"),  # exact dup of 1
+        (3, "The cat and the dog of a house sat on the mat  ", "en"),  # dup after norm
+        (4, "tiny", "und"),  # < 5 words -> quality 0.0, dropped
+        (5, "der hund und die katze ist da heute wieder einmal", "de"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cur = curate_corpus(d)
+    got = {r["doc_id"]: r for r in cur.collect()}
+    assert set(got) == {1, 5}  # min-id dedup winner kept; low-quality dropped
+    assert got[1]["lang_pred"] == "en" and got[5]["lang_pred"] == "de"
+    assert got[1]["n_tokens_ws"] == 12
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
+    # deterministic: same input -> identical curated frame
+    again = {r["doc_id"]: r for r in curate_corpus(d).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+    rep = corpus_report(cur).collect()
+    assert sum(r["n_docs"] for r in rep) == 2
