@@ -182,6 +182,56 @@ def countmin_estimate(
     return candidates.withColumn("cms_est", est(F.col(token_col)))
 
 
+class StreamingCountMin:
+    """Streaming accumulator over the SAME partials kernel — the mergeability
+    property that makes the sketch a streaming-native heavy-hitters design:
+    each micro-batch contributes per-partition partial rows (bounded:
+    partitions x (depth*width + cap)); merging is element-wise addition for
+    the sketch and capped Misra-Gries summation for candidates, both
+    order-insensitive. Point this at foreachBatch and the final `topk()`
+    equals the batch `countmin_topk` over the full data, because the merged
+    CMS cells are exact sums no matter how the rows were micro-batched.
+
+    State lives on the driver and is O(depth*width + cap) — it never grows
+    with the stream."""
+
+    def __init__(
+        self,
+        token_col: str = "token",
+        depth: int = DEFAULT_DEPTH,
+        width: int = DEFAULT_WIDTH,
+        cap: int = DEFAULT_CAP,
+    ) -> None:
+        self.token_col = token_col
+        self.depth, self.width, self.cap = depth, width, cap
+        self.sketch = np.zeros((depth, width), dtype=np.int64)
+        self.mg: dict[str, int] = {}
+
+    def absorb_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: run the partials kernel on the micro-batch and
+        fold the (bounded) partial rows into the accumulated state."""
+        rows = countmin_partials(
+            batch_df, self.token_col, self.depth, self.width, self.cap
+        ).collect()
+        for r in rows:
+            self.sketch += np.asarray(r["sketch"], dtype=np.int64).reshape(
+                self.depth, self.width
+            )
+            vc = pd.Series(
+                dict(zip(r["cand_token"], (int(c) for c in r["cand_count"])))
+            )
+            if not vc.empty:
+                _mg_update(self.mg, vc, self.cap)
+
+    def estimate(self, token: str) -> int:
+        idx = _token_hashes([token], self.depth, self.width)
+        return int(min(self.sketch[i, idx[0, i]] for i in range(self.depth)))
+
+    def topk(self, k: int = 20) -> list[tuple[str, int]]:
+        ests = [(t, self.estimate(t)) for t in self.mg]
+        return sorted(ests, key=lambda te: (-te[1], te[0]))[:k]
+
+
 def countmin_topk(
     tokens: DataFrame,
     token_col: str = "token",

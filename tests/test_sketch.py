@@ -55,3 +55,38 @@ def test_mg_batched_compaction_keeps_heavy_keys():
         sketch._mg_update(mg, pd.Series(tail), cap=10)
     assert "HEAVY" in mg
     assert mg["HEAVY"] >= 500 - 200  # undercount bounded by total tail mass
+
+
+def test_streaming_accumulator_equals_batch(spark, tmp_path):
+    # mergeability across micro-batches: a file stream consumed one file per
+    # trigger through StreamingCountMin must land on the same top-k, with
+    # the same estimates, as the one-shot batch sketch — CMS cell merges are
+    # exact sums regardless of how rows were batched
+    counts = {f"tok{i}": 3 * (30 - i) for i in range(30)}
+    df = _tokens(spark, counts, 4)
+    src = str(tmp_path / "tok_stream")
+    # two separate files -> two micro-batches with maxFilesPerTrigger=1
+    df.limit(0).write.parquet(src)  # init dir with schema
+    half = df.randomSplit([0.5, 0.5], seed=7)
+    for part in half:
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    acc = sketch.StreamingCountMin("token")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, bid: acc.absorb_batch(b, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    batch_top = [(r["token"], r["cms_est"]) for r in
+                 sketch.countmin_topk(spark.read.parquet(src), "token", k=10).collect()]
+    assert acc.topk(10) == batch_top
+    # state bound: candidates never exceed cap
+    assert len(acc.mg) <= sketch.DEFAULT_CAP
