@@ -1248,6 +1248,44 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_pii_redact(spark, sf):  # PII scrubbing pass: deterministic synthetic
+    # PII is injected in-query (the corpus text has none), then redaction
+    # counts + redacted length gate the regexp semantics against DuckDB.
+    # Only the regex classes whose Java-regex/RE2 behavior is identical
+    # (email, ipv4) are gated; phone/card are unit-tested.
+    d = _t(spark, sf, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 today"),
+    )
+    aug = d.withColumn("text", F.when(F.col("doc_id") % 5 == 0, inject).otherwise(F.col("text")))
+    pats = {k: v for k, v in text.PII_PATTERNS.items() if k in ("email", "ipv4")}
+    r = text.redact_pii(aug, patterns=pats)
+    return r.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_pii_total",
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+    )
+
+
+def q_decontam(spark, sf):  # benchmark decontamination: corpus docs sharing
+    # >= 2 distinct 3-shingles with an eval set (here: the 3 lowest doc_ids),
+    # benchmark side broadcast — no corpus-wide shuffle before the filter
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 3)
+    pairs = dedup.contamination_pairs(d, bench, k=3, min_overlap=2)
+    return (
+        pairs.filter(F.col("id") != F.col("bench_id"))
+        .select(F.col("id").alias("doc_id"), "bench_id", "n_shared_shingles")
+    )
+
+
 def q_corpus_pipeline(spark, sf):  # the composed training-data curation DAG:
     # exact-dedup -> quality floor -> lang ID -> token counts -> hash split,
     # reported per (lang, split). One dedup shuffle (16-byte digests), then
@@ -1389,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "motif_paths": q_motif_paths,
         "corpus_pipeline": q_corpus_pipeline,
+        "pii_redact": q_pii_redact,
+        "decontam": q_decontam,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2147,6 +2187,33 @@ def oracle_sql() -> dict[str, str]:
         "motif_paths": """
             SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' reach user' || doc_id || '@example.com or 10.0.' || (doc_id % 200) || '.7 today'
+                          ELSE text END AS text
+              FROM documents),
+            r1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM aug),
+            r2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+                     regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t2
+              FROM r1)
+            SELECT doc_id, n_email, n_ipv4, (n_email + n_ipv4)::BIGINT AS n_pii_total,
+                   length(t2)::BIGINT AS redacted_len
+            FROM r2""",
+        "decontam": f"""
+            WITH {_SHINGLES_CTE},
+            b AS (SELECT id AS bench_id, shingle FROM sh WHERE id < 3)
+            SELECT a.id AS doc_id, b.bench_id, count(DISTINCT a.shingle)::BIGINT AS n_shared_shingles
+            FROM sh a JOIN b ON a.shingle = b.shingle
+            WHERE a.id != b.bench_id
+            GROUP BY 1, 2 HAVING count(DISTINCT a.shingle) >= 2""",
         "corpus_pipeline": f"""
             WITH kept AS (
               SELECT d.doc_id, d.text FROM documents d

@@ -189,6 +189,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, benchmark doc) pairs sharing
+    >= min_overlap distinct k-shingles — the standard pretraining-data check
+    that eval-set text did not leak into the corpus.
+
+    Scale shape: eval sets are small by construction, so the benchmark
+    shingle set is BROADCAST; the corpus side is one narrow explode joined
+    against it — no corpus-wide shuffle happens at all. Only the surviving
+    rows (corpus shingles that touch a benchmark shingle — a tiny fraction)
+    reach the per-pair count_distinct shuffle."""
+    corpus = _exploded_shingles(df, id_col, text_col, k).select(
+        "id", _shingle_hash64(F.col("shingle")).alias("h")
+    )
+    bench = (
+        _exploded_shingles(benchmark, bench_id_col, bench_text_col, k)
+        .select(F.col("id").alias("bench_id"), _shingle_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("id", "bench_id")
+        .agg(F.count_distinct("h").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )
+
+
 def _shingle_hash64(col):
     """Deterministic 64-bit-ish hash of a shingle: first 15 hex chars of md5
     (60 bits, keeps conv() exact — conv is unsigned-64 so 16 chars could

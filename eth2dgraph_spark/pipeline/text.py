@@ -94,6 +94,47 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"_hits_{lang}" for lang in langs])
 
 
+# PII patterns: deliberately conservative, anchored shapes (emails, E.164-ish
+# phone numbers, 16-digit card-like runs, IPv4). Pure regexp_replace column
+# expressions — JVM-side, codegen-friendly, zero Python in the hot path.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}",
+    "card": r"\b(?:\d[ -]?){15}\d\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing (the redaction pass of a training-data pipeline):
+    replace each pattern class with a typed placeholder token and count the
+    redactions per class, so downstream filters can drop PII-dense documents
+    and audits can report exactly what was removed. Patterns apply in dict
+    order; counts are computed BEFORE that class's replacement (on the text
+    as already redacted by earlier classes, so overlapping classes don't
+    double-count)."""
+    patterns = patterns or PII_PATTERNS
+    out = df
+    acc = F.col(text_col)
+    total = F.lit(0).cast("long")
+    for name, pat in patterns.items():
+        # split on the pattern yields matches+1 parts; null text counts 0
+        n_matches = (
+            F.when(acc.isNull(), F.lit(0))
+            .otherwise(F.size(F.split(acc, pat)) - F.lit(1))
+            .cast("long")
+        )
+        out = out.withColumn(f"n_{name}", n_matches)
+        total = total + F.col(f"n_{name}")
+        acc = F.regexp_replace(acc, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, acc).withColumn("n_pii_total", total)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (content-defined identity for exact dedup), plus a 64-bit rolling

@@ -410,3 +410,48 @@ def test_curate_corpus_end_to_end(spark):
     assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
     rep = corpus_report(cur).collect()
     assert sum(r["n_docs"] for r in rep) == 2
+
+
+def test_redact_pii_classes_and_null(spark):
+    rows = [
+        (1, "mail a.b-c@x-corp.io and +1 (555) 123-4567 now"),
+        (2, "card 4111 1111 1111 1111 from 192.168.0.1"),
+        (3, None),
+        (4, "clean text with no pii at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(d).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"] and "<PHONE>" in got[1]["text_redacted"]
+    assert "a.b-c@x-corp.io" not in got[1]["text_redacted"]
+    assert got[2]["n_card"] == 1 and got[2]["n_ipv4"] == 1
+    assert "<CARD>" in got[2]["text_redacted"] and "<IPV4>" in got[2]["text_redacted"]
+    assert got[3]["n_pii_total"] == 0 and got[3]["text_redacted"] is None
+    assert got[4]["n_pii_total"] == 0
+    assert got[4]["text_redacted"] == "clean text with no pii at all"
+
+
+def test_contamination_pairs_broadcast_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # contains bench 1
+            (11, "the quick brown cat sleeps"),  # 1 shared shingle only
+            (12, "completely unrelated words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    pairs = dedup.contamination_pairs(corpus, bench, k=3, min_overlap=2)
+    got = {(r["id"], r["bench_id"]): r["n_shared_shingles"] for r in pairs.collect()}
+    assert set(got) == {(10, 1)}
+    assert got[(10, 1)] == 3  # 'quick brown fox','brown fox jumps','fox jumps over'
+    # scale shape: the benchmark side must be broadcast
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
