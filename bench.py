@@ -74,9 +74,27 @@ def main() -> None:
     qs = E.queries()
     qs.update(E.bench_only_queries())
 
-    # warmup: spin up executors + codegen on a tiny query
+    # warmup: spin up executors + codegen on a tiny query, and pay the
+    # Python-worker startup (worker fork + numpy/pandas imports on all
+    # cores) with a tiny Arrow UDF so the pandas_udf queries aren't the
+    # first to hit it (~5 s of non-steady-state otherwise)
     try:
         qs["last_block"](spark, SF_DIR).collect()
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _warm(v: "pd.Series") -> "pd.Series":
+            import numpy as np
+
+            return v + np.float64(0)
+
+        spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(_warm(F.col("id").cast("double"))).write.format("noop").mode(
+            "overwrite"
+        ).save()
     except Exception as e:  # noqa: BLE001 — warmup failure shouldn't kill the run
         print(f"warmup failed: {e}", file=sys.stderr)
 
