@@ -1248,6 +1248,17 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_seq_pack(spark, sf):  # sequence packing: shard-parallel concat-then-
+    # chunk assignment of docs to fixed-token-budget training sequences
+    from eth2dgraph_spark.pipeline.pack import greedy_pack
+    from eth2dgraph_spark.pipeline.text import token_count
+
+    d = token_count(_t(spark, sf, "documents"))
+    return greedy_pack(d, budget=512, num_shards=4).select(
+        "doc_id", "shard", "pack_id", "pack_offset", "n_tokens"
+    )
+
+
 def q_pii_redact(spark, sf):  # PII scrubbing pass: deterministic synthetic
     # PII is injected in-query (the corpus text has none), then redaction
     # counts + redacted length gate the regexp semantics against DuckDB.
@@ -1429,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "pii_redact": q_pii_redact,
         "decontam": q_decontam,
+        "seq_pack": q_seq_pack,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2187,6 +2199,22 @@ def oracle_sql() -> dict[str, str]:
         "motif_paths": """
             SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        "seq_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text),'\s+'))::BIGINT AS n_tokens,
+                     ('0x'||substr(md5(doc_id::VARCHAR||':pack-v1'),1,8))::BIGINT AS h
+              FROM documents),
+            s AS (SELECT doc_id, n_tokens, h, h % 4 AS shard FROM t),
+            c AS (SELECT doc_id, shard, n_tokens,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+                  FROM s)
+            SELECT doc_id, shard,
+                   (shard * 1000000000 + (cum_excl // 512))::BIGINT AS pack_id,
+                   (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset,
+                   n_tokens
+            FROM c""",
         "pii_redact": r"""
             WITH aug AS (
               SELECT doc_id,

@@ -1,0 +1,76 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences — the concat-then-chunk step a pretraining data loader runs
+after curation (docs are concatenated in a deterministic order and the
+token stream is cut every `budget` tokens; a document belongs to the chunk
+its first token lands in, so chunks can overflow by at most one document).
+
+Scale shape: a single global ordering would funnel the whole corpus
+through one reducer (a global window has one partition). Instead the
+corpus is hash-sharded first — real loaders shard-then-pack for exactly
+this reason — and each shard packs independently under a per-shard window
+(partitionBy shard => as many parallel sorts as shards). Order within a
+shard is md5-derived (engine-portable, append-stable), the same
+determinism design as pipeline/split.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = "pack-v1"
+_PACKS_PER_SHARD = 1_000_000_000  # pack_id = shard * this + local pack index
+
+
+def _order_hash(id_col: str, salt: str):
+    # first 8 hex chars of md5 -> 32-bit int; portable to the DuckDB oracle
+    return F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens_ws",
+    budget: int = 2048,
+    num_shards: int = 16,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """(id, shard, pack_id, pack_offset, n_tokens) — pack_offset is the
+    document's first-token position within its pack. Deterministic in
+    (id, salt, budget, num_shards); independent of input partitioning."""
+    h = _order_hash(id_col, salt)
+    sharded = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(num_shards)).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_pack = F.floor(cum_excl / F.lit(budget))
+    return sharded.select(
+        id_col,
+        "shard",
+        (F.col("shard") * F.lit(_PACKS_PER_SHARD) + local_pack).alias("pack_id"),
+        (cum_excl - local_pack * F.lit(budget)).alias("pack_offset"),
+        "n_tokens",
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-pack fill report: docs, tokens, fill ratio vs budget (>1 means
+    the boundary-straddling overflow doc) — the packing-efficiency metric a
+    data job publishes."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )

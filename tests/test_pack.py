@@ -1,0 +1,51 @@
+"""Sequence packing (pipeline/pack.py): deterministic shard-parallel
+concat-then-chunk; offsets bounded by budget; overflow only from the
+boundary-straddling document."""
+
+from __future__ import annotations
+
+from eth2dgraph_spark.pipeline.pack import greedy_pack, pack_stats
+
+
+def _docs(spark, n=60, partitions=3):
+    rows = [(i, "w " * ((i % 9) + 1)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(partitions)
+    from eth2dgraph_spark.pipeline.text import token_count
+
+    return token_count(df)
+
+
+def test_pack_deterministic_and_partition_invariant(spark):
+    a = greedy_pack(_docs(spark, partitions=2), budget=16, num_shards=3).collect()
+    b = greedy_pack(_docs(spark, partitions=7), budget=16, num_shards=3).collect()
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_pack_offsets_and_chunk_semantics(spark):
+    budget = 16
+    packed = greedy_pack(_docs(spark), budget=budget, num_shards=3)
+    rows = packed.collect()
+    # first-token offset always inside the chunk
+    assert all(0 <= r["pack_offset"] < budget for r in rows)
+    # within a pack, docs tile contiguously: offsets + lengths chain,
+    # except the last doc may straddle into the next chunk
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, docs in by_pack.items():
+        docs.sort(key=lambda r: r["pack_offset"])
+        for prev, nxt in zip(docs, docs[1:]):
+            assert prev["pack_offset"] + prev["n_tokens"] == nxt["pack_offset"]
+    # every pack except possibly the last one per shard is filled to at
+    # least the budget (counting the straddling doc's spill)
+    stats = {r["pack_id"]: r for r in pack_stats(packed, budget).collect()}
+    last_per_shard = {}
+    for pid in stats:
+        shard = pid // 1_000_000_000
+        last_per_shard[shard] = max(last_per_shard.get(shard, -1), pid)
+    for pid, s in stats.items():
+        docs = by_pack[pid]
+        end = max(r["pack_offset"] + r["n_tokens"] for r in docs)
+        if pid != last_per_shard[pid // 1_000_000_000]:
+            assert end >= budget  # chunk full (straddler included)
