@@ -1248,6 +1248,13 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_rep_stats(spark, sf):  # Gopher-style repetition filters: duplicate-word
+    # ratio and top-word coverage — boilerplate/spam signals
+    return text.repetition_stats(_t(spark, sf, "documents")).select(
+        "doc_id", "dup_word_ratio", "top_word_ratio"
+    )
+
+
 def q_seq_pack(spark, sf):  # sequence packing: shard-parallel concat-then-
     # chunk assignment of docs to fixed-token-budget training sequences
     from eth2dgraph_spark.pipeline.pack import greedy_pack
@@ -1441,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontam": q_decontam,
         "seq_pack": q_seq_pack,
+        "rep_stats": q_rep_stats,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -2199,6 +2207,14 @@ def oracle_sql() -> dict[str, str]:
         "motif_paths": """
             SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        "rep_stats": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS ws FROM documents)
+            SELECT doc_id,
+                   round((len(ws) - len(list_distinct(ws)))*1.0/greatest(len(ws),1), 6) AS dup_word_ratio,
+                   round(coalesce(list_max(list_transform(list_distinct(ws),
+                                  x -> len(list_filter(ws, y -> y = x)))), 0)*1.0
+                         / greatest(len(ws),1), 6) AS top_word_ratio
+            FROM w""",
         "seq_pack": r"""
             WITH t AS (
               SELECT doc_id,

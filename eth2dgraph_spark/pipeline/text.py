@@ -94,6 +94,35 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"_hits_{lang}" for lang in langs])
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: the word-level duplication ratio
+    (1 - distinct/total) and the coverage of the single most frequent word
+    — high values mark boilerplate/spam documents that survive the basic
+    quality score. Pure column math (aggregate over the token array), no
+    explode and no shuffle."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_word_ratio",
+            F.round((n - n_distinct) / F.greatest(n, F.lit(1)), 6),
+        )
+        .withColumn(
+            "top_word_ratio",
+            F.round(
+                F.coalesce(top_freq, F.lit(0)) / F.greatest(n, F.lit(1)), 6
+            ),
+        )
+    )
+
+
 # PII patterns: deliberately conservative, anchored shapes (emails, E.164-ish
 # phone numbers, 16-digit card-like runs, IPv4). Pure regexp_replace column
 # expressions — JVM-side, codegen-friendly, zero Python in the hot path.

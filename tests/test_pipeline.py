@@ -455,3 +455,16 @@ def test_contamination_pairs_broadcast_semantics(spark):
     with contextlib.redirect_stdout(buf):
         pairs.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam spam spam spam"),  # all one word
+        (2, "all words here are distinct"),
+        (3, "the cat and the dog"),  # 'the' twice
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(d).collect()}
+    assert got[1]["dup_word_ratio"] == 0.75 and got[1]["top_word_ratio"] == 1.0
+    assert got[2]["dup_word_ratio"] == 0.0 and got[2]["top_word_ratio"] == 0.2
+    assert got[3]["dup_word_ratio"] == 0.2 and got[3]["top_word_ratio"] == 0.4
