@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .dedup import dedup_exact
 from .split import hash_split
-from .text import lang_id, quality_score, token_count
+from .text import lang_id, quality_score, repetition_stats, token_count
 
 
 def curate_corpus(
@@ -29,13 +29,23 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.5,
     fractions: dict[str, float] | None = None,
+    max_dup_word_ratio: float | None = None,
+    max_top_word_ratio: float | None = None,
 ) -> DataFrame:
     """Per-document curated frame: exact-dedup representatives that pass the
-    quality floor, annotated with (lang_pred, n_tokens_ws, n_tokens_bpe_est,
-    quality_score, split). Deterministic end to end — every stage is either
-    exact or hash-based, so the same corpus always curates identically."""
+    quality floor (and, when the thresholds are set, the Gopher-style
+    repetition filters), annotated with (lang_pred, n_tokens_ws,
+    n_tokens_bpe_est, quality_score, split). Deterministic end to end —
+    every stage is either exact or hash-based, so the same corpus always
+    curates identically."""
     kept = dedup_exact(df, id_col, text_col)
     scored = quality_score(kept, text_col).filter(F.col("quality_score") >= min_quality)
+    if max_dup_word_ratio is not None or max_top_word_ratio is not None:
+        scored = repetition_stats(scored, text_col)
+        if max_dup_word_ratio is not None:
+            scored = scored.filter(F.col("dup_word_ratio") <= max_dup_word_ratio)
+        if max_top_word_ratio is not None:
+            scored = scored.filter(F.col("top_word_ratio") <= max_top_word_ratio)
     tagged = lang_id(scored, text_col)
     counted = token_count(tagged, text_col)
     assigned = hash_split(counted, id_col, fractions)

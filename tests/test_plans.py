@@ -226,3 +226,30 @@ def test_motif_is_hash_joins_no_cartesian(spark):
     p = plan_of(motif(edges, "(a)-[in_nation]->(b); (b)-[in_region]->(c)", use_graphframes=False))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_no_antipatterns_in_any_gate_plan(spark):
+    """Global guard: no gate query's physical plan may contain an unpruned
+    cartesian product or a row-at-a-time Python UDF (BatchEvalPython).
+    ArrowEvalPython / MapInPandas (vectorized) are allowed; so are the
+    intentional broadcast-1-row cross joins (BroadcastNestedLoopJoin over a
+    single-row aggregate is a scalar attach, not a blowup)."""
+    import __spark_entry__ as E
+
+    # stream/eager gates execute work at plan-build time; they have their
+    # own tests and gates — keep this sweep cheap and lazy-only
+    skip = {"windowed_stream", "cms_topk"}
+    failures = []
+    for name, fn in E.queries().items():
+        if name in skip:
+            continue
+        try:
+            p = plan_of(fn(spark, SF))
+        except Exception as e:  # noqa: BLE001 — a gate that can't plan is its own failure
+            failures.append((name, f"plan error: {e}"))
+            continue
+        if "CartesianProduct" in p:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            failures.append((name, "row-at-a-time Python UDF"))
+    assert not failures, failures
