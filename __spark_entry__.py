@@ -1449,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "seq_pack": q_seq_pack,
         "rep_stats": q_rep_stats,
+        "khop_reach": q_khop_reach,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -1536,7 +1537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "embedding_topk": q_embedding_topk,
         "cosine_one_vs_all": q_cosine_one_vs_all,
-        "khop_reach": q_khop_reach,
         "interface_jaccard": q_interface_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
