@@ -1248,6 +1248,16 @@ def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     )
 
 
+def q_source_mix(spark, sf):  # domain mixing: per-source deterministic
+    # downsampling with nested thresholds (re-weighting one domain never
+    # churns the others' rows)
+    from eth2dgraph_spark.pipeline.split import sample_by_source
+
+    d = _t(spark, sf, "documents")
+    mixed = sample_by_source(d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25}, default_rate=0.1)
+    return mixed.select("doc_id", "lang")
+
+
 def q_rep_stats(spark, sf):  # Gopher-style repetition filters: duplicate-word
     # ratio and top-word coverage — boilerplate/spam signals
     return text.repetition_stats(_t(spark, sf, "documents")).select(
@@ -1449,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "seq_pack": q_seq_pack,
         "rep_stats": q_rep_stats,
+        "source_mix": q_source_mix,
         "khop_reach": q_khop_reach,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2207,6 +2218,13 @@ def oracle_sql() -> dict[str, str]:
         "motif_paths": """
             SELECT 's' || s_suppkey AS a, 'n' || s_nationkey AS b, 'r' || n_regionkey AS c
             FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        "source_mix": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x'||substr(md5(doc_id::VARCHAR||':mix-v1'),1,8))::BIGINT % 10000 AS b
+              FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                                WHEN 'fr' THEN 2500 ELSE 1000 END""",
         "rep_stats": r"""
             WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS ws FROM documents)
             SELECT doc_id,

@@ -63,6 +63,30 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def sample_by_source(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain mixing: deterministic per-source downsampling — keep a row iff
+    its md5 bucket falls under its source's rate. Unlike df.sampleBy,
+    membership is a pure function of (id, salt): append-stable,
+    partitioning-independent, engine-portable, and a source's kept set at
+    rate r is a SUBSET of its kept set at any r' > r (nested thresholds),
+    so re-weighting a domain never churns the rows of the others."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    bucket = _hash_bucket(id_col, salt)
+    thresh = F.lit(int(round(default_rate * _BUCKETS)))
+    for name, r in rates.items():
+        thresh = F.when(F.col(source_col) == name, int(round(r * _BUCKETS))).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def sample_fraction(
     df: DataFrame,
     fraction: float,

@@ -74,3 +74,25 @@ def test_split_rejects_bad_fractions(spark):
 
     with pytest.raises(ValueError):
         hash_split(d, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_sample_by_source_nested_and_deterministic(spark):
+    from eth2dgraph_spark.pipeline.split import sample_by_source
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    half = {r["doc_id"] for r in sample_by_source(d, "lang", {"de": 0.5}).collect()}
+    quarter = {r["doc_id"] for r in sample_by_source(d, "lang", {"de": 0.25}).collect()}
+    # en untouched at default 1.0; de downsampled
+    assert {i for i in range(400) if i % 2 == 0} <= half
+    n_de_half = sum(1 for i in half if i % 2 == 1)
+    assert 60 <= n_de_half <= 140  # ~100 of 200 at rate 0.5
+    # nested thresholds: the 0.25 kept set is a subset of the 0.5 kept set
+    assert quarter <= half
+    # deterministic across runs
+    again = {r["doc_id"] for r in sample_by_source(d, "lang", {"de": 0.5}).collect()}
+    assert again == half
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_by_source(d, "lang", {"de": 1.5})
