@@ -1276,6 +1276,23 @@ def q_seq_pack(spark, sf):  # sequence packing: shard-parallel concat-then-
     )
 
 
+def q_pack_texts(spark, sf):  # training-sequence materialization: per-pack
+    # ordered concat of member docs; gated on md5 of the final text so the
+    # exact byte-for-byte sequences are compared, not just counts
+    from eth2dgraph_spark.pipeline.pack import greedy_pack, materialize_packs
+    from eth2dgraph_spark.pipeline.text import token_count
+
+    d = _t(spark, sf, "documents")
+    packed = greedy_pack(token_count(d), budget=512, num_shards=4)
+    seqs = materialize_packs(d, packed)
+    return seqs.select(
+        "pack_id",
+        "n_docs",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
 def q_pii_redact(spark, sf):  # PII scrubbing pass: deterministic synthetic
     # PII is injected in-query (the corpus text has none), then redaction
     # counts + redacted length gate the regexp semantics against DuckDB.
@@ -1460,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "rep_stats": q_rep_stats,
         "source_mix": q_source_mix,
+        "pack_texts": q_pack_texts,
         "khop_reach": q_khop_reach,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2249,6 +2267,25 @@ def oracle_sql() -> dict[str, str]:
                    (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset,
                    n_tokens
             FROM c""",
+        "pack_texts": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(string_split_regex(trim(text),'\s+'))::BIGINT AS n_tokens,
+                     ('0x'||substr(md5(doc_id::VARCHAR||':pack-v1'),1,8))::BIGINT AS h
+              FROM documents),
+            s AS (SELECT doc_id, text, n_tokens, h, h % 4 AS shard FROM t),
+            c AS (SELECT doc_id, text, shard, n_tokens,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+                  FROM s),
+            p AS (SELECT doc_id, text,
+                         (shard * 1000000000 + (cum_excl // 512))::BIGINT AS pack_id,
+                         (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset
+                  FROM c)
+            SELECT pack_id, count(*)::BIGINT AS n_docs,
+                   md5(string_agg(text, ' ' ORDER BY pack_offset)) AS text_md5,
+                   length(string_agg(text, ' ' ORDER BY pack_offset))::BIGINT AS text_len
+            FROM p GROUP BY pack_id""",
         "pii_redact": r"""
             WITH aug AS (
               SELECT doc_id,

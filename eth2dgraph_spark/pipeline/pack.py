@@ -65,6 +65,35 @@ def greedy_pack(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """(pack_id, n_docs, text): concatenate each pack's member documents in
+    offset order — the actual training-sequence materialization. One join
+    (pack assignment back to text) and one groupBy(pack_id) shuffle; the
+    within-pack order comes from array_sort over (offset, text) structs, so
+    the output is deterministic without a sort-within-partitions pass.
+    Offsets are unique within a pack (documents tile contiguously), so the
+    struct sort is a total order."""
+    j = packed.select(id_col, "pack_id", "pack_offset").join(
+        df.select(id_col, text_col), id_col
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pack_offset").alias("o"), F.col(text_col).alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return j.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(ordered, sep).alias("text"),
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
     """Per-pack fill report: docs, tokens, fill ratio vs budget (>1 means
     the boundary-straddling overflow doc) — the packing-efficiency metric a

@@ -49,3 +49,20 @@ def test_pack_offsets_and_chunk_semantics(spark):
         end = max(r["pack_offset"] + r["n_tokens"] for r in docs)
         if pid != last_per_shard[pid // 1_000_000_000]:
             assert end >= budget  # chunk full (straddler included)
+
+
+def test_materialize_packs_ordered_concat(spark):
+    from eth2dgraph_spark.pipeline.pack import materialize_packs
+
+    docs = _docs(spark, n=30)
+    packed = greedy_pack(docs, budget=16, num_shards=2)
+    seqs = {r["pack_id"]: r for r in materialize_packs(docs, packed).collect()}
+    # reconstruct expected order from pack assignments
+    by_pack: dict = {}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in packed.collect():
+        by_pack.setdefault(r["pack_id"], []).append((r["pack_offset"], r["doc_id"]))
+    for pid, members in by_pack.items():
+        want = " ".join(texts[d] for _, d in sorted(members))
+        assert seqs[pid]["text"] == want
+        assert seqs[pid]["n_docs"] == len(members)
