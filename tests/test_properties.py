@@ -115,3 +115,49 @@ def test_misra_gries_undercount_bound(tokens):
     for t, c in true.items():
         est = mg.get(t, 0)
         assert c - est <= total / cap + 1e-9  # undercount bounded
+
+
+@settings(max_examples=200, deadline=None)
+@given(bytecode)
+def test_decode_metadata_never_crashes(raw):
+    # at corpus scale malformed CBOR tails are data: the decoder must
+    # return a dict (possibly with an 'error' marker), never raise
+    from eth2dgraph_spark.functions.metadata import decode_metadata
+
+    out = decode_metadata(raw)
+    assert isinstance(out, dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(bytecode)
+def test_split_and_decode_hex_never_crashes(raw):
+    from eth2dgraph_spark.functions.metadata import split_and_decode_hex
+
+    out = split_and_decode_hex("0x" + raw.hex())
+    assert isinstance(out, dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_abi_json_raises_cleanly_or_parses(s):
+    # any non-ABI input must surface as ValueError/json error, never a
+    # different crash class (TypeError/KeyError/AttributeError)
+    import json
+
+    from eth2dgraph_spark.functions.decompile import parse_abi_json
+
+    try:
+        out = parse_abi_json(s)
+        assert isinstance(out, list)
+    except (ValueError, json.JSONDecodeError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**256 - 1), min_size=0, max_size=30))
+def test_u256_python_sum_identity(vals):
+    # the kernel's per-batch partial is a plain python-int sum — pin the
+    # arithmetic identity the Spark paths rely on (no float, no overflow)
+    total = sum(vals)
+    assert sum(int(str(v)) for v in vals) == total
+    assert total < 2**261  # 30 values of < 2^256 stay exact in python int
