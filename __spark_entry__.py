@@ -1347,6 +1347,18 @@ def q_corpus_pipeline(spark, sf):  # the composed training-data curation DAG:
     )
 
 
+def q_incr_curate(spark, sf):  # incremental curation: the new batch
+    # (doc_id >= 250) curated against the fingerprint history of everything
+    # already ingested — the append-only refresh a production pipeline runs
+    from eth2dgraph_spark.pipeline.corpus import curate_increment
+    from eth2dgraph_spark.pipeline.text import fingerprint as fp
+
+    d = _t(spark, sf, "documents")
+    seen = fp(d.filter(F.col("doc_id") < 250)).select("fingerprint")
+    newb = d.filter(F.col("doc_id") >= 250)
+    return curate_increment(newb, seen).select("doc_id", "lang_pred", "n_tokens_ws", "split")
+
+
 def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
     # gated against the exact baseline (the approx_sketches pattern: sketch
     # internals differ across engines, so the deterministic output is the
@@ -1478,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "source_mix": q_source_mix,
         "pack_texts": q_pack_texts,
+        "incr_curate": q_incr_curate,
         "khop_reach": q_khop_reach,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2267,6 +2280,47 @@ def oracle_sql() -> dict[str, str]:
                    (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset,
                    n_tokens
             FROM c""",
+        "incr_curate": f"""
+            WITH seen AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id < 250),
+            newf AS (SELECT doc_id, text, md5({_NORM}) AS fp FROM documents WHERE doc_id >= 250),
+            fresh AS (SELECT * FROM newf WHERE fp NOT IN (SELECT fp FROM seen)),
+            kept AS (SELECT f.doc_id, f.text FROM fresh f
+                     JOIN (SELECT fp, min(doc_id) AS mdoc FROM fresh GROUP BY fp) w
+                       ON w.mdoc = f.doc_id AND w.fp = f.fp),
+            feat AS (
+              SELECT doc_id, text,
+                len(string_split_regex(trim(text),'\\s+')) AS n_words,
+                (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
+                len(list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> list_contains({_STOPS_ALL}, x)))*1.0
+                  / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS stop_ratio,
+                (length(text) - len(string_split_regex(trim(text),'\\s+')) + 1)*1.0
+                  / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS mwl
+              FROM kept
+            ),
+            filt AS (
+              SELECT doc_id, text, n_words FROM feat
+              WHERE (CASE WHEN n_words < 5 THEN 0.0 WHEN punct_ratio > 0.3 THEN 0.2
+                          ELSE least(1.0, 0.5 + stop_ratio
+                               + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.2 ELSE 0.0 END) END) >= 0.5
+            ),
+            lang AS (
+              SELECT doc_id, n_words,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['en']})) AS h_en,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['de']})) AS h_de,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['fr']})) AS h_fr,
+                len(list_intersect(string_split({_NORM},' '), {_LANG_STOPS['es']})) AS h_es
+              FROM filt
+            )
+            SELECT doc_id,
+                CASE WHEN h_fr > greatest(h_es, greatest(h_en, greatest(h_de, 0))) THEN 'fr'
+                     ELSE CASE WHEN h_es > greatest(h_en, greatest(h_de, 0)) THEN 'es'
+                          ELSE CASE WHEN h_en > greatest(h_de, 0) THEN 'en'
+                               ELSE CASE WHEN h_de > 0 THEN 'de' ELSE 'und' END END END END AS lang_pred,
+                n_words::BIGINT AS n_tokens_ws,
+                CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 < 9000 THEN 'train'
+                     WHEN ('0x'||substr(md5(doc_id::VARCHAR||':split-v1'),1,8))::BIGINT % 10000 < 9500 THEN 'val'
+                     ELSE 'test' END AS split
+            FROM lang""",
         "pack_texts": r"""
             WITH t AS (
               SELECT doc_id, text,

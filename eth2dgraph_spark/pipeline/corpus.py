@@ -54,6 +54,37 @@ def curate_corpus(
     )
 
 
+def curate_increment(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    fractions: dict[str, float] | None = None,
+    **filters,
+) -> DataFrame:
+    """Incremental curation: curate ONLY the new batch, dropping documents
+    whose normalized-text fingerprint already appeared in the corpus
+    (`seen_fingerprints`: one `fingerprint` column covering every document
+    ever ingested, kept or not — dedup history, not the curated set).
+
+    Append-equivalence: with monotonically increasing ids across batches
+    (the normal ingestion order), curating everything in one shot equals
+    curating each increment against the accumulated fingerprint set —
+    every stage is hash- or min-id-based, so no rerun ever reshuffles
+    earlier decisions. The anti-join is the only interaction with corpus
+    history; at 100 TB that is a join against a fingerprint-only table
+    (16 bytes/doc), not against the corpus text."""
+    from .text import fingerprint
+
+    fresh = (
+        fingerprint(new_df, text_col)
+        .join(seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti")
+        .drop("fingerprint", "fingerprint64")
+    )
+    return curate_corpus(fresh, id_col, text_col, min_quality, fractions, **filters)
+
+
 def corpus_report(curated: DataFrame) -> DataFrame:
     """Curation summary per (lang, split): document and token counts — the
     run report a data job publishes (and the oracle-gated aggregate)."""

@@ -468,3 +468,34 @@ def test_repetition_stats(spark):
     assert got[1]["dup_word_ratio"] == 0.75 and got[1]["top_word_ratio"] == 1.0
     assert got[2]["dup_word_ratio"] == 0.0 and got[2]["top_word_ratio"] == 0.2
     assert got[3]["dup_word_ratio"] == 0.2 and got[3]["top_word_ratio"] == 0.4
+
+
+def test_curate_increment_append_equivalence(spark):
+    from eth2dgraph_spark.pipeline.corpus import curate_corpus, curate_increment
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house sat on the mat"),
+            (2, "der hund und die katze ist da heute wieder einmal"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the cat and the dog of a house sat on the mat"),  # dup of 1
+            (11, "le chat et la maison des les amis sont ici"),
+            (12, "le chat et la maison des les amis sont ici"),  # dup within batch
+        ],
+        "doc_id long, text string",
+    )
+    # one-shot over everything
+    one_shot = {r["doc_id"] for r in curate_corpus(batch1.unionByName(batch2)).collect()}
+    # incremental: batch1 curated, then batch2 against batch1's fingerprints
+    from eth2dgraph_spark.pipeline.text import fingerprint
+
+    first = {r["doc_id"] for r in curate_corpus(batch1).collect()}
+    seen = fingerprint(batch1).select("fingerprint")
+    second = {r["doc_id"] for r in curate_increment(batch2, seen).collect()}
+    assert first | second == one_shot
+    assert 10 not in second  # cross-batch dup dropped
+    assert 12 not in second and 11 in second  # within-batch dedup keeps min id
