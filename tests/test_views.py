@@ -84,3 +84,51 @@ def test_motif_untyped_repeated_vars_and_errors(spark):
         motif(edges, "(a)-[]->(b); (c)-[]->(d)", use_graphframes=False)
     with pytest.raises(ValueError, match="unparseable"):
         motif(edges, "a->b", use_graphframes=False)
+
+
+def test_motif_graphframes_delegation_with_fake(spark, monkeypatch):
+    # the container has no GraphFrames; exercise the delegation path
+    # (pattern translation, per-edge relationship filters, vertex
+    # projection) against a faithful mini-implementation of find()
+    import re
+    import sys
+    import types
+
+    from eth2dgraph_spark.plans.views import motif
+
+    class FakeGraphFrame:
+        def __init__(self, v, e):
+            self.v, self.e = v, e
+
+        def find(self, pattern):
+            out = None
+            for term in pattern.split(";"):
+                sv, en, dv = re.fullmatch(
+                    r"\((\w+)\)-\[(\w+)\]->\((\w+)\)", term.strip()
+                ).groups()
+                t = self.e.select(
+                    F.struct(F.col("src").alias("id")).alias(sv),
+                    F.struct("src", "dst", "relationship").alias(en),
+                    F.struct(F.col("dst").alias("id")).alias(dv),
+                )
+                if out is None:
+                    out = t
+                else:
+                    shared = [c for c in t.columns if c in out.columns]
+                    out = out.join(t, shared)
+            return out
+
+    monkeypatch.setitem(
+        sys.modules, "graphframes", types.SimpleNamespace(GraphFrame=FakeGraphFrame)
+    )
+    rows = [
+        ("u1", "c1", "deployed"),
+        ("c1", "k1", "has_skeleton"),
+        ("c1", "u9", "refunded_to"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, type string")
+    pat = "(a)-[deployed]->(b); (b)-[has_skeleton]->(c)"
+    via_gf = motif(edges, pat, use_graphframes=True)
+    via_join = motif(edges, pat, use_graphframes=False)
+    assert via_gf.columns == via_join.columns == ["a", "b", "c"]
+    assert sorted(map(tuple, via_gf.collect())) == sorted(map(tuple, via_join.collect()))
