@@ -499,3 +499,71 @@ def test_curate_increment_append_equivalence(spark):
     assert first | second == one_shot
     assert 10 not in second  # cross-batch dup dropped
     assert 12 not in second and 11 in second  # within-batch dedup keeps min id
+
+
+def test_audio_real_path_with_fake_soundfile(monkeypatch):
+    # execute _decode_audio_sf's actual mono-mix + RMS-binning math by
+    # injecting a fake soundfile module (the real lib isn't shipped here)
+    import sys
+    import types
+
+    import numpy as np
+
+    def read(buf, dtype="float32", always_2d=True):
+        # 32 stereo samples, constant 0.5 -> RMS 0.5 in every bin
+        return np.full((32, 2), 0.5, dtype=np.float32), 16000
+
+    monkeypatch.setitem(sys.modules, "soundfile", types.SimpleNamespace(read=read))
+    from eth2dgraph_spark.pipeline.multimodal import _decode_audio_sf
+
+    feat = _decode_audio_sf(b"RIFF fake")
+    assert feat.shape == (16,) and feat.dtype == np.float32
+    assert np.allclose(feat, 0.5)
+    assert np.allclose(_decode_audio_sf(None), 0.0)  # empty payload -> zeros
+
+
+def test_video_real_path_with_fake_av(monkeypatch):
+    # execute _decode_video_frames_av's container-once/seek-per-frame flow
+    # and 4x4 luminance pooling with a fake av module
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeFrame:
+        def __init__(self, val):
+            self.val = val
+
+        def to_ndarray(self, format):
+            assert format == "gray"
+            return np.full((8, 8), self.val, dtype=np.uint8)
+
+    class FakeContainer:
+        def __init__(self):
+            self.seeks = []
+            self.streams = types.SimpleNamespace(video=[object()])
+
+        def seek(self, offset, any_frame=False, stream=None):
+            self.seeks.append(offset)
+
+        def decode(self, stream):
+            yield FakeFrame(128)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    container = FakeContainer()
+    monkeypatch.setitem(
+        sys.modules, "av", types.SimpleNamespace(open=lambda buf: container)
+    )
+    from eth2dgraph_spark.pipeline.multimodal import _decode_video_frames_av
+
+    feats = _decode_video_frames_av(b"mp4 fake", [0, 1000, 2000])
+    assert len(feats) == 3
+    assert container.seeks == [0, 1_000_000, 2_000_000]  # ms -> av microseconds
+    for f in feats:
+        assert f.shape == (16,)
+        assert np.allclose(f, 128 / 255.0)
