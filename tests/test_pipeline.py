@@ -567,3 +567,45 @@ def test_video_real_path_with_fake_av(monkeypatch):
     for f in feats:
         assert f.shape == (16,)
         assert np.allclose(f, 128 / 255.0)
+
+
+def test_image_real_path_with_fake_pil(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            assert size == (4, 4)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((4, 4), 51.0, dtype=np.float32)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda b: FakeImg())
+    monkeypatch.setitem(sys.modules, "PIL", types.SimpleNamespace(Image=fake_image_mod))
+    from eth2dgraph_spark.pipeline import multimodal
+
+    feat = multimodal._decode_image_pil(b"\x89PNG fake")
+    assert feat.shape == (16,)
+    assert np.allclose(feat, 51.0 / 255.0)
+
+
+def test_probe_raises_when_codec_absent():
+    from eth2dgraph_spark.pipeline import multimodal
+
+    for probe, flag in [
+        (multimodal._probe_pil, multimodal.HAS_PIL),
+        (multimodal._probe_soundfile, multimodal.HAS_SOUNDFILE),
+        (multimodal._probe_av, multimodal.HAS_AV),
+    ]:
+        if flag:
+            probe()  # codec present: silent
+        else:
+            with pytest.raises(RuntimeError, match="environment mismatch"):
+                probe()
