@@ -1369,7 +1369,7 @@ def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
     d = _t(spark, sf, "documents")
     toks_col = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
     toks = d.select(F.explode(toks_col).alias("token"))
-    approx = sketch.countmin_topk(toks, "token", k=64)
+    approx, n_total = sketch.countmin_topk_and_total(toks, "token", k=64)
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1377,9 +1377,10 @@ def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
         .limit(20)
     )
     # CMS overshoot bound scales with total-count/width: tolerate 3 rows'
-    # worth of expected collision mass (+1 slack for tiny inputs), computed
-    # in-plan from a broadcast 1-row total — no extra driver action.
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # worth of expected collision mass (+1 slack for tiny inputs). The total
+    # comes off the sketch itself (each row sums to N exactly), so the gate
+    # makes 2 passes over the tokens (sketch + exact baseline), not 3.
+    total = spark.createDataFrame([(n_total,)], "n_total long")
     joined = exact.crossJoin(F.broadcast(total)).join(approx, "token", "left")
     tol = F.ceil(F.lit(3.0) * F.col("n_total") / F.lit(sketch.DEFAULT_WIDTH)) + F.lit(1)
     return joined.select(
