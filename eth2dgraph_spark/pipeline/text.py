@@ -98,16 +98,37 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: the word-level duplication ratio
     (1 - distinct/total) and the coverage of the single most frequent word
     — high values mark boilerplate/spam documents that survive the basic
-    quality score. Pure column math (aggregate over the token array), no
-    explode and no shuffle."""
+    quality score. Pure column math, no explode and no shuffle.
+
+    The top-word frequency is the longest equal-run in the SORTED word
+    array, folded with one `aggregate` pass — O(n log n) per row. (The
+    naive transform-over-distinct x filter form is O(n^2) per row: a single
+    100k-token document would cost ~10^10 comparisons in one task, which no
+    cluster parallelism can absorb.)"""
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     n = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # longest run in the sorted array == max multiplicity; one linear fold
+    top_freq = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(acc["prev"].isNull() | (acc["prev"] != w), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != w), F.lit(1)).otherwise(
+                    acc["run"] + 1
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return (
         df.withColumn(

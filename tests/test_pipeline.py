@@ -470,6 +470,25 @@ def test_repetition_stats(spark):
     assert got[3]["dup_word_ratio"] == 0.2 and got[3]["top_word_ratio"] == 0.4
 
 
+def test_repetition_stats_long_document_linear(spark):
+    # the per-row kernel must be near-linear: a single 100k-word document
+    # (the realistic long-document case at corpus scale) completes in
+    # bounded time — the old O(words^2) transform x filter form would need
+    # ~10^10 comparisons here and effectively hang
+    import time
+
+    import math
+
+    n, vocab = 100_000, 14_285
+    doc = " ".join(f"w{i % vocab}" for i in range(n))
+    d = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    t0 = time.time()
+    row = text.repetition_stats(d).collect()[0]
+    assert time.time() - t0 < 60
+    assert row["top_word_ratio"] == round(math.ceil(n / vocab) / n, 6)
+    assert row["dup_word_ratio"] == round((n - vocab) / n, 6)
+
+
 def test_curate_increment_append_equivalence(spark):
     from eth2dgraph_spark.pipeline.corpus import curate_corpus, curate_increment
 
