@@ -36,16 +36,31 @@ def greedy_pack(
     id_col: str = "doc_id",
     token_col: str = "n_tokens_ws",
     budget: int = 2048,
-    num_shards: int = 16,
+    num_shards: int | None = None,
     salt: str = DEFAULT_SALT,
 ) -> DataFrame:
     """(id, shard, pack_id, pack_offset, n_tokens) — pack_offset is the
-    document's first-token position within its pack. Deterministic in
-    (id, salt, budget, num_shards); independent of input partitioning."""
+    document's first-token position within its pack.
+
+    Deterministic in (id, salt, budget, num_shards) and independent of
+    input partitioning — but NOTE that num_shards is part of the
+    determinism key (it changes which pack a document lands in), so
+    reproducible pipelines should pin it explicitly. When left None it
+    scales with the input's partition count, so per-shard window sorts
+    parallelize with the cluster instead of being capped at a constant.
+
+    Token counts are clamped to >= 1 (null/zero/negative all become 1):
+    a zero-width document would otherwise share its pack_offset with the
+    next document, breaking the unique-offset invariant that makes
+    `materialize_packs`' within-pack ordering a total order."""
+    if num_shards is None:
+        num_shards = max(df.rdd.getNumPartitions(), 1)
     h = _order_hash(id_col, salt)
     sharded = df.select(
         F.col(id_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        F.greatest(F.coalesce(F.col(token_col).cast("long"), F.lit(1)), F.lit(1)).alias(
+            "n_tokens"
+        ),
         h.alias("_h"),
         F.pmod(h, F.lit(num_shards)).cast("long").alias("shard"),
     )

@@ -51,6 +51,38 @@ def test_pack_offsets_and_chunk_semantics(spark):
             assert end >= budget  # chunk full (straddler included)
 
 
+def test_pack_null_and_zero_tokens_clamped(spark):
+    # null / zero token counts clamp to 1 so pack offsets stay unique
+    # (ADVICE round 4: a zero-width doc would share its offset with the
+    # next doc and make materialize_packs' within-pack order ambiguous)
+    rows = [(1, None), (2, 0), (3, 5), (4, -2)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = greedy_pack(df, token_col="n", budget=8, num_shards=1).collect()
+    assert all(r["n_tokens"] >= 1 for r in packed)
+    offs = [(r["pack_id"], r["pack_offset"]) for r in packed]
+    assert len(offs) == len(set(offs))  # unique offsets within packs
+
+
+def test_pack_default_shards_scale_with_input_and_windows_parallelize(spark):
+    docs = _docs(spark, n=200, partitions=8)
+    # default num_shards tracks the input's partition count
+    packed = greedy_pack(docs, budget=16)
+    shards = {r["shard"] for r in packed.select("shard").distinct().collect()}
+    assert len(shards) > 1 and max(shards) < 8
+    # the window is partitioned by shard (parallel sorts), never a single
+    # global-sort partition
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packed.explain("formatted")
+    plan = buf.getvalue()
+    assert "partitionspec: [shard" in plan.lower().replace(" ", "").replace(
+        "partitionspec:[shard", "partitionspec: [shard"
+    ) or "hashpartitioning(shard" in plan.lower()
+
+
 def test_materialize_packs_ordered_concat(spark):
     from eth2dgraph_spark.pipeline.pack import materialize_packs
 
