@@ -336,9 +336,17 @@ def _decode_video_frames_stub(payload: bytes | None, ts_list: list[int]) -> list
 
 
 def _decode_video_frames_av(payload: bytes | None, ts_list: list[int]) -> list[np.ndarray]:
-    """Real video path (requires PyAV): open the container ONCE, seek to each
-    sampled timestamp, decode one frame, pool to the 16-dim luminance grid
-    (same contract as the image path)."""
+    """Real video path (requires PyAV): open the container ONCE, seek to
+    each sampled timestamp, decode forward to the target frame, pool to the
+    16-dim luminance grid (same contract as the image path).
+
+    Seek semantics matter: with `stream=stream` PyAV interprets the offset
+    in STREAM TIME_BASE units (microseconds apply only when stream=None),
+    so the offset is (ts_ms/1000)/time_base. `backward=True` lands on the
+    keyframe at-or-before the target (the only decodable entry point —
+    `any_frame=True` would start decode at a non-keyframe and return
+    corrupt frames that still report decode_ok='ok'), then we decode
+    FORWARD until a frame's pts reaches the target."""
     if not payload:
         return [np.zeros(16, dtype=np.float32) for _ in ts_list]
     import av  # worker-side import; _probe_av vets it
@@ -346,9 +354,21 @@ def _decode_video_frames_av(payload: bytes | None, ts_list: list[int]) -> list[n
     feats: list[np.ndarray] = []
     with av.open(io.BytesIO(payload)) as container:
         stream = container.streams.video[0]
+        tb = stream.time_base
         for ts_ms in ts_list:
-            container.seek(int(ts_ms * 1000), any_frame=True, stream=stream)
-            frame = next(container.decode(stream))
+            if tb:
+                target = int(round((ts_ms / 1000.0) / float(tb)))
+                container.seek(target, backward=True, stream=stream)
+            else:  # no stream time_base: fall back to container-wide us seek
+                target = None
+                container.seek(int(ts_ms * 1000), backward=True)
+            frame = None
+            for f in container.decode(stream):
+                frame = f
+                if target is None or f.pts is None or f.pts >= target:
+                    break
+            if frame is None:  # EOF at/after seek point: no decodable frame
+                raise ValueError(f"no frame at {ts_ms} ms")
             arr = frame.to_ndarray(format="gray").astype(np.float32) / 255.0
             h, w = arr.shape
             pooled = arr[: h - h % 4 or h, : w - w % 4 or w]

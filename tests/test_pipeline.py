@@ -543,30 +543,47 @@ def test_audio_real_path_with_fake_soundfile(monkeypatch):
 
 def test_video_real_path_with_fake_av(monkeypatch):
     # execute _decode_video_frames_av's container-once/seek-per-frame flow
-    # and 4x4 luminance pooling with a fake av module
+    # and 4x4 luminance pooling with a fake av module. The fake models a
+    # 90 kHz stream with keyframes every 45000 ticks (0.5 s) and a frame
+    # every 3000 ticks, and asserts PyAV's actual seek contract: with
+    # stream=..., offsets are in stream.time_base units, backward=True
+    # lands on the preceding keyframe, and the caller must decode FORWARD
+    # to the target pts (any_frame=True would return corrupt frames).
     import sys
     import types
+    from fractions import Fraction
 
     import numpy as np
 
+    TB = Fraction(1, 90_000)
+    KEYFRAME_EVERY = 45_000  # ticks
+    FRAME_EVERY = 3_000  # ticks
+
     class FakeFrame:
-        def __init__(self, val):
-            self.val = val
+        def __init__(self, pts):
+            self.pts = pts
 
         def to_ndarray(self, format):
             assert format == "gray"
-            return np.full((8, 8), self.val, dtype=np.uint8)
+            return np.full((8, 8), 128, dtype=np.uint8)
 
     class FakeContainer:
         def __init__(self):
             self.seeks = []
-            self.streams = types.SimpleNamespace(video=[object()])
+            self.pos = 0
+            self.stream = types.SimpleNamespace(time_base=TB)
+            self.streams = types.SimpleNamespace(video=[self.stream])
 
-        def seek(self, offset, any_frame=False, stream=None):
+        def seek(self, offset, backward=False, any_frame=False, stream=None):
+            assert stream is self.stream  # stream-relative seek
+            assert backward and not any_frame  # keyframe-at-or-before only
             self.seeks.append(offset)
+            self.pos = (offset // KEYFRAME_EVERY) * KEYFRAME_EVERY
 
         def decode(self, stream):
-            yield FakeFrame(128)
+            while True:
+                yield FakeFrame(self.pos)
+                self.pos += FRAME_EVERY
 
         def __enter__(self):
             return self
@@ -582,10 +599,63 @@ def test_video_real_path_with_fake_av(monkeypatch):
 
     feats = _decode_video_frames_av(b"mp4 fake", [0, 1000, 2000])
     assert len(feats) == 3
-    assert container.seeks == [0, 1_000_000, 2_000_000]  # ms -> av microseconds
+    # ms -> stream time_base ticks (90 kHz), NOT microseconds
+    assert container.seeks == [0, 90_000, 180_000]
     for f in feats:
         assert f.shape == (16,)
         assert np.allclose(f, 128 / 255.0)
+
+
+def test_video_av_decodes_forward_from_keyframe(monkeypatch):
+    # a target between keyframes must be reached by forward decode: seek
+    # lands on the 0.5 s keyframe, then frames advance until pts >= target
+    import sys
+    import types
+    from fractions import Fraction
+
+    import numpy as np
+
+    decoded_pts = []
+
+    class FakeFrame:
+        def __init__(self, pts):
+            self.pts = pts
+
+        def to_ndarray(self, format):
+            return np.full((8, 8), min(self.pts // 3000, 255), dtype=np.uint8)
+
+    class FakeContainer:
+        def __init__(self):
+            self.pos = 0
+            self.stream = types.SimpleNamespace(time_base=Fraction(1, 90_000))
+            self.streams = types.SimpleNamespace(video=[self.stream])
+
+        def seek(self, offset, backward=False, any_frame=False, stream=None):
+            self.pos = (offset // 45_000) * 45_000
+
+        def decode(self, stream):
+            while True:
+                decoded_pts.append(self.pos)
+                yield FakeFrame(self.pos)
+                self.pos += 3_000
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setitem(
+        sys.modules, "av", types.SimpleNamespace(open=lambda buf: FakeContainer())
+    )
+    from eth2dgraph_spark.pipeline.multimodal import _decode_video_frames_av
+
+    # 700 ms = 63000 ticks: keyframe at 45000, frames every 3000 -> the
+    # returned frame must be the first with pts >= 63000, i.e. 63000
+    feats = _decode_video_frames_av(b"mp4 fake", [700])
+    assert decoded_pts[0] == 45_000  # started at the keyframe
+    assert decoded_pts[-1] == 63_000  # walked forward to the target
+    assert np.allclose(feats[0], (63_000 // 3000) / 255.0)
 
 
 def test_image_real_path_with_fake_pil(monkeypatch):
