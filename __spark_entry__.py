@@ -1473,31 +1473,91 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (the driver samples a 50-row cap, in order).
-    # Rounds 1-2 certified the original first 50; round 3 certified the
-    # other 44. Round 4 leads with the queries that CHANGED or are NEW this
-    # round — event_gaps (timestamp-type fix) and the new operators — then
-    # keeps the round-3 window, so every changed query gets a same-round
-    # driver row and cumulative coverage stays 100%.
+    # Rounds 1-2 certified the original first 50; round 3 the next 44;
+    # round 4 the (then) first 50 = all round-4 new/changed queries + the
+    # round-3 window. Round 5 leads with this round's CHANGED queries
+    # (sketch rewrite, rep_stats linearization, pack clamp), then rotates
+    # in the 55 queries whose last driver rows date from r2/r3 — they run
+    # through source-layer code that changed in r4/r5 and are only
+    # locally re-verified since. Nine low-risk r1/r2 shapes spill past the
+    # window; the 46 queries certified by the driver in r4 close the list.
     return {
-        # --- changed/new in round 4: must re-certify ---
-        "event_gaps": q_event_gaps,
+        # --- changed in round 5: must re-certify ---
         "cms_topk": q_cms_topk,
+        "rep_stats": q_rep_stats,
+        "seq_pack": q_seq_pack,
+        "pack_texts": q_pack_texts,
+        # --- last certified r2/r3; rotate into the driver window ---
+        "map_funcs": q_map_funcs,
+        "lateral_topk": q_lateral_topk,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "min_cost_lineitem": q_min_cost_lineitem,
+        "waiting_supplier": q_waiting_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        "try_funcs": q_try_funcs,
+        "regexp_funcs": q_regexp_funcs,
+        "date_funcs": q_date_funcs,
+        "null_funcs": q_null_funcs,
+        "explode_outer": q_explode_outer,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ann_topk": q_ann_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank_ranks": q_pagerank_ranks,
+        "gas_stats": q_gas_stats,
+        "lifetimes_rq4": q_lifetimes_rq4,
+        "last_block": q_last_block,
+        "lifetimes_rq1": q_lifetimes_rq1,
+        "lifetimes_rq2": q_lifetimes_rq2,
+        "lifetimes_rq3": q_lifetimes_rq3,
+        "segment_stats": q_segment_stats,
+        "pagination": q_pagination,
+        "first_per_key": q_first_per_key,
+        "json_extract": q_json_extract,
+        "string_funcs": q_string_funcs,
+        "timestamp_funcs": q_timestamp_funcs,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "embedding_cosine": q_embedding_cosine,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "events_extrema": q_events_extrema,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
+        "embedding_topk": q_embedding_topk,
+        "cosine_one_vs_all": q_cosine_one_vs_all,
+        "interface_jaccard": q_interface_jaccard,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
+        "asof_attach": q_asof_attach,
+        "interval_attach": q_interval_attach,
+        "session_count": q_session_count,
+        # --- 9 low-risk r1/r2 shapes (locally green; spill past the window) ---
+        "running_sum": q_running_sum,
+        "tumbling_window": q_tumbling_window,
+        "graph_degrees": q_graph_degrees,
+        "segment_pivot": q_segment_pivot,
+        "array_funcs": q_array_funcs,
+        "rollup": q_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "parts_top_per_brand": q_parts_top_per_brand,
+        # --- certified green by the driver in round 4 ---
+        "event_gaps": q_event_gaps,
         "windowed_stream": q_windowed_stream,
         "motif_paths": q_motif_paths,
         "corpus_pipeline": q_corpus_pipeline,
         "pii_redact": q_pii_redact,
         "decontam": q_decontam,
-        "seq_pack": q_seq_pack,
-        "rep_stats": q_rep_stats,
         "source_mix": q_source_mix,
-        "pack_texts": q_pack_texts,
         "incr_curate": q_incr_curate,
         "khop_reach": q_khop_reach,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
         "small_qty_revenue": q_small_qty_revenue,
-        # --- round-3 certified window ---
         "simhash_dup_groups": q_simhash_dup_groups,
         "order_priority": q_order_priority,
         "custdist": q_custdist,
@@ -1531,63 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "approx_sketches": q_approx_sketches,
         "percentile_disc": q_percentile_disc,
-        "map_funcs": q_map_funcs,
-        "lateral_topk": q_lateral_topk,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        "min_cost_lineitem": q_min_cost_lineitem,
-        "waiting_supplier": q_waiting_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
-        "try_funcs": q_try_funcs,
-        "regexp_funcs": q_regexp_funcs,
-        "date_funcs": q_date_funcs,
-        "null_funcs": q_null_funcs,
-        "explode_outer": q_explode_outer,
-        # --- 6 high-value re-checks (driver-certified in r1/r2) ---
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ann_topk": q_ann_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "pagerank_ranks": q_pagerank_ranks,
-        "gas_stats": q_gas_stats,
-        "lifetimes_rq4": q_lifetimes_rq4,
-        # --- certified green by the driver in rounds 1-2 ---
-        "last_block": q_last_block,
-        "lifetimes_rq1": q_lifetimes_rq1,
-        "lifetimes_rq2": q_lifetimes_rq2,
-        "lifetimes_rq3": q_lifetimes_rq3,
-        "parts_top_per_brand": q_parts_top_per_brand,
-        "segment_stats": q_segment_stats,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "pagination": q_pagination,
-        "first_per_key": q_first_per_key,
-        "json_extract": q_json_extract,
-        "string_funcs": q_string_funcs,
-        "timestamp_funcs": q_timestamp_funcs,
-        "rollup": q_rollup,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "embedding_cosine": q_embedding_cosine,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "events_extrema": q_events_extrema,
-        "cosine_ngram_pairs": q_cosine_ngram_pairs,
-        "running_sum": q_running_sum,
-        "tumbling_window": q_tumbling_window,
-        "graph_degrees": q_graph_degrees,
-        "embedding_topk": q_embedding_topk,
-        "cosine_one_vs_all": q_cosine_one_vs_all,
-        "interface_jaccard": q_interface_jaccard,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ivf_topk": q_ivf_topk,
-        "segment_pivot": q_segment_pivot,
-        "array_funcs": q_array_funcs,
-        "asof_attach": q_asof_attach,
-        "interval_attach": q_interval_attach,
-        "session_count": q_session_count,
     }
 
 

@@ -37,6 +37,8 @@ def write_eth_table(
     base_path: str,
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    format: str = "parquet",
+    compression: str | None = None,
 ) -> None:
     """Write one chain table. Dynamic tables are partitioned by block bucket;
     `mode='overwrite'` with dynamic partition overwrite gives the reference's
@@ -45,7 +47,17 @@ def write_eth_table(
     `max_records_per_file` is the Spark analog of the reference's
     size-bounded output files (8 MB buffers, src/main.rs:87-89,
     src/extraction/writer.rs:88-104): it caps file size at write time
-    without an extra repartition."""
+    without an extra repartition.
+
+    `format='json'` (default compression gzip) mirrors the reference's
+    extract-mode output contract byte-class for byte-class — newline-
+    delimited JSON in gzip members, one directory per table
+    (src/extraction/writer.rs:26-48) — for consumers of those files.
+    Binary columns round-trip as base64 (Spark's JSON writer encodes
+    BinaryType to base64; `read_eth_table(format='json')` reads back
+    through the table schema, which decodes it). Parquet remains the
+    at-rest default — columnar pruning and predicate pushdown don't exist
+    on JSON."""
     path = f"{base_path}/{table}"
     block_col = "number" if table == "blocks" else "block_number"
     if table in _DYNAMIC or table == "blocks":
@@ -58,11 +70,27 @@ def write_eth_table(
         w = w.option("maxRecordsPerFile", max_records_per_file)
     if table in _DYNAMIC or table == "blocks":
         w = w.partitionBy(BLOCK_BUCKET_COL)
-    w.parquet(path)
+    if format == "json":
+        w.option("compression", compression or "gzip").json(path)
+    elif format == "parquet":
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {format!r} (parquet or json)")
 
 
-def read_eth_table(spark: SparkSession, table: str, base_path: str) -> DataFrame:
-    df = spark.read.parquet(f"{base_path}/{table}")
+def read_eth_table(
+    spark: SparkSession, table: str, base_path: str, format: str = "parquet"
+) -> DataFrame:
+    """Read one chain table back. JSON reads go through the declared table
+    schema (ETH_TABLES) so types survive the text roundtrip — longs stay
+    longs, binary columns decode from base64."""
+    path = f"{base_path}/{table}"
+    if format == "json":
+        df = spark.read.schema(ETH_TABLES[table]).json(path)
+    else:
+        df = spark.read.parquet(path)
     return df.drop(BLOCK_BUCKET_COL) if BLOCK_BUCKET_COL in df.columns else df
 
 

@@ -128,6 +128,29 @@ def test_write_read_roundtrip(result, spark, tmp_path):
     assert set(back.columns) == set(result.token_transfers.columns)
 
 
+def test_write_read_roundtrip_gzip_json(result, spark, tmp_path):
+    """K1 byte-compat option: extract-mode gzip-JSON output (the reference's
+    bulk-loader file contract, src/extraction/writer.rs:26-48) must
+    roundtrip frame-equal to the parquet path, types included."""
+    import glob
+
+    from eth2dgraph_spark.sources.eth import read_eth_table, write_eth_table
+
+    base = str(tmp_path / "wh")
+    df = result.token_transfers
+    write_eth_table(df, "token_transfers", base)
+    write_eth_table(df, "token_transfers", str(tmp_path / "whj"), format="json")
+    files = glob.glob(f"{tmp_path}/whj/token_transfers/*/*.json.gz")
+    assert files, "expected gzip JSON part files"
+    pq = read_eth_table(spark, "token_transfers", base)
+    js = read_eth_table(spark, "token_transfers", str(tmp_path / "whj"), format="json")
+    assert [f.dataType for f in js.schema.fields] == [
+        f.dataType for f in pq.select(*js.columns).schema.fields
+    ]
+    key = lambda rows: sorted(map(repr, rows))  # noqa: E731
+    assert key(js.collect()) == key(pq.select(*js.columns).collect())
+
+
 def test_size_bounded_output_files(spark, tmp_path):
     """K1: maxRecordsPerFile caps file size like the reference's 8 MB output
     buffers (src/extraction/writer.rs:88-104)."""
