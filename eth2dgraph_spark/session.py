@@ -47,7 +47,12 @@ def get_spark(
         # Keep scans well-sized at local scale; on a cluster this is the same
         # knob that bounds per-task input at ~128 MB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[32] is a single JVM: driver memory IS executor memory. 8g
+        # starves 32 threads once iterative queries pin localCheckpoint'ed
+        # partitions (measured at sf0.1: pagerank 20.8 s -> 8.5 s,
+        # byte_kernels 25.2 s -> 11.7 s going 8g -> 24g on a 128 GiB box).
+        # On a real cluster this knob is per-executor memory at deploy time.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
