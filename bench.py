@@ -61,13 +61,19 @@ HEADLINE = [
     "fingerprint",
     "cms_topk",
     "corpus_pipeline",
-    "dedup_clusters",
-    "pagerank_ranks",
     "order_priority",
     "custdist",
     "nation_flows",
     "rank_funcs",
     "byte_kernels",
+    # the iterative localCheckpoint queries run LAST: their checkpointed
+    # RDDs are released asynchronously by the ContextCleaner, and that
+    # cleanup measurably degrades whatever runs next (byte_kernels measured
+    # 11.7-25 s right after pagerank vs 2.5-6.7 s isolated, same session
+    # settings) — ordering them at the end keeps every query's number about
+    # its own plan
+    "dedup_clusters",
+    "pagerank_ranks",
 ]
 
 
