@@ -470,6 +470,32 @@ def test_repetition_stats(spark):
     assert got[3]["dup_word_ratio"] == 0.2 and got[3]["top_word_ratio"] == 0.4
 
 
+def test_repetition_stats_randomized_equals_python_reference(spark):
+    # the longest-run fold must equal max word multiplicity on arbitrary
+    # inputs: 200 seeded-random docs (varying vocab, length, duplication,
+    # repeated runs, single-word docs) checked against a Python reference
+    # in one job
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(200):
+        vocab = [f"v{j}" for j in range(rng.randint(1, 30))]
+        n = rng.randint(1, 120)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:  # inject a hot run
+            words[: rng.randint(1, n)] = [words[0]] * rng.randint(1, n)
+        rows.append((i, " ".join(words)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(d).collect()}
+    for i, doc in rows:
+        ws = doc.split()
+        c = Counter(ws)
+        assert got[i]["top_word_ratio"] == round(max(c.values()) / len(ws), 6), i
+        assert got[i]["dup_word_ratio"] == round((len(ws) - len(c)) / len(ws), 6), i
+
+
 def test_repetition_stats_long_document_linear(spark):
     # the per-row kernel must be near-linear: a single 100k-word document
     # (the realistic long-document case at corpus scale) completes in
