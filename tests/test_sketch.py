@@ -44,6 +44,38 @@ def test_partials_bounded_one_row_per_partition(spark):
         assert len(r["sketch"]) == sketch.DEFAULT_DEPTH * sketch.DEFAULT_WIDTH
 
 
+def test_countmin_estimate_dataframe_api(spark):
+    # the point-query path: attach cms_est to an arbitrary token frame via
+    # the merged sketch; hashing is in-plan (xxhash64 feeding the pandas
+    # UDF), so estimates must match the driver-side topk estimates exactly
+    counts = {f"tok{i}": 4 * (20 - i) for i in range(20)}
+    df = _tokens(spark, counts)
+    partials = sketch.countmin_partials(df, "token").persist()
+    merged = sketch.merge_sketch(partials, sketch.DEFAULT_DEPTH, sketch.DEFAULT_WIDTH)
+    cands = sketch.merged_candidates(partials)
+    got = {
+        r["token"]: r["cms_est"]
+        for r in sketch.countmin_estimate(cands, merged).collect()
+    }
+    partials.unpersist()
+    top = dict(sketch.countmin_topk(df, "token", k=20).collect())
+    for tok, true_count in counts.items():
+        assert got[tok] >= true_count  # conservative
+        assert got[tok] == top[tok]  # same hash family as the driver path
+
+
+def test_streaming_estimate_unseen_token_uses_jvm_hashes(spark):
+    counts = {"alpha": 10, "beta": 3}
+    acc = sketch.StreamingCountMin("token")
+    acc.absorb_batch(_tokens(spark, counts, 2))
+    assert acc.estimate("alpha") >= 10
+    # a token never absorbed is not in the candidate hash map: the estimate
+    # must come from the same JVM xxhash64 family via the captured session
+    # (>=0 always; ==0 unless it collides in all rows)
+    assert acc.estimate("never-seen-token") >= 0
+    assert "never-seen-token" in acc.hashes  # cached after first lookup
+
+
 def test_mg_batched_compaction_keeps_heavy_keys():
     # the batched Misra-Gries compaction must keep a key whose frequency
     # exceeds N/cap even under capacity pressure from a long tail
