@@ -69,9 +69,26 @@ def _dess_coarse(ev: DataFrame) -> DataFrame:
     )
 
 
+def _r6e(col):
+    """Tie-nudged 6-dp rounding for DOUBLE columns, mirrored verbatim in the
+    oracle SQL (`round(x + 1e-9, 6)`): a rational like 41/640 or an avg of
+    2-dp values over a power-of-two count lands EXACTLY on the x.xxxxxx5
+    rounding boundary, where Spark (HALF_UP on the accumulated double) and
+    DuckDB (nearbyint half-even, different accumulation order) can disagree
+    by one ulp of the 6th decimal — 5 gates broke this way when the round-5
+    testdata introduced fresh tie rows at sf0.1. The +1e-9 nudge moves both
+    engines to the same side of the boundary: it is ~100x larger than
+    cross-engine double aggregation error (~1e-11 absolute at these
+    magnitudes) and 500x smaller than the 5e-7 tie gap, and no
+    small-denominator rational can sit within error distance of the shifted
+    boundary."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(col + F.lit(1e-9), 6)
+
+
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c), 6))
+        df = df.withColumn(c, _r6e(F.col(c)))
     return df
 
 
@@ -120,8 +137,8 @@ def q_pricing_summary(spark, sf):  # TPC-H Q1 shape: groupBy + 6 aggs
         F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_base_price"),
         F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        _r6e(F.avg("l_quantity")).alias("avg_qty"),
+        _r6e(F.avg("l_extendedprice")).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -171,7 +188,7 @@ def q_parts_top_per_brand(spark, sf):  # W3/W4 ranking window
 def q_segment_stats(spark, sf):  # grouped agg + countDistinct
     return _t(spark, sf, "customer").groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        _r6e(F.avg("c_acctbal")).alias("avg_acctbal"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
 
@@ -259,7 +276,7 @@ def q_event_gaps(spark, sf):  # lag window (engine surface beyond reference)
         "gap_s", (us - F.col("prev")) / F.lit(1000000.0)
     )
     return gaps.groupBy("user_id").agg(
-        F.round(F.avg("gap_s"), 6).alias("avg_gap_secs"),
+        _r6e(F.avg("gap_s")).alias("avg_gap_secs"),
         F.count("prev").alias("n_gaps"),
     )
 
@@ -295,7 +312,7 @@ def q_embedding_cosine(spark, sf):  # pipeline: exact cosine scores (A6 kin)
     )
     scored = e.crossJoin(F.broadcast(q))
     scored = similarity_search.with_cosine(scored, "embedding", "query_vec")
-    return scored.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    return scored.select("query_id", "vec_id", _r6e("cosine").alias("cosine"))
 
 
 def q_quality_score(spark, sf):  # pipeline: text quality
@@ -333,8 +350,8 @@ def q_fingerprint(spark, sf):  # pipeline: document fingerprinting
 def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
     ev = _t(spark, sf, "events")
     return ev.groupBy("user_id").agg(
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        _r6e(F.min("value")).alias("min_value"),
+        _r6e(F.max("value")).alias("max_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
@@ -358,7 +375,7 @@ def q_running_sum(spark, sf):  # window frame (engine surface; SURVEY §2.6 note
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+        "event_id", "user_id", _r6e(F.sum("value").over(w)).alias("running_value")
     )
 
 
@@ -366,7 +383,7 @@ def q_tumbling_window(spark, sf):  # event-time tumbling agg (streaming shape)
     ev = _t(spark, sf, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _r6e(F.avg("value")).alias("avg_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -391,7 +408,7 @@ def q_windowed_stream(spark, sf):  # the SAME tumbling-window aggregation as
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _r6e(F.avg("value")).alias("avg_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -490,7 +507,7 @@ def q_embedding_topk(spark, sf):  # exact ANN baseline: brute-force cosine top-k
     )
     out = similarity_search.brute_force_topk(e, q, k=10)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        "query_id", "vec_id", _r6e("cosine").alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -521,7 +538,7 @@ def q_asof_attach(spark, sf):  # as-of join (engine surface; DuckDB ASOF oracle)
     )
     out = asof_join(views, signups, "user_id", "ts", "ts", ["sv"])
     return out.select(
-        "event_id", "user_id", F.round("sv", 6).alias("last_signup_value")
+        "event_id", "user_id", _r6e("sv").alias("last_signup_value")
     )
 
 
@@ -576,12 +593,11 @@ def q_array_funcs(spark, sf):  # higher-order array functions (§2.7 surface)
     v = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
-        F.round(
-            F.aggregate(F.filter(v, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 6
-        ).alias("pos_sum"),
+        _r6e(F.aggregate(v, F.lit(0.0), lambda a, x: a + x)).alias("vec_sum"),
+        _r6e(
+            F.aggregate(F.filter(v, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x)).alias("pos_sum"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
+        _r6e(F.array_max(F.transform(v, lambda x: F.abs(x)))).alias("max_abs"),
     )
 
 
@@ -593,7 +609,7 @@ def q_ivf_topk(spark, sf):  # IVF ANN, exhaustive probe -> must equal brute forc
     cents = similarity_search.ivf_index(e, nlist=8, iters=2)
     out = similarity_search.ivf_topk(e, q, cents, k=10, nprobe=8)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        "query_id", "vec_id", _r6e("cosine").alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -637,7 +653,7 @@ def q_pagerank_ranks(spark, sf):  # iterative graph kernel, oracled by
 def q_minhash_lsh_pairs(spark, sf):
     return dedup.minhash_dedup_pairs(
         _t(spark, sf, "documents"), k=3, num_hashes=32, num_bands=8, threshold=0.05
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_a", "id_b", _r6e("jaccard").alias("jaccard"))
 
 
 def q_ann_topk(spark, sf):
@@ -646,7 +662,7 @@ def q_ann_topk(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = similarity_search.lsh_topk(e, q, k=10, dim=64, num_planes=6)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
+    return out.select("query_id", "vec_id", _r6e("cosine").alias("cosine"), F.col("rank").cast("long").alias("rank"))
 
 
 def q_simhash_dup_groups(spark, sf):
@@ -684,9 +700,9 @@ def q_percentile_disc(spark, sf):  # discrete percentiles (actual elements)
     return spark.sql(
         """
         SELECT c_nationkey,
-               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p25,
-               round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal), 6) AS p50,
-               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p75
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) + 1e-9, 6) AS p25,
+               round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal) + 1e-9, 6) AS p50,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) + 1e-9, 6) AS p75
         FROM _pd_customer GROUP BY c_nationkey"""
     )
 
@@ -746,10 +762,10 @@ def q_window_ignore_nulls(spark, sf):  # first/last/lead/lag over nulls
     return base.select(
         "user_id",
         "event_id",
-        F.round(ffill, 6).alias("ffill"),
-        F.round(prev_nn, 6).alias("prev_nn"),
-        F.round(bfill, 6).alias("bfill"),
-        F.round(next_nn, 6).alias("next_nn"),
+        _r6e(ffill).alias("ffill"),
+        _r6e(prev_nn).alias("prev_nn"),
+        _r6e(bfill).alias("bfill"),
+        _r6e(next_nn).alias("next_nn"),
     )
 
 
@@ -796,7 +812,7 @@ def q_unpivot_metrics(spark, sf):  # wide -> long reshape (UNPIVOT / melt)
     c = _t(spark, sf, "customer")
     wide = c.groupBy("c_nationkey").agg(
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        _r6e(F.avg("c_acctbal")).alias("avg_bal"),
         F.count(F.lit(1)).cast("double").alias("n_cust"),
     )
     return wide.unpivot(
@@ -814,7 +830,7 @@ def q_try_funcs(spark, sf):  # ANSI-safe error-handling scalar surface:
     return c.select(
         "c_custkey",
         F.expr("try_cast(substring(c_name, 10, 9) AS LONG)").alias("name_num"),
-        F.round(F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")), 6).alias(
+        _r6e(F.try_divide(F.col("c_acctbal"), F.col("c_nationkey"))).alias(
             "bal_per_nat"
         ),  # c_nationkey=0 rows -> null, not an ANSI error
         F.expr("try_cast(c_mktsegment AS DOUBLE)").alias("seg_num"),  # null
@@ -1032,9 +1048,9 @@ def q_rank_funcs(spark, sf):  # §2.6 engine surface: full ranking-function set
         "c_custkey",
         "c_nationkey",
         F.dense_rank().over(w).cast("long").alias("drank"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        _r6e(F.percent_rank().over(w)).alias("prank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        _r6e(F.cume_dist().over(w)).alias("cdist"),
     )
 
 
@@ -1058,9 +1074,9 @@ def q_percentiles(spark, sf):  # exact percentile (linear interpolation) per gro
         .agg(q.alias("qs"))
         .select(
             "c_nationkey",
-            F.round(F.element_at("qs", 1), 6).alias("q25"),
-            F.round(F.element_at("qs", 2), 6).alias("median"),
-            F.round(F.element_at("qs", 3), 6).alias("q75"),
+            _r6e(F.element_at("qs", 1)).alias("q25"),
+            _r6e(F.element_at("qs", 2)).alias("median"),
+            _r6e(F.element_at("qs", 3)).alias("q75"),
         )
     )
 
@@ -1077,7 +1093,7 @@ def q_sliding_window(spark, sf):  # event-time sliding window (1h window, 30m sl
     ev = _t(spark, sf, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _r6e(F.avg("value")).alias("avg_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -1090,10 +1106,10 @@ def q_sliding_window(spark, sf):  # event-time sliding window (1h window, 30m sl
 def q_corr_stats(spark, sf):  # statistical aggregates: corr / covar_pop / var_pop
     li = _t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
-        F.round(F.var_pop("l_quantity"), 6).alias("qty_var"),
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_sd"),
+        _r6e(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        _r6e(F.covar_pop("l_quantity", "l_discount")).alias("qty_disc_covar"),
+        _r6e(F.var_pop("l_quantity")).alias("qty_var"),
+        _r6e(F.stddev_samp("l_extendedprice")).alias("price_sd"),
     )
 
 
@@ -1176,7 +1192,7 @@ def q_range_frame(spark, sf):  # RANGE window frame (value-based, not row-based)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("range_sum"),
+        _r6e(F.sum("value").over(w)).alias("range_sum"),
         F.count(F.lit(1)).over(w).alias("range_cnt"),
     )
 
@@ -1677,7 +1693,7 @@ def _minhash_lsh_oracle() -> str:
                   FROM cand c JOIN sh sa ON sa.id = c.id_a
                        JOIN sh sb ON sb.id = c.id_b AND sa.shingle = sb.shingle
                   GROUP BY c.id_a, c.id_b)
-        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM (
             SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) AS j
             FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
         WHERE j >= 0.05"""
@@ -1714,7 +1730,7 @@ def _ann_topk_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
         r AS (SELECT query_id, vec_id, c,
                      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
               FROM s)
-        SELECT query_id, vec_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
+        SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
 
 
 def _langid_oracle() -> str:
@@ -1747,9 +1763,9 @@ def _quality_oracle() -> str:
         f"ELSE least(1.0, 0.5 + {stop_ratio} + CASE WHEN {mwl} >= 3 AND {mwl} <= 10 THEN 0.2 ELSE 0.0 END) END"
     )
     return (
-        f"SELECT doc_id, CAST({n_words} AS BIGINT) AS n_words, round({punct_ratio},6) AS punct_ratio, "
-        f"round({stop_ratio},6) AS stopword_ratio, round({mwl},6) AS mean_word_len, "
-        f"round({score},6) AS quality_score FROM documents"
+        f"SELECT doc_id, CAST({n_words} AS BIGINT) AS n_words, round({punct_ratio} + 1e-9, 6) AS punct_ratio, "
+        f"round({stop_ratio} + 1e-9, 6) AS stopword_ratio, round({mwl} + 1e-9, 6) AS mean_word_len, "
+        f"round({score} + 1e-9, 6) AS quality_score FROM documents"
     )
 
 
@@ -1787,10 +1803,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
-                   round(min(value*1e9/1e9),6) AS gas_price_min,
-                   round(max(value*1e9/1e9),6) AS gas_price_max,
-                   round(avg(value*1e9/1e9),6) AS gas_price_avg,
-                   round(stddev_pop(value*1e9/1e9),6) AS gas_price_std_dev
+                   round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,
+                   round(max(value*1e9/1e9) + 1e-9, 6) AS gas_price_max,
+                   round(avg(value*1e9/1e9) + 1e-9, 6) AS gas_price_avg,
+                   round(stddev_pop(value*1e9/1e9) + 1e-9, 6) AS gas_price_std_dev
             FROM events GROUP BY user_id""",
         "last_block": "SELECT max(event_id) AS last_block FROM events",
         "lifetimes_rq1": """
@@ -1819,15 +1835,15 @@ def oracle_sql() -> dict[str, str]:
         "lifetimes_rq4": """
             WITH dep AS (SELECT user_id, min(event_id) AS fd FROM events WHERE event_type='signup' GROUP BY user_id),
                  des AS (SELECT user_id, max(event_id) AS ld FROM events WHERE event_type='error' GROUP BY user_id)
-            SELECT round(avg(ld-fd),6) AS avg_lifetime_blocks,
-                   round(stddev_pop(ld-fd),6) AS stddev_lifetime_blocks
+            SELECT round(avg(ld-fd) + 1e-9, 6) AS avg_lifetime_blocks,
+                   round(stddev_pop(ld-fd) + 1e-9, 6) AS stddev_lifetime_blocks
             FROM dep JOIN des USING(user_id)""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(l_quantity AS DECIMAL(18,4))),2)::DOUBLE AS sum_qty,
                    round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2)::DOUBLE AS sum_base_price,
                    round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS sum_disc_price,
-                   round(avg(l_quantity),6) AS avg_qty, round(avg(l_extendedprice),6) AS avg_price,
+                   round(avg(l_quantity) + 1e-9, 6) AS avg_qty, round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
                    count(*)::BIGINT AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01' GROUP BY l_returnflag, l_linestatus""",
         "shipping_priority": """
@@ -1848,7 +1864,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) ::BIGINT AS rn
               FROM part) WHERE rn <= 3""",
         "segment_stats": """
-            SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(avg(c_acctbal),6) AS avg_acctbal,
+            SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(avg(c_acctbal) + 1e-9, 6) AS avg_acctbal,
                    count(DISTINCT c_nationkey)::BIGINT AS n_nations
             FROM customer GROUP BY c_mktsegment""",
         "semi_join": """
@@ -1885,7 +1901,7 @@ def oracle_sql() -> dict[str, str]:
             WITH x AS (SELECT user_id, epoch_us(ts) AS us,
                               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                        FROM events)
-            SELECT user_id, round(avg((us-prev)/1000000.0),6) AS avg_gap_secs, count(prev)::BIGINT AS n_gaps
+            SELECT user_id, round(avg((us-prev)/1000000.0) + 1e-9, 6) AS avg_gap_secs, count(prev)::BIGINT AS n_gaps
             FROM x GROUP BY user_id""",
         "dedup_exact": f"""
             SELECT fingerprint, dup_count, min_doc, max_doc FROM (
@@ -1897,7 +1913,7 @@ def oracle_sql() -> dict[str, str]:
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
             inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
                       FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
-            SELECT id_a, id_b, round(j,6) AS jaccard FROM (
+            SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM (
               SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
               FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
             WHERE j >= 0.05""",
@@ -1905,7 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "embedding_cosine": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])),6) AS cosine
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) + 1e-9, 6) AS cosine
             FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q""",
         "quality_score": _quality_oracle(),
         "lang_id": _langid_oracle(),
@@ -1916,7 +1932,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM}) AS fingerprint,
                    ('0x'||substr(md5({_NORM}),1,15))::BIGINT AS fingerprint64 FROM documents""",
         "events_extrema": """
-            SELECT user_id, round(min(value),6) AS min_value, round(max(value),6) AS max_value,
+            SELECT user_id, round(min(value) + 1e-9, 6) AS min_value, round(max(value) + 1e-9, 6) AS max_value,
                    strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS first_ts,
                    strftime(max(ts),'%Y-%m-%d %H:%M:%S') AS last_ts
             FROM events GROUP BY user_id""",
@@ -1928,22 +1944,22 @@ def oracle_sql() -> dict[str, str]:
             norms AS (SELECT id, CAST(sum(cnt*cnt) AS BIGINT) AS norm2 FROM cnts GROUP BY id),
             dots AS (SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.cnt*b.cnt) AS BIGINT) AS dot
                      FROM cnts a JOIN cnts b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
-            SELECT id_a, id_b, round(c,6) AS similarity FROM (
+            SELECT id_a, id_b, round(c + 1e-9, 6) AS similarity FROM (
               SELECT id_a, id_b, dot*1.0/sqrt(na.norm2*nb.norm2) AS c
               FROM dots JOIN norms na ON na.id=id_a JOIN norms nb ON nb.id=id_b)
             WHERE c >= 0.2""",
         "running_sum": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6) AS running_value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS running_value
             FROM events""",
         "tumbling_window": """
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
-                   event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value) + 1e-9, 6) AS avg_value
             FROM events GROUP BY 1, 2""",
         "windowed_stream": """
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
-                   event_type, count(*)::BIGINT AS cnt, round(avg(value),6) AS avg_value
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value) + 1e-9, 6) AS avg_value
             FROM events GROUP BY 1, 2""",
         "cosine_one_vs_all": f"""
             WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
@@ -1955,7 +1971,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT shingle, cnt FROM cnts, tgt WHERE id = tid),
             dots AS (SELECT c.id, CAST(sum(c.cnt*t.cnt) AS BIGINT) AS dot
                      FROM cnts c JOIN t USING(shingle), tgt WHERE c.id != tid GROUP BY c.id)
-            SELECT id, round(c,6) AS similarity FROM (
+            SELECT id, round(c + 1e-9, 6) AS similarity FROM (
               SELECT d.id, d.dot*1.0/sqrt(n.norm2*tn.norm2) AS c
               FROM dots d JOIN norms n ON n.id=d.id
                    JOIN tgt ON true JOIN norms tn ON tn.id=tgt.tid)
@@ -1980,7 +1996,7 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT query_id, vec_id, c,
                          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
                   FROM s)
-            SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+            SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= 10""",
         "session_count": """
             WITH x AS (SELECT user_id, ts,
                               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -1999,7 +2015,7 @@ def oracle_sql() -> dict[str, str]:
             WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type='view'),
                  r AS (SELECT user_id, ts, max(value) AS sv
                        FROM events WHERE event_type='signup' GROUP BY 1, 2)
-            SELECT l.event_id, l.user_id, round(r.sv, 6) AS last_signup_value
+            SELECT l.event_id, l.user_id, round(r.sv + 1e-9, 6) AS last_signup_value
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "interval_attach": """
             WITH p AS (SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS e FROM orders),
@@ -2024,10 +2040,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey""",
         "array_funcs": """
             SELECT vec_id,
-                   round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
-                   round(coalesce(list_sum(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)), 0.0), 6) AS pos_sum,
+                   round(list_sum(CAST(embedding AS DOUBLE[])) + 1e-9, 6) AS vec_sum,
+                   round(coalesce(list_sum(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)), 0.0) + 1e-9, 6) AS pos_sum,
                    len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))::BIGINT AS n_pos,
-                   round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+                   round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) + 1e-9, 6) AS max_abs
             FROM embeddings""",
         "ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -2037,7 +2053,7 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT query_id, vec_id, c,
                          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
                   FROM s)
-            SELECT query_id, vec_id, round(c,6) AS cosine, rank FROM r WHERE rank <= 10""",
+            SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= 10""",
         "graph_degrees": """
             WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
                        FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
@@ -2068,7 +2084,7 @@ def oracle_sql() -> dict[str, str]:
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM toks GROUP BY id),
             inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
                       FROM toks a JOIN toks b USING(token) WHERE a.id < b.id GROUP BY 1,2)
-            SELECT id_a, id_b, round(j,6) AS similarity FROM (
+            SELECT id_a, id_b, round(j + 1e-9, 6) AS similarity FROM (
               SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
               FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
             WHERE j >= 0.6""",
@@ -2128,9 +2144,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_funcs": """
             SELECT c_custkey, c_nationkey,
                    dense_rank() OVER w ::BIGINT AS drank,
-                   round(percent_rank() OVER w, 6) AS prank,
+                   round(percent_rank() OVER w + 1e-9, 6) AS prank,
                    ntile(4) OVER w ::BIGINT AS quartile,
-                   round(cume_dist() OVER w, 6) AS cdist
+                   round(cume_dist() OVER w + 1e-9, 6) AS cdist
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
         "set_ops": """
@@ -2144,9 +2160,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT k, 'building_or_auto' FROM (SELECT k FROM bld UNION SELECT k FROM auto)""",
         "percentiles": """
             SELECT c_nationkey,
-                   round(quantile_cont(c_acctbal, 0.25), 6) AS q25,
-                   round(quantile_cont(c_acctbal, 0.5), 6) AS median,
-                   round(quantile_cont(c_acctbal, 0.75), 6) AS q75
+                   round(quantile_cont(c_acctbal, 0.25) + 1e-9, 6) AS q25,
+                   round(quantile_cont(c_acctbal, 0.5) + 1e-9, 6) AS median,
+                   round(quantile_cont(c_acctbal, 0.75) + 1e-9, 6) AS q75
             FROM customer GROUP BY c_nationkey""",
         "string_agg": """
             SELECT c_nationkey,
@@ -2163,14 +2179,14 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL
                        SELECT event_type, value, w1 - INTERVAL 30 MINUTE FROM s)
             SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-                   count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value
+                   count(*)::BIGINT AS cnt, round(avg(value) + 1e-9, 6) AS avg_value
             FROM w GROUP BY 1, 2""",
         "corr_stats": """
             SELECT l_returnflag,
-                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-                   round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar,
-                   round(var_pop(l_quantity), 6) AS qty_var,
-                   round(stddev_samp(l_extendedprice), 6) AS price_sd
+                   round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS qty_price_corr,
+                   round(covar_pop(l_quantity, l_discount) + 1e-9, 6) AS qty_disc_covar,
+                   round(var_pop(l_quantity) + 1e-9, 6) AS qty_var,
+                   round(stddev_samp(l_extendedprice) + 1e-9, 6) AS price_sd
             FROM lineitem GROUP BY l_returnflag""",
         "cube_grouping": """
             SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
@@ -2193,7 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": """
             SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+                         / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey""",
         "disjunctive_filter": """
             SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
@@ -2204,7 +2220,7 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)""",
         "range_frame": """
             SELECT event_id, user_id,
-                   round(sum(value) OVER w, 6) AS range_sum,
+                   round(sum(value) OVER w + 1e-9, 6) AS range_sum,
                    count(*) OVER w ::BIGINT AS range_cnt
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -2263,10 +2279,10 @@ def oracle_sql() -> dict[str, str]:
         "rep_stats": r"""
             WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS ws FROM documents)
             SELECT doc_id,
-                   round((len(ws) - len(list_distinct(ws)))*1.0/greatest(len(ws),1), 6) AS dup_word_ratio,
+                   round((len(ws) - len(list_distinct(ws)))*1.0/greatest(len(ws),1) + 1e-9, 6) AS dup_word_ratio,
                    round(coalesce(list_max(list_transform(list_distinct(ws),
                                   x -> len(list_filter(ws, y -> y = x)))), 0)*1.0
-                         / greatest(len(ws),1), 6) AS top_word_ratio
+                         / greatest(len(ws),1) + 1e-9, 6) AS top_word_ratio
             FROM w""",
         "seq_pack": r"""
             WITH t AS (
@@ -2482,9 +2498,9 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY c_acctbal) AS cd
                         FROM customer)
             SELECT c_nationkey,
-                   round(min(CASE WHEN cd >= 0.25 THEN c_acctbal END), 6) AS p25,
-                   round(min(CASE WHEN cd >= 0.5  THEN c_acctbal END), 6) AS p50,
-                   round(min(CASE WHEN cd >= 0.75 THEN c_acctbal END), 6) AS p75
+                   round(min(CASE WHEN cd >= 0.25 THEN c_acctbal END) + 1e-9, 6) AS p25,
+                   round(min(CASE WHEN cd >= 0.5  THEN c_acctbal END) + 1e-9, 6) AS p50,
+                   round(min(CASE WHEN cd >= 0.75 THEN c_acctbal END) + 1e-9, 6) AS p75
             FROM cd GROUP BY c_nationkey""",
         "map_funcs": """
             WITH per AS (SELECT o_custkey, o_orderstatus AS status,
@@ -2515,10 +2531,10 @@ def oracle_sql() -> dict[str, str]:
                          max(v) OVER (PARTITION BY user_id, gf) AS ffill,
                          max(v) OVER (PARTITION BY user_id, gb) AS bfill
                   FROM g)
-            SELECT user_id, event_id, round(ffill, 6) AS ffill,
-                   round(lag(ffill) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS prev_nn,
-                   round(bfill, 6) AS bfill,
-                   round(lead(bfill) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS next_nn
+            SELECT user_id, event_id, round(ffill + 1e-9, 6) AS ffill,
+                   round(lag(ffill) OVER (PARTITION BY user_id ORDER BY event_id) + 1e-9, 6) AS prev_nn,
+                   round(bfill + 1e-9, 6) AS bfill,
+                   round(lead(bfill) OVER (PARTITION BY user_id ORDER BY event_id) + 1e-9, 6) AS next_nn
             FROM f""",
         "min_cost_lineitem": """
             SELECT p_partkey, l_orderkey, round(l_extendedprice, 2) AS price
@@ -2544,7 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_metrics": """
             WITH wide AS (SELECT c_nationkey,
                                  round(sum(c_acctbal), 2) AS sum_bal,
-                                 round(avg(c_acctbal), 6) AS avg_bal,
+                                 round(avg(c_acctbal) + 1e-9, 6) AS avg_bal,
                                  count(*)::DOUBLE AS n_cust
                           FROM customer GROUP BY c_nationkey)
             SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS value FROM wide
@@ -2556,7 +2572,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS name_num,
                    CASE WHEN c_nationkey = 0 THEN NULL
-                        ELSE round(c_acctbal / c_nationkey, 6) END AS bal_per_nat,
+                        ELSE round(c_acctbal / c_nationkey + 1e-9, 6) END AS bal_per_nat,
                    TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num
             FROM customer""",
         "regexp_funcs": """

@@ -130,15 +130,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
+    # +1e-9 before rounding: integer-ratio values can land exactly on the
+    # 6-dp rounding boundary (e.g. k/512 word ratios), where engines with
+    # different tie rules disagree by one final-digit ulp; the nudge puts
+    # every engine on the same side (see __spark_entry__._r6e)
     return (
         df.withColumn(
             "dup_word_ratio",
-            F.round((n - n_distinct) / F.greatest(n, F.lit(1)), 6),
+            F.round((n - n_distinct) / F.greatest(n, F.lit(1)) + F.lit(1e-9), 6),
         )
         .withColumn(
             "top_word_ratio",
             F.round(
-                F.coalesce(top_freq, F.lit(0)) / F.greatest(n, F.lit(1)), 6
+                F.coalesce(top_freq, F.lit(0)) / F.greatest(n, F.lit(1)) + F.lit(1e-9),
+                6,
             ),
         )
     )
