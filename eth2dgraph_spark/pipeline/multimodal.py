@@ -362,8 +362,20 @@ def _decode_video_frames_av(payload: bytes | None, ts_list: list[int]) -> list[n
             else:  # no stream time_base: fall back to container-wide us seek
                 target = None
                 container.seek(int(ts_ms * 1000), backward=True)
+            # the frame ON SCREEN at ts is the last one with pts <= target:
+            # decode forward keeping the previous frame, stop once pts
+            # passes the target (the first frame past it starts AFTER ts).
+            # EOF before the target returns the last decoded frame — still
+            # the one displayed at ts for any ts within the stream.
             frame = None
             for f in container.decode(stream):
+                if (
+                    frame is not None
+                    and target is not None
+                    and f.pts is not None
+                    and f.pts > target
+                ):
+                    break
                 frame = f
                 if target is None or f.pts is None or f.pts >= target:
                     break

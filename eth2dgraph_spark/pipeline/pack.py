@@ -36,25 +36,31 @@ def greedy_pack(
     id_col: str = "doc_id",
     token_col: str = "n_tokens_ws",
     budget: int = 2048,
-    num_shards: int | None = None,
+    num_shards: "int | str" = "auto",
     salt: str = DEFAULT_SALT,
 ) -> DataFrame:
     """(id, shard, pack_id, pack_offset, n_tokens) — pack_offset is the
     document's first-token position within its pack.
 
     Deterministic in (id, salt, budget, num_shards) and independent of
-    input partitioning — but NOTE that num_shards is part of the
-    determinism key (it changes which pack a document lands in), so
-    reproducible pipelines should pin it explicitly. When left None it
-    scales with the input's partition count, so per-shard window sorts
-    parallelize with the cluster instead of being capped at a constant.
+    input partitioning ONLY when num_shards is pinned to an integer:
+    num_shards is part of the determinism key (it changes which pack a
+    document lands in). The default is the explicit sentinel "auto" — NOT
+    a number — precisely so callers see that the default derives the shard
+    count from the input's physical partition count (per-shard window
+    sorts then parallelize with the cluster instead of being capped at a
+    constant), which makes pack assignment depend on file layout. Pipelines
+    that must reproduce byte-identical sequences across re-reads pin an
+    integer (the gates pin 4).
 
     Token counts are clamped to >= 1 (null/zero/negative all become 1):
     a zero-width document would otherwise share its pack_offset with the
     next document, breaking the unique-offset invariant that makes
     `materialize_packs`' within-pack ordering a total order."""
-    if num_shards is None:
+    if num_shards == "auto":
         num_shards = max(df.rdd.getNumPartitions(), 1)
+    elif not isinstance(num_shards, int) or num_shards < 1:
+        raise ValueError(f"num_shards must be a positive int or 'auto', got {num_shards!r}")
     h = _order_hash(id_col, salt)
     sharded = df.select(
         F.col(id_col),
@@ -112,9 +118,14 @@ def materialize_packs(
 def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
     """Per-pack fill report: docs, tokens, fill ratio vs budget (>1 means
     the boundary-straddling overflow doc) — the packing-efficiency metric a
-    data job publishes."""
+    data job publishes. The +1e-9 before rounding is the repo-wide 6-dp
+    tie rule (integer/2^k ratios land exactly on the rounding boundary,
+    where engines' tie-breaking differs; the nudge makes half-up the
+    deterministic cross-engine behavior — see __spark_entry__._r6e)."""
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)) + F.lit(1e-9), 6).alias(
+            "fill_ratio"
+        ),
     )

@@ -287,6 +287,10 @@ class StreamingCountMin:
             vc = pd.Series({r["token"]: int(r["mg_count"]) for r in cands})
             _mg_update(self.mg, vc, self.cap)
             self.hashes.update({r["token"]: (r["h1"], r["h2"]) for r in cands})
+            # prune to surviving MG keys: without this, a churning vocabulary
+            # adds up to 4*cap entries per batch and driver state grows with
+            # stream lifetime, breaking the O(depth*width + cap) guarantee
+            self.hashes = {t: h for t, h in self.hashes.items() if t in self.mg}
 
     def _hashes_for(self, token: str) -> tuple[int, int]:
         hp = self.hashes.get(token)

@@ -16,6 +16,20 @@ from pyspark.sql import SparkSession
 _DEF_SHUFFLE = "32"
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM in whole GiB, clamped to [4g, 24g]; 8g when
+    the probe fails (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(24, max(4, total_gib // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "eth2dgraph-spark",
     master: str | None = None,
@@ -51,8 +65,11 @@ def get_spark(
         # starves 32 threads once iterative queries pin localCheckpoint'ed
         # partitions (measured at sf0.1: pagerank 20.8 s -> 8.5 s,
         # byte_kernels 25.2 s -> 11.7 s going 8g -> 24g on a 128 GiB box).
-        # On a real cluster this knob is per-executor memory at deploy time.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Default adapts to the machine (half of physical RAM, clamped to
+        # [4g, 24g]) so small boxes don't hand the JVM more heap than
+        # exists and get OOM-killed mid-query. On a real cluster this knob
+        # is per-executor memory at deploy time.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

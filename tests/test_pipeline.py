@@ -677,11 +677,19 @@ def test_video_av_decodes_forward_from_keyframe(monkeypatch):
     from eth2dgraph_spark.pipeline.multimodal import _decode_video_frames_av
 
     # 700 ms = 63000 ticks: keyframe at 45000, frames every 3000 -> the
-    # returned frame must be the first with pts >= 63000, i.e. 63000
+    # returned frame must be the one ON SCREEN at 700 ms, pts == 63000
     feats = _decode_video_frames_av(b"mp4 fake", [700])
     assert decoded_pts[0] == 45_000  # started at the keyframe
     assert decoded_pts[-1] == 63_000  # walked forward to the target
     assert np.allclose(feats[0], (63_000 // 3000) / 255.0)
+
+    # 710 ms = 63900 ticks falls BETWEEN frames 63000 and 66000: the frame
+    # on screen at 710 ms is the one displayed since 700 ms (pts 63000) —
+    # the last pts <= target, not the first past it
+    decoded_pts.clear()
+    feats = _decode_video_frames_av(b"mp4 fake", [710])
+    assert decoded_pts[-1] == 66_000  # decode walked one frame past
+    assert np.allclose(feats[0], (63_000 // 3000) / 255.0)  # returned 63000
 
 
 def test_image_real_path_with_fake_pil(monkeypatch):
