@@ -1759,7 +1759,7 @@ def _quality_oracle() -> str:
     words = f"string_split_regex(lower(trim(text)),'\\s+')"
     n_words = f"len(string_split_regex(trim(text),'\\s+'))"
     n_chars = "length(text)"
-    n_punct = f"({n_chars} - length(regexp_replace(text,'[^\\w\\s]','','g')))"
+    n_punct = f"({n_chars} - length(regexp_replace(text,'[^\\p{{L}}\\p{{N}}_\\s]','','g')))"
     punct_ratio = f"({n_punct}*1.0/greatest({n_chars},1))"
     n_stop = f"len(list_filter({words}, x -> list_contains({_STOPS_ALL}, x)))"
     stop_ratio = f"({n_stop}*1.0/greatest({n_words},1))"
@@ -2302,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
                   FROM s)
             SELECT doc_id, shard,
-                   (shard * 1000000000 + (cum_excl // 512))::BIGINT AS pack_id,
+                   (shard * 1099511627776 + (cum_excl // 512))::BIGINT AS pack_id,
                    (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset,
                    n_tokens
             FROM c""",
@@ -2316,7 +2316,7 @@ def oracle_sql() -> dict[str, str]:
             feat AS (
               SELECT doc_id, text,
                 len(string_split_regex(trim(text),'\\s+')) AS n_words,
-                (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
+                (length(text) - length(regexp_replace(text,'[^\\p{{L}}\\p{{N}}_\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
                 len(list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> list_contains({_STOPS_ALL}, x)))*1.0
                   / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS stop_ratio,
                 (length(text) - len(string_split_regex(trim(text),'\\s+')) + 1)*1.0
@@ -2359,7 +2359,7 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
                   FROM s),
             p AS (SELECT doc_id, text,
-                         (shard * 1000000000 + (cum_excl // 512))::BIGINT AS pack_id,
+                         (shard * 1099511627776 + (cum_excl // 512))::BIGINT AS pack_id,
                          (cum_excl - (cum_excl // 512) * 512)::BIGINT AS pack_offset
                   FROM c)
             SELECT pack_id, count(*)::BIGINT AS n_docs,
@@ -2402,7 +2402,7 @@ def oracle_sql() -> dict[str, str]:
             feat AS (
               SELECT doc_id, text,
                 len(string_split_regex(trim(text),'\\s+')) AS n_words,
-                (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
+                (length(text) - length(regexp_replace(text,'[^\\p{{L}}\\p{{N}}_\\s]','','g')))*1.0/greatest(length(text),1) AS punct_ratio,
                 len(list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> list_contains({_STOPS_ALL}, x)))*1.0
                   / greatest(len(string_split_regex(trim(text),'\\s+')),1) AS stop_ratio,
                 (length(text) - len(string_split_regex(trim(text),'\\s+')) + 1)*1.0

@@ -180,6 +180,11 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        # release the three persisted frames before the early return —
+        # leaving them pinned would leak executor storage for the session
+        e.unpersist()
+        ej.unpersist()
+        nodes.unpersist()
         return nodes.select("node").withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(num_iter):

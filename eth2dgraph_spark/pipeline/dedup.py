@@ -23,7 +23,11 @@ _WS = r"\s+"
 
 
 def _norm_text(text_col: str):
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    # single source of truth: text.fingerprint and exact-dedup identity
+    # must stay byte-identical (curate_increment's append-equivalence)
+    from .text import norm_ws
+
+    return norm_ws(text_col)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -225,15 +229,26 @@ def contamination_pairs(
 
 
 def _shingle_hash64(col):
-    """Deterministic 64-bit-ish hash of a shingle: first 15 hex chars of md5
-    (60 bits, keeps conv() exact — conv is unsigned-64 so 16 chars could
-    overflow signed long)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """Deterministic 60-bit shingle hash — delegates to the shared
+    `text.md5_60bit` (one definition for every md5-prefix long in the
+    pipeline layer)."""
+    from .text import md5_60bit
+
+    return md5_60bit(col)
 
 
-# Affine minhash constants: h_i(x) = (a_i * x + b_i) mod p. p is a large
-# prime < 2^61 so a*x stays inside the 64-bit mantissa-free integer range
-# Spark's long arithmetic handles (products of two <2^31 values).
+# Affine minhash constants: h_i(x) = (a_i * x + b_i) mod p with
+# p = 2^31 - 1 (Mersenne). The 31-bit prime is a deliberate portability
+# trade: a, x mod p are both < 2^31, so a*x stays inside exact int64
+# arithmetic that BOTH Spark and the DuckDB oracle evaluate identically —
+# a 61-bit prime would need a split-multiply mulmod that SQL engines don't
+# share. Cost: 60-bit shingle hashes fold to a 31-bit space, so two
+# distinct shingles collide with probability ~2^-31 (vs the ~2^-64 bar of
+# the other hash paths); a collision perturbs a signature component and
+# can inflate a pair's estimated Jaccard by <= 1/num_hashes. Acceptable
+# for candidate GENERATION (pairs are exact-verified downstream in the
+# dedup pipelines); revisit with a Pandas-UDF uint128 mulmod if minhash
+# estimates are ever used as final scores at >1e9 distinct shingles.
 _MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
 
 

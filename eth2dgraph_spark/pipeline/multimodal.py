@@ -186,7 +186,18 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         assets.filter(F.col("modality") == "video")
         .withColumn(
             "frame_ts_ms",
-            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))),
+            # greatest(..., 0): a negative duration_ms (corrupt metadata)
+            # would make sequence(0, <0, step) throw under ANSI and kill
+            # the job on one bad row; clamped, it emits the single ts=0
+            # frame — matching decode_video_frames' schedule for the same
+            # row, so plan and decoded views stay 1:1
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
         )
         .select("asset_id", "frame_ts_ms")
     )
@@ -427,7 +438,10 @@ def decode_video_frames(
             for aid, payload, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                dur_ms = 0 if dur is None or pd.isna(dur) else int(dur)
+                # clamp to 0 like frame_sample_plan: null/negative duration
+                # still samples the single ts=0 frame, keeping the plan view
+                # and the decoded view 1:1 for every row
+                dur_ms = 0 if dur is None or pd.isna(dur) else max(int(dur), 0)
                 ts_list = list(range(0, dur_ms + 1, every_ms))
                 try:
                     feats: list = [f.tolist() for f in decoder(payload, ts_list)]

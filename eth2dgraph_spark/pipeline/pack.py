@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALT = "pack-v1"
-_PACKS_PER_SHARD = 1_000_000_000  # pack_id = shard * this + local pack index
+# pack_id = shard * _PACKS_PER_SHARD + local pack index. 2^40 local packs
+# per shard = ~2.2e15 tokens/shard at budget 2048 — beyond any real shard —
+# where a 1e9 constant would overflow into the next shard's id range at
+# ~100 TB with small pinned shard counts (silently merging packs across
+# shards and breaking the unique-offset invariant). 2^63 / 2^40 bounds
+# num_shards at 2^23; greedy_pack validates it.
+_PACKS_PER_SHARD = 1 << 40
+_MAX_SHARDS = 1 << 23
 
 
 def _order_hash(id_col: str, salt: str):
@@ -61,6 +68,8 @@ def greedy_pack(
         num_shards = max(df.rdd.getNumPartitions(), 1)
     elif not isinstance(num_shards, int) or num_shards < 1:
         raise ValueError(f"num_shards must be a positive int or 'auto', got {num_shards!r}")
+    if num_shards > _MAX_SHARDS:
+        raise ValueError(f"num_shards {num_shards} > {_MAX_SHARDS} overflows the pack_id range")
     h = _order_hash(id_col, salt)
     sharded = df.select(
         F.col(id_col),

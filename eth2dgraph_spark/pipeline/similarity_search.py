@@ -23,9 +23,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cosine(a, b):
+    """try_divide, not `/`: an all-zero vector (e.g. the multimodal stub
+    decoders emit zeros for empty payloads) makes the denominator 0.0, and
+    under ANSI mode (Spark 4 default, on in this engine) a plain division
+    would kill the whole job with DIVIDE_BY_ZERO on that one row. null
+    cosine instead: desc ordering ranks it last, thresholds drop it."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def with_cosine(df: DataFrame, vec_col: str, other_col: str, out_col: str = "cosine") -> DataFrame:
     a, b = F.col(vec_col).cast("array<double>"), F.col(other_col).cast("array<double>")
-    return df.withColumn(out_col, _dot(a, b) / (_norm(a) * _norm(b)))
+    return df.withColumn(out_col, _cosine(a, b))
 
 
 def brute_force_topk(
@@ -41,8 +50,7 @@ def brute_force_topk(
     ranking is a per-query window over the scored scan."""
     scored = embeddings.crossJoin(F.broadcast(queries)).withColumn(
         "cosine",
-        _dot(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>"))
-        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(F.col(query_vec_col).cast("array<double>"))),
+        _cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -81,7 +89,20 @@ def lsh_bucket(
         plane = F.array(*[F.lit(x) for x in p])
         bit = F.when(_dot(v, plane) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit
-    return df.withColumn("lsh_bucket", bucket)
+    # loud length check: a vector longer than `dim` would null-pad the
+    # zip_with dot, fail every `> 0` test, and silently send EVERY row to
+    # bucket 0 — degrading the bucketed join to an O(n^2) self-join with
+    # no error. Better one task failure than a silent quadratic.
+    guarded = F.when(F.size(v) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_bucket: embedding length "),
+                F.size(v).cast("string"),
+                F.lit(f" != dim {dim}"),
+            )
+        )
+    )
+    return df.withColumn("lsh_bucket", guarded)
 
 
 def lsh_topk(
@@ -102,8 +123,7 @@ def lsh_topk(
     q_b = lsh_bucket(queries.withColumnRenamed(query_vec_col, "_qv"), "_qv", dim, num_planes)
     scored = emb_b.join(F.broadcast(q_b), "lsh_bucket").withColumn(
         "cosine",
-        _dot(F.col(vec_col).cast("array<double>"), F.col("_qv").cast("array<double>"))
-        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(F.col("_qv").cast("array<double>"))),
+        _cosine(F.col(vec_col).cast("array<double>"), F.col("_qv").cast("array<double>")),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -242,7 +262,7 @@ def ivf_topk(
         .select(query_id_col, "qv", "list_id")
     )
     scored = assigned.join(F.broadcast(probes), "list_id").withColumn(
-        "cosine", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+        "cosine", _cosine(F.col("v"), F.col("qv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -252,6 +272,9 @@ def ivf_topk(
     )
 
 
+DEFAULT_MAX_BUCKET_SIZE = 100_000
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -259,18 +282,36 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     num_planes: int = 6,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (scale
-    path), exact cosine check inside the bucket."""
+    path), exact cosine check inside the bucket.
+
+    `max_bucket_size` (finite BY DEFAULT) drops buckets with more members
+    than the cap before the O(f^2) in-bucket expansion — the same
+    single-reducer defense as `dedup.DEFAULT_MAX_SHINGLE_DOCS`: a skewed
+    bucket (e.g. the near-zero-vector bucket) would otherwise land its full
+    quadratic pair expansion on one reducer. Pairs whose members sat only
+    in capped buckets are lost (recall trade, like any LSH miss); pass
+    None to disable. Raise num_planes so honest buckets stay under the cap."""
     b = lsh_bucket(embeddings, vec_col, dim, num_planes).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
     )
+    if max_bucket_size is not None:
+        # <= 2^num_planes count rows: broadcast-joined, no extra shuffle of b
+        ok_buckets = (
+            b.groupBy("lsh_bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("lsh_bucket")
+        )
+        b = b.join(F.broadcast(ok_buckets), "lsh_bucket")
     a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "lsh_bucket")
     c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "lsh_bucket")
     pairs = a.join(c, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
     va, vb = F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
     return (
-        pairs.withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
+        pairs.withColumn("cosine", _cosine(va, vb))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -24,6 +24,22 @@ LANG_STOPWORDS = {
 _WS = r"\s+"
 
 
+def norm_ws(text_col: str):
+    """Lower, trim, collapse whitespace — THE content-identity
+    normalization. `fingerprint()` here and `dedup._norm_text` both
+    delegate to this single definition: `curate_increment`'s anti-join
+    equivalence (incremental == one-shot curation) requires the two
+    fingerprints to stay byte-identical forever."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+
+
+def md5_60bit(col):
+    """First 15 hex chars of md5 as a long: 60 bits, exact under conv()
+    (16 chars could overflow signed int64). Shared by fingerprint64 and
+    dedup's shingle hashing."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
     """Whitespace tokenization into an array column."""
     return df.withColumn(out_col, F.split(F.trim(F.col(text_col)), _WS))
@@ -47,7 +63,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_words = F.size(F.split(F.trim(t), _WS))
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # \p{L}\p{N} not \w: Java's \w is ASCII-only, so a clean Cyrillic or
+    # Greek document would count EVERY letter as punctuation, score 0.2,
+    # and be silently dropped by curate_corpus' quality floor. \p{L}/\p{N}
+    # have the same semantics in RE2, keeping the DuckDB oracle identical.
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
     all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
     words = F.split(F.lower(F.trim(t)), _WS)
     n_stop = F.size(F.filter(words, lambda w: w.isin(all_stop)))
@@ -154,7 +174,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # expressions — JVM-side, codegen-friendly, zero Python in the hot path.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}",
+    # digit-run lookarounds: without them the phone class matches the
+    # FIRST 11-13 digits inside any longer digit run — a bare 16-digit
+    # card became '<PHONE>111' (3 card digits leaked past redaction) and
+    # arbitrary numeric ids got corrupted. Lookbehind is fine here: this
+    # pattern runs in Spark (Java regex); only email/ipv4 are oracle-gated
+    # (RE2 has no lookbehind).
+    "phone": r"(?<!\d)\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}(?!\d)",
     "card": r"\b(?:\d[ -]?){15}\d\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
 }
@@ -192,10 +218,10 @@ def redact_pii(
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
-    text (content-defined identity for exact dedup), plus a 64-bit rolling
-    prefix (first 16 hex chars) usable as a cheap shard/join key."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
-    fp = F.md5(norm)
+    text (content-defined identity for exact dedup; same `norm_ws` as
+    dedup._norm_text), plus a 60-bit prefix usable as a cheap
+    shard/join key."""
+    fp = F.md5(norm_ws(text_col))
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint64", F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
     )

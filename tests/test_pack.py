@@ -42,12 +42,12 @@ def test_pack_offsets_and_chunk_semantics(spark):
     stats = {r["pack_id"]: r for r in pack_stats(packed, budget).collect()}
     last_per_shard = {}
     for pid in stats:
-        shard = pid // 1_000_000_000
+        shard = pid // (1 << 40)
         last_per_shard[shard] = max(last_per_shard.get(shard, -1), pid)
     for pid, s in stats.items():
         docs = by_pack[pid]
         end = max(r["pack_offset"] + r["n_tokens"] for r in docs)
-        if pid != last_per_shard[pid // 1_000_000_000]:
+        if pid != last_per_shard[pid // (1 << 40)]:
             assert end >= budget  # chunk full (straddler included)
 
 

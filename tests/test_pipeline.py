@@ -153,6 +153,50 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert (0, 1) in got
 
 
+def test_zero_vector_cosine_is_null_not_crash(spark):
+    # the multimodal stubs emit all-zero vectors for empty payloads; under
+    # ANSI mode a plain division would kill the job with DIVIDE_BY_ZERO —
+    # try_divide makes the cosine null (ranked last, dropped by thresholds)
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_search.brute_force_topk(df, q, k=2).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[0]["cosine"] == pytest.approx(1.0)
+    assert by_id[1]["cosine"] is None  # zero vector: null, ranked last
+    assert by_id[1]["rank"] == 2
+    # near-dup path: the zero vector contributes no pair and no crash
+    pairs = similarity_search.embedding_near_dup_pairs(
+        df, threshold=0.5, dim=2, num_planes=2
+    ).collect()
+    assert all({r["id_a"], r["id_b"]} != {0, 1} for r in pairs)
+
+
+def test_lsh_bucket_dim_mismatch_raises(spark):
+    # a wrong dim would null-pad the dot and silently send EVERY vector to
+    # bucket 0 (degenerating the bucketed join to O(n^2)) — it must fail loud
+    rows = [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]  # length 8, dim=4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="embedding length"):
+        similarity_search.lsh_bucket(df, dim=4).collect()
+
+
+def test_near_dup_bucket_cap_drops_hot_bucket(spark):
+    # a bucket over max_bucket_size is excluded from the O(f^2) expansion
+    rows = [(i, [1.0, 0.0]) for i in range(6)]  # all identical -> one bucket
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity_search.embedding_near_dup_pairs(
+        df, threshold=0.9, dim=2, num_planes=2, max_bucket_size=5
+    )
+    assert capped.count() == 0  # hot bucket dropped
+    uncapped = similarity_search.embedding_near_dup_pairs(
+        df, threshold=0.9, dim=2, num_planes=2, max_bucket_size=None
+    )
+    assert uncapped.count() == 15  # 6 choose 2
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark, vectors):
     """nprobe == nlist means every list is probed — results must be
     IDENTICAL to exact brute force."""
@@ -429,6 +473,58 @@ def test_redact_pii_classes_and_null(spark):
     assert got[3]["n_pii_total"] == 0 and got[3]["text_redacted"] is None
     assert got[4]["n_pii_total"] == 0
     assert got[4]["text_redacted"] == "clean text with no pii at all"
+
+
+def test_phone_pattern_does_not_eat_longer_digit_runs(spark):
+    # without digit-run lookarounds, the phone class matched the first
+    # 11-13 digits INSIDE a 16-digit card or a long numeric id — leaking
+    # partial card digits past redaction and corrupting non-PII numbers
+    rows = [
+        (1, "card 4111111111111111 here"),  # bare 16-digit card
+        (2, "order id 20260814103045 shipped"),  # long numeric id
+        (3, "call +1 (555) 123-4567 today"),  # real phone still caught
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(d).collect()}
+    assert got[1]["n_phone"] == 0 and got[1]["n_card"] == 1
+    assert "<CARD>" in got[1]["text_redacted"]
+    assert "111" not in got[1]["text_redacted"].replace("4111", "")
+    assert got[2]["n_phone"] == 0 and got[2]["n_card"] == 0
+    assert "20260814103045" in got[2]["text_redacted"]  # untouched
+    assert got[3]["n_phone"] == 1 and "<PHONE>" in got[3]["text_redacted"]
+
+
+def test_quality_score_unicode_letters_not_punctuation(spark):
+    # Java \w is ASCII-only: with [^\w\s] a clean Cyrillic document counted
+    # every letter as punctuation, scored 0.2, and was silently dropped by
+    # the corpus quality floor — \p{L}\p{N} fixes the class
+    rows = [(1, "Привет мир как дела сегодня друзья мои"), (2, "hello world how are you today friends")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.quality_score(d).collect()}
+    assert got[1]["punct_ratio"] == 0.0  # letters are letters
+    assert got[2]["punct_ratio"] == 0.0
+
+
+def test_frame_plan_negative_duration_clamped(spark):
+    from eth2dgraph_spark.pipeline import multimodal
+
+    rows = [
+        (1, "video", "video/mp4", bytearray(b"x"), None, None, -5),
+        (2, "video", "video/mp4", bytearray(b"y"), None, None, 2500),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    frames = multimodal.decode_video_frames(assets, every_ms=1000).collect()
+    by_asset_plan = {}
+    for r in plan:
+        by_asset_plan.setdefault(r["asset_id"], []).append(r["frame_ts_ms"])
+    by_asset_dec = {}
+    for r in frames:
+        by_asset_dec.setdefault(r["asset_id"], []).append(r["frame_ts_ms"])
+    # negative duration: both views emit the single ts=0 sample (no crash,
+    # no silent drop) and stay 1:1
+    assert sorted(by_asset_plan[1]) == [0] == sorted(by_asset_dec[1])
+    assert sorted(by_asset_plan[2]) == [0, 1000, 2000] == sorted(by_asset_dec[2])
 
 
 def test_contamination_pairs_broadcast_semantics(spark):
