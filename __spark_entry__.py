@@ -363,7 +363,10 @@ def q_cosine_ngram_pairs(spark, sf):  # A6/J5 via the real similarity operator
     rows = dedup.shingle_counts(_t(spark, sf, "documents"), k=3).withColumnRenamed(
         "shingle", "ngram"
     )
-    pairs = cosine_similarity_pairs(rows, threshold=0.2)
+    # max_posting_len=None: the gate certifies the EXACT algorithm against
+    # the oracle; the finite default cap is the 100TB hot-posting guard,
+    # unit-tested separately (like the pinned num_shards in the pack gates)
+    pairs = cosine_similarity_pairs(rows, threshold=0.2, max_posting_len=None)
     return _r6(pairs, "similarity")
 
 
@@ -624,7 +627,9 @@ def q_interface_jaccard(spark, sf):  # A7 via the real operator: token-SET Jacca
             "token"
         ),
     )
-    return _r6(jaccard_similarity_pairs(toks, threshold=0.6), "similarity")
+    # None: exact mode for the oracle gate (word postings at sf0.1 exceed
+    # the finite default cap, which is the 100TB guard — unit-tested)
+    return _r6(jaccard_similarity_pairs(toks, threshold=0.6, max_posting_len=None), "similarity")
 
 
 def q_simhash_near_pairs(spark, sf):  # banded-Hamming SimHash near-dups

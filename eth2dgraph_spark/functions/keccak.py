@@ -7,9 +7,14 @@ skeleton hashing (src/models/contract_deployment.rs:110-112).
 Implementation: pycryptodome's C keccak when importable (the fast path on a
 real cluster); otherwise a pure-Python Keccak-f[1600] sponge implemented from
 the public Keccak reference (keccak.team). Exposed to DataFrames as an
-Arrow-batched pandas_udf — signature hashing runs only on globally deduped
-ABI rows (A4), so the Python cost is bounded by distinct signatures, not
-table size.
+Arrow-batched pandas_udf.
+
+Cost note: unlike the decompiler (which is gated behind skeleton dedup —
+the dedup-before-UDF rule), signature hashing runs inline per ABI-entry row
+DELIBERATELY: the vectorized keccak batch is ~µs/row, cheaper than the
+distinct+join shuffle a dedup-then-join would add, and the entries frame is
+already per-distinct-skeleton (not per-deployment), which bounds the
+duplication factor to signatures shared across skeletons.
 """
 
 from __future__ import annotations
@@ -158,7 +163,14 @@ def _to_raw(v):
     if isinstance(v, bytes):
         return v
     if isinstance(v, str) and v.startswith("0x"):
-        return bytes.fromhex(v[2:])
+        # malformed hex after a 0x prefix (odd length, non-hex chars — e.g.
+        # a pluggable decompiler emitting a name like '0xTransfer') is per-
+        # row data, not a task killer: hash the raw utf-8 instead of letting
+        # fromhex's ValueError fail the whole Arrow batch
+        try:
+            return bytes.fromhex(v[2:])
+        except ValueError:
+            return v.encode("utf-8")
     return str(v).encode("utf-8")
 
 

@@ -105,13 +105,18 @@ def skeletonize(code: bytes) -> bytes:
 
 
 def extract_skeleton_hex(code_hex: str | None, strip_metadata: bool = True) -> str | None:
-    """0x-hex in, 0x-hex skeleton out."""
+    """0x-hex in, 0x-hex skeleton out. Malformed hex (odd length, non-hex
+    chars — truncated/corrupt ingest) returns None rather than a
+    plausible-but-wrong skeleton: silently dropping the odd nibble would
+    hash the corrupt contract under a fabricated skeleton_hash and poison
+    every downstream join/compliancy score with no flag."""
     if code_hex is None:
         return None
     h = code_hex[2:] if code_hex.startswith("0x") else code_hex
-    if len(h) % 2:  # defensive: odd-length hex can't decode
-        h = h[:-1]
-    raw = bytes.fromhex(h)
+    try:
+        raw = bytes.fromhex(h)
+    except ValueError:
+        return None
     return "0x" + (skeletonize(raw) if strip_metadata else extract_skeleton(raw)).hex()
 
 

@@ -25,12 +25,22 @@ from pyspark.sql import functions as F
 _DEC38_MAX = 10**38 - 1
 
 
+def _parse_u256(v: str) -> int:
+    """Parse the canonical U256 string forms: decimal, or the raw 0x-hex
+    word the transfer decoder falls back to for values >= 10^38 (the
+    documented `value_overflow` contract). Exact either way — Python ints
+    are arbitrary precision."""
+    return int(v, 16) if v.startswith("0x") else int(v)
+
+
 def to_decimal38(col, flag_col_overflow: bool = True):
-    """(decimal_value, overflow) for a decimal-string U256 column. Values
-    longer than 38 digits overflow Decimal(38,0) and come back null +
+    """(decimal_value, overflow) for a U256 string column. Values longer
+    than 38 digits — including the raw 0x-hex overflow form, which is
+    explicitly recognized — overflow Decimal(38,0) and come back null +
     flagged."""
+    is_hex = col.startswith("0x")
     s = F.regexp_replace(col, "^0+(?=.)", "")  # strip leading zeros
-    overflow = F.length(s) > 38
+    overflow = is_hex | (F.length(s) > 38)
     dec = F.when(~overflow, s.cast("decimal(38,0)"))
     return (dec, overflow) if flag_col_overflow else dec
 
@@ -51,7 +61,7 @@ def sum_u256(df: DataFrame, value_col: str, group_cols: list[str] | None = None)
         out_schema = f"{fields}, sum string"
 
         def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-            total = sum(int(v) for v in pdf[value_col] if v is not None)
+            total = sum(_parse_u256(v) for v in pdf[value_col] if v is not None)
             head = pdf.iloc[:1][group_cols].copy()
             head["sum"] = str(total)
             return head
@@ -61,7 +71,7 @@ def sum_u256(df: DataFrame, value_col: str, group_cols: list[str] | None = None)
     # global: per-Arrow-batch partials, then combine the (tiny) partials
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            total = sum(int(v) for v in pdf[value_col] if v is not None)
+            total = sum(_parse_u256(v) for v in pdf[value_col] if v is not None)
             yield pd.DataFrame({"partial": [str(total)]})
 
     partial_df = df.select(value_col).mapInPandas(partials, schema="partial string")

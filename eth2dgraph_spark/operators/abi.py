@@ -52,12 +52,19 @@ ERC721_FUNCTIONS = [
 ]
 
 
-def distinct_skeletons(deployments: DataFrame) -> DataFrame:
+def distinct_skeletons(
+    deployments: DataFrame,
+    bytecode_col: str = "deployed_bytecode",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """A3: first-writer-wins skeleton table from deployments.
 
     row_number over (skeleton_hash order by block, tx) = 1 keeps the earliest
     deployment's bytecode as the canonical skeleton row, matching the
     reference's first-discovery emission (src/extraction/extract.rs:170-246).
+    THE single definition of the first-writer-wins rule — derive_skeleton_tables
+    reuses it (with `bytecode_col`/`extra_cols`) so a tie-break change can
+    never drift between the two call sites.
     """
     w = Window.partitionBy("skeleton_hash").orderBy(
         F.col("block_number").asc_nulls_last(), F.col("tx_hash").asc_nulls_last()
@@ -68,7 +75,8 @@ def distinct_skeletons(deployments: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(
             "skeleton_hash",
-            F.col("deployed_bytecode").alias("bytecode"),
+            F.col(bytecode_col).alias("bytecode"),
+            *extra_cols,
             F.col("block_number").alias("first_block"),
         )
     )
@@ -126,12 +134,13 @@ def _standard_sigs(spark, names: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, "name string, signature string")
 
 
-def compliancy_scores(membership: DataFrame, abi: DataFrame) -> DataFrame:
+def compliancy_scores(membership: DataFrame) -> DataFrame:
     """P14: per-skeleton ERC-20 (0-6) and ERC-721 (0-9) compliancy.
 
     Join the skeleton->signature bridge (J3) against the two broadcast
     standard-signature dims and count matches — the Spark-native form of the
     reference's per-ABI probing loop (src/models/skeleton.rs:38-157).
+    Needs only the membership bridge (skeleton_hash, signature, type).
     """
     spark = membership.sparkSession
     erc20 = F.broadcast(_standard_sigs(spark, ERC20_FUNCTIONS).select("signature"))

@@ -34,19 +34,35 @@ def asof_join(
     with right_ts <= left_ts (or < if `strict`), matched on `by`. Left rows
     with no prior right row keep nulls — the semantics of DuckDB/kdb ASOF
     JOIN LEFT."""
+    # the right-side values travel as ONE struct per right row, and the
+    # window fills the struct as a unit: filling each column independently
+    # with last(ignorenulls) would assemble a "row" mixing columns from
+    # DIFFERENT right rows whenever the latest right row holds a null in
+    # one value column (ASOF semantics are row-atomic: the latest right
+    # ROW, nulls and all). A right row's struct is never null (a struct of
+    # null fields is still non-null), so ignorenulls skips exactly the
+    # left rows' placeholder.
+    rt_src = right.filter(F.col(right_ts).isNotNull())  # null ts sorts FIRST
+    # under asc and would leak its values into rows with no true prior match
+    rt = rt_src.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
     lt = left.select(
         F.col(by).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(rt.schema["_r"].dataType).alias("_r"),
     )
-    rt = right.select(
-        F.col(by).alias("_k"),
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_is_left"),
+    rt = rt.select(
+        "_k",
+        "_t",
+        "_is_left",
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        "_r",
     )
     # at equal timestamps the right row must sort BEFORE the left row for
     # <= semantics (AFTER it for strict <)
@@ -59,13 +75,10 @@ def asof_join(
     filled = lt.unionByName(rt).select(
         "_is_left",
         "_l",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_rv"),
     )
     out = filled.filter(F.col("_is_left") == 1).select(
-        "_l.*", *[F.col(f"_rv_{c}").alias(c) for c in value_cols]
+        "_l.*", *[F.col(f"_rv.{c}").alias(c) for c in value_cols]
     )
     return out
 

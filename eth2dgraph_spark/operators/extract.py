@@ -99,21 +99,9 @@ def derive_skeleton_tables(
     ORIGINAL deployed bytecode of the first deployment — skeletons have
     their PUSH arguments zeroed, which would erase the dispatch selectors
     (src/extraction/extract.rs:159-246 decompiles the deployed code)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("skeleton_hash").orderBy(
-        F.col("block_number").asc_nulls_last(), F.col("tx_hash").asc_nulls_last()
-    )
-    sk = (
-        deployments.filter(F.col("skeleton_hash").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "skeleton_hash",
-            F.col("skeleton_bytecode").alias("bytecode"),
-            "deployed_bytecode",
-            F.col("block_number").alias("first_block"),
-        )
+    # the A3 first-writer-wins rule lives in ONE place (abi_ops.distinct_skeletons)
+    sk = abi_ops.distinct_skeletons(
+        deployments, bytecode_col="skeleton_bytecode", extra_cols=("deployed_bytecode",)
     )
     decompiled = sk.withColumn(
         "_abi", decompile_udf(decompiler)(F.col("deployed_bytecode"))
@@ -135,7 +123,7 @@ def derive_skeleton_tables(
     abi_table = abi_ops.dedup_abi(
         with_sigs.select("signature", "type", "name", "inputs", "outputs", "bytes4")
     )
-    scores = abi_ops.compliancy_scores(membership, abi_table)
+    scores = abi_ops.compliancy_scores(membership)
     skeletons = (
         decompiled.drop("_abi")
         .join(scores, "skeleton_hash", "left")
@@ -194,9 +182,13 @@ def extract_all(
     (src/main.rs:18-21, src/extraction/extract.rs:291-400)."""
     txs = block_ops.tx_bytes4(block_ops.normalize_tx_to(transactions))
     enriched_blocks = block_ops.enrich_blocks(blocks, transactions)
-    raw_deps = trace_ops.extract_deployments(traces)
+    # propagate trace errors ONCE: each extractor would otherwise run its
+    # own full filter+groupBy(tx_hash)+join over the entire traces table —
+    # a duplicated shuffle of the largest input at scale
+    t = trace_ops.propagate_trace_errors(traces)
+    raw_deps = trace_ops.extract_deployments(t, propagate_errors=False)
     deps = enrich_deployments(raw_deps)
-    dess = trace_ops.extract_destructions(traces)
+    dess = trace_ops.extract_destructions(t, propagate_errors=False)
     transfers = transfer_ops.decode_token_transfers(logs)
     logs_exploded = transfer_ops.explode_topics(logs)
     skeletons, abi_table, membership = derive_skeleton_tables(

@@ -24,9 +24,21 @@ from pyspark.sql import functions as F
 DEFAULT_COSINE_THRESHOLD = 0.95  # src/main.rs:126-131
 DEFAULT_JACCARD_THRESHOLD = 0.75  # src/main.rs:121-125
 
+# Postings longer than this are dropped before the O(f^2) in-row pair
+# expansion — the same single-reducer defense as
+# pipeline.dedup.DEFAULT_MAX_SHINGLE_DOCS: at mainnet scale, ubiquitous
+# boilerplate n-grams (the standard Solidity dispatch prelude) and tokens
+# shared by every ERC-20 ('totalSupply()') have million-long postings whose
+# in-row expansion is ~10^12 structs in ONE row. Dropping a hot posting
+# only removes intersection/dot evidence, so scores are exact-or-
+# underestimated, never inflated.
+DEFAULT_MAX_POSTING = 1024
+
 
 def cosine_similarity_pairs(
-    ngram_rows: DataFrame, threshold: float = DEFAULT_COSINE_THRESHOLD
+    ngram_rows: DataFrame,
+    threshold: float = DEFAULT_COSINE_THRESHOLD,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING,
 ) -> DataFrame:
     """A6/J5: all pairs with n-gram cosine >= threshold.
 
@@ -35,7 +47,8 @@ def cosine_similarity_pairs(
     sorted posting list is expanded in-row to triangular (id_a, id_b,
     cnt_a*cnt_b) contributions — no self-join of the index, no j<=i half
     ever materialized (vs. the reference's rayon loop,
-    similarities.rs:256-305).
+    similarities.rs:256-305). `max_posting_len` (finite BY DEFAULT) caps
+    the expansion; pass None for exact scores on bounded inputs.
     """
     norms = ngram_rows.groupBy("id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("norm2"))
     # norms are computed on the FULL vectors above; n-grams private to one
@@ -47,6 +60,8 @@ def cosine_similarity_pairs(
         .agg(F.sort_array(F.collect_list("e")).alias("es"))  # sorts by id
         .filter(F.size("es") > 1)
     )
+    if max_posting_len is not None:
+        posting = posting.filter(F.size("es") <= max_posting_len)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -80,13 +95,16 @@ def cosine_similarity_pairs(
 
 
 def jaccard_similarity_pairs(
-    token_rows: DataFrame, threshold: float = DEFAULT_JACCARD_THRESHOLD
+    token_rows: DataFrame,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING,
 ) -> DataFrame:
     """A7: all pairs with token-set Jaccard >= threshold.
 
     Input: (id, token) DISTINCT rows (the interface name sets of
     similarities.rs:94-103 — or any token sets). |A∩B| from the join,
     |A∪B| = |A|+|B|-|A∩B|. Empty sets produce no rows => 0.0 (:233-234).
+    `max_posting_len` caps the hot-token expansion (see DEFAULT_MAX_POSTING).
     """
     tok = token_rows.select("id", F.xxhash64("token").alias("token")).distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -97,6 +115,8 @@ def jaccard_similarity_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_posting_len is not None:
+        posting = posting.filter(F.size("ids") <= max_posting_len)
     pair = F.explode(
         F.flatten(
             F.transform(

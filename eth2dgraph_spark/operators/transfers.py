@@ -85,8 +85,12 @@ def decode_token_transfers(logs: DataFrame) -> DataFrame:
     erc20 = n_topics == 3
     first_word = F.concat(F.lit("0x"), F.substring(F.regexp_replace("data", "^0x", ""), 1, 64))
     value_dec, value_ovf = _hex_word_to_decimal_string(first_word)
-    token_id_dec, _ = _hex_word_to_decimal_string(F.get("topics", 3))
+    token_id_dec, token_id_ovf = _hex_word_to_decimal_string(F.get("topics", 3))
 
+    # the overflow flag is part of the row contract, not discarded: when
+    # true, value/token_id hold the RAW 0x-hex word (values >= 10^38 —
+    # routine for keccak-derived ERC-721 token ids), which downstream
+    # consumers must parse as hex (functions/u256.py does)
     return t.select(
         F.col("address").alias("contract"),
         _topic_to_address(F.get("topics", 1)).alias("from"),
@@ -94,6 +98,7 @@ def decode_token_transfers(logs: DataFrame) -> DataFrame:
         F.when(erc20, value_dec).alias("value"),
         F.when(~erc20, token_id_dec).alias("token_id"),
         F.when(erc20, F.lit("erc20")).otherwise(F.lit("erc721")).alias("token_type"),
+        F.when(erc20, value_ovf).otherwise(token_id_ovf).alias("value_overflow"),
         F.col("block_number"),
         F.col("tx_hash"),
         F.col("log_index"),

@@ -101,9 +101,11 @@ TOKEN_TRANSFERS = StructType(
         StructField("contract", StringType(), False),
         StructField("from", StringType(), True),
         StructField("to", StringType(), True),
-        StructField("value", StringType(), True),  # ERC-20 (U256 decimal string)
-        StructField("token_id", StringType(), True),  # ERC-721
+        StructField("value", StringType(), True),  # ERC-20: U256 decimal string,
+        # or the raw 0x-hex word when >= 10^38 (see value_overflow)
+        StructField("token_id", StringType(), True),  # ERC-721 (same contract)
         StructField("token_type", StringType(), True),  # erc20|erc721
+        StructField("value_overflow", BooleanType(), True),  # value/token_id is raw hex
         StructField("block_number", LongType(), True),
         StructField("tx_hash", StringType(), True),
         StructField("log_index", LongType(), True),

@@ -37,6 +37,31 @@ def test_asof_join_strict_excludes_equal_ts(spark):
     assert got["l2"] == 80.0  # right@10 excluded under strict <, falls back to 8
 
 
+def test_asof_join_is_row_atomic_not_per_column(spark):
+    # ASOF semantics: the latest right ROW, nulls and all — filling each
+    # column independently with last(ignorenulls) would combine price from
+    # the latest row with size from an OLDER row (a frankenrow)
+    left = spark.createDataFrame([("a", 3, "l1")], "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("a", 1, 100.0, 5.0), ("a", 2, 200.0, None)],
+        "k string, t long, px double, sz double",
+    )
+    row = asof_join(left, right, "k", "t", "t", ["px", "sz"]).collect()[0]
+    assert row["px"] == 200.0
+    assert row["sz"] is None  # from the SAME (t=2) row, not t=1's 5.0
+
+
+def test_asof_join_ignores_null_timestamp_right_rows(spark):
+    # a right row with null ts sorts FIRST under asc and would otherwise
+    # leak its values into left rows that have no true prior match
+    left = spark.createDataFrame([("a", 1, "l1")], "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("a", None, 999.0), ("a", 5, 50.0)], "k string, t long, px double"
+    )
+    row = asof_join(left, right, "k", "t", "t", ["px"]).collect()[0]
+    assert row["px"] is None  # no right row at-or-before t=1
+
+
 def test_interval_join_buckets(spark):
     points = spark.createDataFrame(
         [(1, 5), (2, 25), (3, 42)], "pid long, ts long"

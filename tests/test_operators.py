@@ -187,7 +187,7 @@ def test_compliancy_scores(spark):
     rows += [("0xsk2", erc20_sigs[2], "function")]  # transfer only: 1/6
     rows += [("0xsk3", "0xdeadbeef", "event")]
     df = spark.createDataFrame(rows, "skeleton_hash string, signature string, type string")
-    got = {r["skeleton_hash"]: r for r in abi_ops.compliancy_scores(df, df).collect()}
+    got = {r["skeleton_hash"]: r for r in abi_ops.compliancy_scores(df).collect()}
     assert got["0xsk1"]["erc20_compliancy"] == 6
     # balanceOf/transferFrom/approve overlap with ERC-721 (skeleton.rs:86-157)
     assert got["0xsk1"]["erc721_compliancy"] == 3
@@ -323,6 +323,43 @@ def test_jaccard_pairs(spark):
     pairs = similarity.jaccard_similarity_pairs(df, threshold=0.75).collect()
     assert len(pairs) == 1
     assert pairs[0]["similarity"] == 1.0  # identical interfaces -> 1.0
+
+
+def test_hot_posting_cap_bounds_expansion_and_never_inflates(spark):
+    # a token shared by MORE than max_posting_len ids is dropped from the
+    # pair expansion (the mainnet 'totalSupply()' single-reducer guard);
+    # capped scores are exact-or-underestimated, never inflated
+    hot = [(f"s{i}", "hot") for i in range(10)]  # posting length 10
+    rare = [("s0", "rare"), ("s1", "rare")]
+    df = spark.createDataFrame(hot + rare, "id string, token string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in similarity.jaccard_similarity_pairs(
+            df, threshold=0.01, max_posting_len=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in similarity.jaccard_similarity_pairs(
+            df, threshold=0.01, max_posting_len=5
+        ).collect()
+    }
+    # only the rare-token pair survives: s0-s1 share 'rare' (inter 1 of
+    # union 3 -> 1/3); the 45 hot-only pairs vanish with the capped posting
+    assert set(capped) == {("s0", "s1")}
+    assert len(exact) == 45  # C(10,2) hot pairs; (s0,s1) is one of them
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12  # never inflated
+    # cosine path: same guard
+    cg = similarity.cosine_similarity_pairs(
+        spark.createDataFrame(
+            [(f"s{i}", "hot", 1) for i in range(10)] + [("s0", "rare", 1), ("s1", "rare", 1)],
+            "id string, ngram string, cnt long",
+        ),
+        threshold=0.01,
+        max_posting_len=5,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cg} == {("s0", "s1")}
 
 
 def test_one_vs_all(spark):
