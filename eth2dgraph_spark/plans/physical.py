@@ -53,7 +53,16 @@ def salted_join(
     retries and speculative tasks see the same distribution.
 
     Use when one join key dominates (the zero-address, a mega-contract):
-    a single straggler partition becomes `salt` even ones."""
+    a single straggler partition becomes `salt` even ones.
+
+    Right/full outer joins are rejected: the right side is replicated per
+    salt value, so an unmatched right row would surface `salt` times as
+    null-padded output — silently wrong multiplicity."""
+    if how.replace("_", "").lower() in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer would emit each "
+            "unmatched right row once per salt value; use an un-salted join"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l = left.withColumn("_salt", lsalt)
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).withColumn(

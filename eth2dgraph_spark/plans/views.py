@@ -87,6 +87,15 @@ def graph_edges(tables: dict[str, DataFrame]) -> DataFrame:
     if "logs" in t:
         edge(t["logs"], "address", "tx_hash", "emitted_log_in_tx")
 
+    if not parts:
+        known = (
+            "transactions, token_transfers, deployments, destructions, "
+            "abi_membership, logs"
+        )
+        raise ValueError(
+            f"graph_edges: none of the edge-producing tables present in "
+            f"{sorted(tables)} (expected at least one of: {known})"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -193,9 +202,15 @@ def _motif_graphframes(edges: DataFrame, terms, var_order) -> DataFrame:
     )
     e = edges.select("src", "dst", F.col("type").alias("relationship"))
     g = GraphFrame(verts, e)
-    pat = "; ".join(f"({sv})-[e{i}]->({dv})" for i, (sv, _, dv) in enumerate(terms))
+    # edge aliases must not collide with the user's vertex variables (a
+    # pattern like '(e0)-[deployed]->(b)' would otherwise bind e0 as both
+    # vertex and edge): extend the prefix until it is free
+    prefix = "e"
+    while any(v.startswith(prefix) and v[len(prefix):].isdigit() for v in var_order):
+        prefix = "_" + prefix
+    pat = "; ".join(f"({sv})-[{prefix}{i}]->({dv})" for i, (sv, _, dv) in enumerate(terms))
     r = g.find(pat)
     for i, (_, etype, _dv) in enumerate(terms):
         if etype:
-            r = r.filter(F.col(f"e{i}.relationship") == etype)
+            r = r.filter(F.col(f"{prefix}{i}.relationship") == etype)
     return r.select(*[F.col(f"{v}.id").alias(v) for v in var_order])

@@ -39,18 +39,26 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _ensure_nanos_conf(spark: SparkSession) -> None:
     try:  # runtime-settable SQL conf; the caller's session may not have it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf locked down: proceed, non-ns tables still read
         pass
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
     return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of a testdata table (file source). Schema comes from a
     batch footer read (streams can't infer), and the same ts normalization
-    as the batch path applies — stream and batch consumers see one type."""
+    as the batch path applies — stream and batch consumers see one type.
+    The nanosAsLong conf is set here too: a fresh session that never called
+    read_table would otherwise fail the schema read outright on a
+    TIMESTAMP(NANOS) file."""
+    _ensure_nanos_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # the file stream source requires a DIRECTORY base path; select just this
     # table's file(s) out of the shared dir with a glob filter

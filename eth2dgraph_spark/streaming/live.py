@@ -34,11 +34,25 @@ from pyspark.sql import functions as F
 from ..sources.eth import BLOCK_BUCKET_COL, read_eth_table, with_block_bucket
 
 
+def _read_sink_or_none(spark: SparkSession, table: str, base_path: str):
+    """Read a sink table, distinguishing 'does not exist yet' (-> None) from
+    REAL read errors (corrupt footer, storage outage, permissions), which
+    must PROPAGATE: swallowing them would silently restart backfill from
+    genesis / disable dedup and corrupt the sink."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_eth_table(spark, table, base_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def last_indexed_block(spark: SparkSession, base_path: str) -> int:
     """W1 over the sink (src/extraction/stream.rs:284-300)."""
-    try:
-        df = read_eth_table(spark, "blocks", base_path)
-    except Exception:  # noqa: BLE001 — empty sink: start from genesis
+    df = _read_sink_or_none(spark, "blocks", base_path)
+    if df is None:  # empty sink: start from genesis
         return -1
     row = df.agg(F.max("number").alias("m")).collect()[0]
     return -1 if row["m"] is None else int(row["m"])
@@ -50,16 +64,44 @@ def process_block_batch(
     table: str,
     block_col: str = "block_number",
 ) -> None:
-    """T3: idempotent write of one micro-batch — dynamic partition overwrite
-    on the block bucket. Replays and reorg re-processing rewrite the same
-    partition deterministically (the delete-then-reinsert of
-    src/models/block.rs:171-284, minus per-row transactions)."""
+    """T3: idempotent write of one micro-batch with PER-BLOCK
+    delete-then-reinsert semantics (src/models/block.rs:171-284).
+
+    Dynamic partition overwrite replaces each touched 10k-block bucket
+    WHOLESALE, so the batch's rows alone must never be the new bucket
+    contents: a micro-batch covering part of a bucket would silently delete
+    every other block already in it. The surviving rows of each touched
+    bucket (blocks NOT in this batch) are read back, lineage-cut with an
+    eager localCheckpoint (Spark refuses to overwrite a path it is still
+    reading), and rewritten together with the batch. Replaying the same
+    batch is a no-op rewrite; reorg re-processing replaces exactly that
+    block's rows. (On a transactional table format — Delta/Iceberg — this
+    whole dance is a MERGE; parquet-only sinks pay the bucket rewrite.)"""
+    spark = batch.sparkSession
     out = with_block_bucket(batch, block_col)
+    path = f"{base_path}/{table}"
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            existing = None
+        else:
+            raise
+    if existing is not None:
+        touched = out.select(BLOCK_BUCKET_COL).distinct()
+        keep = (
+            existing.join(F.broadcast(touched), BLOCK_BUCKET_COL, "left_semi")
+            .join(out.select(block_col).distinct(), block_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = keep.unionByName(out)
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BLOCK_BUCKET_COL)
-        .parquet(f"{base_path}/{table}")
+        .parquet(path)
     )
 
 
@@ -67,12 +109,16 @@ def dedup_against_sink(
     batch_skeletons: DataFrame, spark: SparkSession, base_path: str
 ) -> DataFrame:
     """T5: keep only skeletons not yet in the sink (left-anti against the
-    skeleton table), then append. Stateless — state lives in the table."""
-    try:
-        existing = read_eth_table(spark, "skeletons", base_path).select("skeleton_hash")
-    except Exception:  # noqa: BLE001 — no skeleton table yet
+    skeleton table), then append. Stateless — state lives in the table.
+    A missing table means 'first batch'; a FAILING read raises (returning
+    the batch unfiltered would append duplicates into a table whose
+    contract is global uniqueness — corruption appends can't undo)."""
+    existing = _read_sink_or_none(spark, "skeletons", base_path)
+    if existing is None:
         return batch_skeletons
-    return batch_skeletons.join(existing, "skeleton_hash", "left_anti")
+    return batch_skeletons.join(
+        existing.select("skeleton_hash"), "skeleton_hash", "left_anti"
+    )
 
 
 def backfill_then_live(

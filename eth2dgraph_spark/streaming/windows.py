@@ -146,10 +146,20 @@ def stream_stream_join(
 def streaming_dedup(
     df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
 ) -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon: state is bounded —
+    """Exactly-once-per-KEY within the watermark horizon: state is bounded —
     keys older than the watermark are evicted (vs. the unbounded DashMap of
-    src/extraction/stream.rs:184-246, this survives unbounded streams)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    src/extraction/stream.rs:184-246, this survives unbounded streams).
+
+    dropDuplicatesWithinWatermark on the keys ALONE: including ts_col in
+    the subset (the dropDuplicates form requires it for state eviction)
+    would dedup only exact (key, ts) pairs — the same skeleton_hash
+    arriving in a later block has a new timestamp and would pass through,
+    which is precisely the duplicate the DashMap analog must stop.
+    (That operator exists only for streams; on a batch frame the same
+    per-key semantics is a plain dropDuplicates — no state to bound.)"""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
 
 
 def running_contract_counters(events: DataFrame, timeout_s: int = 3600) -> DataFrame:

@@ -68,6 +68,24 @@ def test_last_indexed_and_backfill(spark, tmp_path):
     assert next_block == 121
     assert calls == [(50, 79), (80, 109), (110, 120)]  # bounded batches (T2)
     assert last_indexed_block(spark, base) == 120
+    # ALL blocks survive: batches share bucket 0, and each partial-bucket
+    # write must merge with the surviving blocks, not replace the bucket
+    # (this exact scenario previously lost blocks 0-49 silently)
+    got = spark.read.parquet(f"{base}/blocks")
+    assert got.count() == 121
+    assert got.select(F.min("number"), F.max("number")).collect()[0] == (0, 120)
+
+
+def test_partial_batch_within_bucket_preserves_existing_blocks(spark, tmp_path):
+    # sequential micro-batches inside ONE 10k bucket: every earlier block
+    # must survive each later partial write, and replays stay idempotent
+    base = str(tmp_path / "sink5")
+    process_block_batch(_blocks_df(spark, 0, 9), base, "blocks", block_col="number")
+    process_block_batch(_blocks_df(spark, 10, 19), base, "blocks", block_col="number")
+    process_block_batch(_blocks_df(spark, 5, 12, miner="0xeee"), base, "blocks", block_col="number")  # reorg replay
+    got = spark.read.parquet(f"{base}/blocks")
+    assert got.count() == 20  # nothing lost, nothing duplicated
+    assert got.filter(F.col("miner") == "0xeee").count() == 8  # 5..12 replaced
 
 
 def test_skeleton_dedup_against_sink(spark, tmp_path):

@@ -63,9 +63,46 @@ def test_session_windows_gap_split(spark):
 
 
 def test_streaming_dedup_batch_semantics(spark):
-    rows = [("a", T0), ("a", T0), ("b", T0)]
+    # per-KEY dedup: the same key at a DIFFERENT timestamp is still a
+    # duplicate (the DashMap semantics) — the old (key, ts)-subset form
+    # would have passed the 30-min-later row through
+    rows = [("a", T0), ("a", T0), ("a", T0 + dt.timedelta(minutes=30)), ("b", T0)]
     df = spark.createDataFrame(rows, "k string, ts timestamp")
     assert streaming_dedup(df, ["k"], "ts").count() == 2
+
+
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    # real stream: the same key arriving in a LATER micro-batch (new ts)
+    # must be dropped by the watermark-bounded per-key state
+    import os
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    df1 = spark.createDataFrame([("a", T0), ("b", T0)], "k string, ts timestamp")
+    df2 = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(minutes=5)), ("c", T0)], "k string, ts timestamp"
+    )
+    df1.coalesce(1).write.parquet(str(landing / "f1"))
+    df2.coalesce(1).write.parquet(str(landing / "f2"))
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(str(landing), "*"))
+    )
+    q = (
+        streaming_dedup(stream, ["k"], "ts")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {r["k"] for r in spark.sql("SELECT k FROM dedup_sink").collect()}
+    rows = spark.sql("SELECT k FROM dedup_sink").count()
+    assert got == {"a", "b", "c"}
+    assert rows == 3  # 'a' emitted once despite arriving in two batches
 
 
 def test_running_contract_counters_stateful_stream(spark, tmp_path):
