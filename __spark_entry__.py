@@ -69,6 +69,14 @@ def _dess_coarse(ev: DataFrame) -> DataFrame:
     )
 
 
+def _ws_tokens(text_col: str = "text"):
+    """Whitespace tokens of normalized text — THE Spark mirror of the
+    oracle's load-bearing `_NORM` + string_split constant. One definition:
+    a tokenization tweak applied to a stray copy would silently diverge
+    just that gate from its oracle (the round-5 rep_stats lesson)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+
+
 def _r6e(col):
     """Tie-nudged 6-dp rounding for DOUBLE columns, mirrored verbatim in the
     oracle SQL (`round(x + 1e-9, 6)`): a rational like 41/640 or an avg of
@@ -623,7 +631,7 @@ def q_interface_jaccard(spark, sf):  # A7 via the real operator: token-SET Jacca
     d = _t(spark, sf, "documents")
     toks = d.select(
         F.col("doc_id").alias("id"),
-        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias(
+        F.explode(_ws_tokens()).alias(
             "token"
         ),
     )
@@ -1158,11 +1166,10 @@ def q_promo_revenue(spark, sf):  # TPC-H Q14 shape: conditional-to-total ratio
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
+            _r6e(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+                / F.sum(rev)
             ).alias("promo_pct")
         )
     )
@@ -1218,7 +1225,7 @@ def q_value_window(spark, sf):  # first_value / last_value / nth_value over fram
 
 def q_posexplode_tokens(spark, sf):  # positional explode (LATERAL VIEW surface)
     d = _t(spark, sf, "documents")
-    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks = _ws_tokens()
     return (
         d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
         .filter(F.col("pos") < 5)
@@ -1259,7 +1266,7 @@ def q_bool_aggs(spark, sf):  # bool_and / bool_or / count_if surface
 def q_heavy_hitters(spark, sf):  # corpus-level top-k token frequencies — the
     # exact baseline a count-min/TopK sketch would approximate at 100 TB
     d = _t(spark, sf, "documents")
-    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks = _ws_tokens()
     return (
         d.select(F.explode(toks).alias("token"))
         .groupBy("token")
@@ -1388,7 +1395,7 @@ def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
     from eth2dgraph_spark.pipeline import sketch
 
     d = _t(spark, sf, "documents")
-    toks_col = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks_col = _ws_tokens()
     toks = d.select(F.explode(toks_col).alias("token"))
     approx, n_total = sketch.countmin_topk_and_total(toks, "token", k=64)
     exact = (

@@ -91,18 +91,23 @@ def main() -> None:
     # Python-worker startup (worker fork + numpy/pandas imports on all
     # cores) with a tiny Arrow UDF so the pandas_udf queries aren't the
     # first to hit it (~5 s of non-steady-state otherwise)
+    # NOTE: no type hints on the warmup UDF body — under `from __future__
+    # import annotations` the stringified "pd.Series" hints make pandas_udf
+    # raise UNSUPPORTED_SIGNATURE at decoration time (reproduced), which the
+    # try/except silently ate: every bench run skipped the Python-worker
+    # warmup and the first pandas_udf query absorbed the ~5 s fork+import
+    # cost. The returnType-only form sidesteps hint parsing entirely.
     try:
         qs["last_block"](spark, SF_DIR).collect()
-        import pandas as pd  # noqa: F401
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("double")
-        def _warm(v: "pd.Series") -> "pd.Series":
+        def _warm_fn(v):
             import numpy as np
 
             return v + np.float64(0)
 
+        _warm = pandas_udf(_warm_fn, "double")
         spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
             spark.sparkContext.defaultParallelism
         ).select(_warm(F.col("id").cast("double"))).write.format("noop").mode(
@@ -134,7 +139,10 @@ def main() -> None:
             # before this, within noise of isolated after).
             spark.catalog.clearCache()
             gc.collect()
-        if best is not None:
+        # a query is either timed or errored, never both: counting repeat-1's
+        # timing after repeat-2 failed would fold a half-completed query into
+        # the headline total while also listing it under errors
+        if best is not None and name not in errors:
             timings[name] = best
         spark.catalog.clearCache()
         gc.collect()

@@ -39,14 +39,17 @@ def gas_price_stats(transactions: DataFrame, block_col: str = "block_number") ->
 def enrich_blocks(blocks: DataFrame, transactions: DataFrame) -> DataFrame:
     """Blocks + derived datetime (P11, src/models/block.rs:26-30) + A1 stats.
 
-    Left join keeps empty blocks (stats null), exactly as the reference emits
-    blocks with no priced transactions.
+    Left join keeps empty blocks: gas stats stay null (no priced txs to
+    aggregate), but tx_count is 0 — the reference emits txs.len()
+    (src/models/block.rs:75), and a null here would make every
+    empty-block filter/aggregate silently miss them.
     """
     stats = gas_price_stats(transactions)
     return (
         blocks.withColumn("datetime", F.to_timestamp(F.from_unixtime(F.col("timestamp"))))
         .join(stats, blocks["number"] == stats["block_number"], "left")
         .drop("block_number")
+        .withColumn("tx_count", F.coalesce(F.col("tx_count"), F.lit(0)))
     )
 
 

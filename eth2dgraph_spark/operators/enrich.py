@@ -61,8 +61,15 @@ def resolve_names(
                 names.extend(resolver(a[i : i + batch_size]))
             yield pd.DataFrame({"contract": a, "name": names})
 
-    resolved = addrs.mapInPandas(call_batches, out_schema).filter(
-        F.col("name").isNotNull()
+    # persist the RPC results BEFORE the join: the mapInPandas stage is
+    # side-effecting (live network calls) but Spark treats it as a
+    # deterministic recomputable stage — a task retry or plan reuse would
+    # re-fire the whole RPC fan-out, and a resolver whose answers vary
+    # between calls (timeouts) could mix rows from different executions
+    resolved = (
+        addrs.mapInPandas(call_batches, out_schema)
+        .filter(F.col("name").isNotNull())
+        .persist()
     )
     joined = deployments.join(resolved.withColumnRenamed("name", "_rpc_name"), "contract", "left")
     name_col = (

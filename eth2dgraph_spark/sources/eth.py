@@ -60,7 +60,11 @@ def write_eth_table(
     on JSON."""
     path = f"{base_path}/{table}"
     block_col = "number" if table == "blocks" else "block_number"
-    if table in _DYNAMIC or table == "blocks":
+    # ONE partitioned-table predicate: the bucket column, dynamic overwrite,
+    # and partitionBy must always travel together (a table in one branch but
+    # not the other would silently lose the per-bucket idempotency contract)
+    partitioned = table in _DYNAMIC or table == "blocks"
+    if partitioned:
         w = with_block_bucket(df, block_col).write.mode(mode).option(
             "partitionOverwriteMode", "dynamic"
         )
@@ -68,7 +72,7 @@ def write_eth_table(
         w = df.write.mode(mode)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
-    if table in _DYNAMIC or table == "blocks":
+    if partitioned:
         w = w.partitionBy(BLOCK_BUCKET_COL)
     if format == "json":
         w.option("compression", compression or "gzip").json(path)

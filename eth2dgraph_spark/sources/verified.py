@@ -59,14 +59,18 @@ def join_verified_sources(deployments: DataFrame, sources: DataFrame) -> DataFra
     (src/models/contract_deployment.rs:22-35). Existing name (from the
     name() eth_call) wins over the filename-derived one, as in the
     reference where resolve_name runs first."""
+    # case-insensitive match WITHOUT mutating the contract column: the old
+    # withColumn("contract", lower(...)) permanently lowercased EIP-55
+    # checksummed addresses in the output, silently diverging every later
+    # join/overwrite against the unmodified deployments table
     src = sources.select(
-        F.col("address").alias("contract"),
+        F.lower(F.col("address")).alias("_src_addr"),
         F.col("name").alias("_src_name"),
         F.col("verified_source_code").alias("_src_code"),
     )
-    out = deployments.withColumn("contract", F.lower("contract")).join(
-        src, "contract", "left"
-    )
+    out = deployments.join(
+        src, F.lower(deployments["contract"]) == src["_src_addr"], "left"
+    ).drop("_src_addr")
     name_col = (
         F.coalesce(F.col("name"), F.col("_src_name"))
         if "name" in deployments.columns

@@ -44,8 +44,11 @@ def test_join_verified_sources(spark, tmp_path):
         [(ADDR_A.upper(), 1), (ADDR_C, 2)], "contract string, block_number long"
     )
     out = {r["contract"]: r for r in join_verified_sources(deps, src).collect()}
-    assert out[ADDR_A]["verified_source"] is True  # case-normalized match
-    assert out[ADDR_A]["name"] == "TokenA"
+    # the ORIGINAL (checksummed/upper) casing survives the join — the match
+    # is case-insensitive but the column is never mutated (a lowercased
+    # output would diverge from every later join against the raw table)
+    assert out[ADDR_A.upper()]["verified_source"] is True
+    assert out[ADDR_A.upper()]["name"] == "TokenA"
     assert out[ADDR_C]["verified_source"] is False
     assert out[ADDR_C]["verified_source_code"] is None
 

@@ -47,9 +47,11 @@ def main() -> int:
 
     qs, os_ = queries(), oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -86,7 +88,9 @@ def main() -> int:
             continue
         print(f"ok   {name}: rows={len(srows)} hash-match [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    # report over queries actually RUN: with an only-filter, the old
+    # len(qs)-based summary claimed unexecuted queries as passing
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
     return 1 if failures else 0
 
 
