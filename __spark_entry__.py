@@ -2499,8 +2499,8 @@ def oracle_sql() -> dict[str, str]:
                               count(*) OVER (PARTITION BY lang) AS n
                        FROM h)
             SELECT doc_id, lang,
-                   CASE WHEN rn <= ceil(n * 0.9) THEN 'train'
-                        WHEN rn <= ceil(n * 0.95) THEN 'val'
+                   CASE WHEN rn <= ceil(round(n * 0.9, 9)) THEN 'train'
+                        WHEN rn <= ceil(round(n * 0.95, 9)) THEN 'val'
                         ELSE 'test' END AS split
             FROM r""",
         "approx_sketches": """

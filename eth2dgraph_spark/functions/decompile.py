@@ -30,6 +30,7 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from .hexparse import parse_bytecode_hex
 
 ABI_ENTRY = StructType(
     [
@@ -71,15 +72,19 @@ def selector_lifter(bytecode_hex: str | None) -> list[dict]:
     """Default decompiler: unresolved function entry per lifted selector."""
     if not bytecode_hex:
         return []
-    h = bytecode_hex[2:] if bytecode_hex.startswith("0x") else bytecode_hex
-    try:
-        code = bytes.fromhex(h)
-    except ValueError:
+    code = parse_bytecode_hex(bytecode_hex)
+    if code is None:  # malformed hex: no selectors liftable
         return []
     return [
         {"type": "function", "name": f"Unresolved_{sel}", "inputs": None, "outputs": None}
         for sel in lift_selectors(code)
     ]
+
+
+class DecompilerEnvironmentError(RuntimeError):
+    """The decompiler could not even be SPAWNED (missing binary, not
+    executable): an environment misconfiguration, not per-contract data —
+    decompile_udf re-raises it to fail the task instead of nulling rows."""
 
 
 class DecompilationError(Exception):
@@ -172,6 +177,17 @@ def subprocess_decompiler(
                     impl.stats["timeouts"] += 1
                     last = DecompilationError("Timeout")
                     continue
+                except OSError as exc:
+                    # binary missing / not executable: an ENVIRONMENT error,
+                    # not per-contract data. Fail the task loudly —
+                    # swallowed into the per-row None path it would mark
+                    # EVERY skeleton failed_decompilation=true and the run
+                    # would 'succeed' with an empty ABI table
+                    raise DecompilerEnvironmentError(
+                        f"decompiler spawn failed ({argv[0]!r}): {exc} — "
+                        "install the binary on every executor or pass a "
+                        "different decompiler"
+                    ) from exc
                 try:
                     with open(os.path.join(out_dir, "abi.json")) as fh:
                         text = fh.read()
@@ -209,6 +225,10 @@ def decompile_udf(impl: Callable[[str | None], list[dict]] = selector_lifter):
         def one(v):
             try:
                 return impl(v)
+            except DecompilerEnvironmentError:
+                # environment errors (missing binary, env mismatch) must
+                # fail the task, not become silent per-row nulls
+                raise
             except Exception:  # noqa: BLE001 — decompiler failure is data, not a crash
                 return None
 

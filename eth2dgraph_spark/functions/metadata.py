@@ -19,6 +19,7 @@ import re
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+from .hexparse import parse_bytecode_hex
 
 _MARKERS = re.compile(
     b"(\xa1\x65bzzr0)|(\xa2\x65bzzr0)|(\xa2\x65bzzr1)|(\xa2\x64ipfs)", re.DOTALL
@@ -68,6 +69,12 @@ def _read_cbor_item(buf: bytes, i: int):
         raise ValueError(f"unsupported CBOR info {info}")
     if major == 0:  # uint
         return arg, i
+    if major in (2, 3) and i + arg > len(buf):
+        # a declared length past the buffer end is TRUNCATED metadata
+        # (corrupt ingest): slicing would silently return fewer bytes and
+        # fabricate a short-but-plausible storage hash — reject like a
+        # real CBOR parser (decode_metadata maps the error to all-None)
+        raise ValueError("truncated")
     if major == 2:  # bytes
         return buf[i : i + arg], i + arg
     if major == 3:  # text
@@ -138,11 +145,14 @@ def split_and_decode_hex(code_hex: str | None) -> dict:
     if code_hex is None:
         return {"runtime_code": None, "storage_protocol": None, "storage_address": None,
                 "solc_version": None, "experimental": None}
-    h = code_hex[2:] if code_hex.startswith("0x") else code_hex
-    try:
-        code = bytes.fromhex(h)
-    except ValueError:
-        code = b""
+    code = parse_bytecode_hex(code_hex)
+    if code is None:
+        # malformed hex (odd length, non-hex chars) is CORRUPT input, not
+        # an empty contract: runtime_code=None matches the skeleton
+        # kernel's policy so the same corrupt row is null in BOTH derived
+        # columns instead of null in one and '0x' in the other
+        return {"runtime_code": None, "storage_protocol": None, "storage_address": None,
+                "solc_version": None, "experimental": None}
     runtime, meta = split_metadata(code)
     out = decode_metadata(meta) if meta else {
         "storage_protocol": None, "storage_address": None,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
+from .hexparse import parse_bytecode_hex
 
 from .skeleton import _NP_MIN_BYTES, instruction_mask
 
@@ -74,11 +75,8 @@ def _ngram_udf(n: int):
         def one(v):
             if v is None:
                 return None
-            h = v[2:] if v.startswith("0x") else v
-            try:
-                return opcode_ngrams(bytes.fromhex(h), n)
-            except ValueError:
-                return []
+            code = parse_bytecode_hex(v)
+            return [] if code is None else opcode_ngrams(code, n)
 
         return code_hex.map(one)
 
@@ -98,10 +96,8 @@ def _packed_ngram_udf(n: int):
         def one(v):
             if v is None:
                 return None
-            h = v[2:] if v.startswith("0x") else v
-            try:
-                code = bytes.fromhex(h)
-            except ValueError:
+            code = parse_bytecode_hex(v)
+            if code is None:
                 return []
             toks = np.frombuffer(opcode_tokens(code), dtype=np.uint8)
             m = toks.shape[0] - n + 1

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
+from .hexparse import parse_bytecode_hex
 
 # Below this many bytes the interpreted scan beats numpy's setup cost
 # (measured crossover ~3 KB end-to-end; numpy is 2.2x on the raw mask at
@@ -112,10 +113,8 @@ def extract_skeleton_hex(code_hex: str | None, strip_metadata: bool = True) -> s
     every downstream join/compliancy score with no flag."""
     if code_hex is None:
         return None
-    h = code_hex[2:] if code_hex.startswith("0x") else code_hex
-    try:
-        raw = bytes.fromhex(h)
-    except ValueError:
+    raw = parse_bytecode_hex(code_hex)
+    if raw is None:
         return None
     return "0x" + (skeletonize(raw) if strip_metadata else extract_skeleton(raw)).hex()
 

@@ -78,10 +78,10 @@ class timed_run:
         self.report: dict | None = None
 
     def __enter__(self):
-        self._t0 = time.time()
+        self._t0 = time.monotonic()  # wall clock (time.time) can step
         return self
 
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
-            self.report = summarize(self._obs, time.time() - self._t0)
+            self.report = summarize(self._obs, time.monotonic() - self._t0)
         return False

@@ -37,6 +37,13 @@ def propagate_trace_errors(traces: DataFrame) -> DataFrame:
     error strings do not survive propagation. Downstream failed/failed_deploy
     booleans only depend on error IS NOT NULL, which this preserves.
     """
+    # normalize null trace_address to [] (some exporters emit null for the
+    # root trace): collect_list SKIPS nulls, so an errored null-root would
+    # silently vanish from the failed-prefix set and none of its
+    # descendants would inherit the failure
+    traces = traces.withColumn(
+        "trace_address", F.coalesce(F.col("trace_address"), F.array().cast("array<int>"))
+    )
     failed = (
         traces.filter(F.col("error").isNotNull())
         .groupBy("tx_hash")

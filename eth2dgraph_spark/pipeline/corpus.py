@@ -31,14 +31,16 @@ def curate_corpus(
     fractions: dict[str, float] | None = None,
     max_dup_word_ratio: float | None = None,
     max_top_word_ratio: float | None = None,
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Per-document curated frame: exact-dedup representatives that pass the
     quality floor (and, when the thresholds are set, the Gopher-style
     repetition filters), annotated with (lang_pred, n_tokens_ws,
     n_tokens_bpe_est, quality_score, split). Deterministic end to end —
     every stage is either exact or hash-based, so the same corpus always
-    curates identically."""
-    kept = dedup_exact(df, id_col, text_col)
+    curates identically. `fingerprint_col` forwards a precomputed
+    fingerprint to the dedup stage (see dedup_exact)."""
+    kept = dedup_exact(df, id_col, text_col, fingerprint_col=fingerprint_col)
     scored = quality_score(kept, text_col).filter(F.col("quality_score") >= min_quality)
     if max_dup_word_ratio is not None or max_top_word_ratio is not None:
         scored = repetition_stats(scored, text_col)
@@ -77,12 +79,18 @@ def curate_increment(
     (16 bytes/doc), not against the corpus text."""
     from .text import fingerprint
 
+    # keep the fingerprint column: the dedup stage inside curate_corpus
+    # reuses it instead of re-normalizing + re-hashing every document's
+    # text a second time (the dominant column work of the increment)
     fresh = (
         fingerprint(new_df, text_col)
         .join(seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti")
-        .drop("fingerprint", "fingerprint64")
+        .drop("fingerprint64")
     )
-    return curate_corpus(fresh, id_col, text_col, min_quality, fractions, **filters)
+    return curate_corpus(
+        fresh, id_col, text_col, min_quality, fractions,
+        fingerprint_col="fingerprint", **filters,
+    )
 
 
 def corpus_report(curated: DataFrame) -> DataFrame:

@@ -41,9 +41,22 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per normalized-text group."""
-    fp = df.withColumn("_fp", F.md5(_norm_text(text_col)))
+def dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Keep one representative (min id) per normalized-text group.
+    `fingerprint_col` reuses a precomputed md5(norm_ws(text)) column
+    (text.fingerprint's output) instead of re-scanning the text — the
+    incremental-curation path computes it anyway for the history anti-join,
+    and at corpus scale the normalize+md5 over every document's text is the
+    dominant column work of the stage."""
+    if fingerprint_col is not None:
+        fp = df.withColumn("_fp", F.col(fingerprint_col))
+    else:
+        fp = df.withColumn("_fp", F.md5(_norm_text(text_col)))
     winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return fp.join(winners, ["_fp", id_col], "inner").drop("_fp")
 

@@ -31,9 +31,22 @@ _BUCKETS = 10_000
 
 def _hash_bucket(id_col: str, salt: str):
     """Deterministic bucket in [0, 10000) from md5(id:salt) — first 8 hex
-    chars as an int. Engine-portable (md5 is everywhere; xxhash64 is not)."""
+    chars as an int. Engine-portable (md5 is everywhere; xxhash64 is not).
+
+    A null id fails LOUD: its hash is null, so every comparison would be
+    null — hash_split's when-chain would silently dump ALL id-less rows
+    into the last label (contaminating the eval split with exactly the
+    malformed rows) while sample_fraction would silently drop them. Split
+    membership must be a total function of the id; reject rows that don't
+    have one."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"null {id_col}: deterministic split/sample membership undefined")
+        ).cast("long"),
+    ).otherwise(bucket)
 
 
 def hash_split(
@@ -123,8 +136,13 @@ def stratified_split(
     hi = 0.0
     labels = list(fractions.items())
     for name, frac in labels[:-1]:
-        hi += frac
-        cond = rn <= F.ceil(n * F.lit(hi))
+        # float-accumulation guard: 0.9 + 0.05 = 0.9500000000000001 in
+        # doubles, and ceil(60 * that) = 58 instead of ceil(60*0.95) = 57 —
+        # one row leaks across the quota boundary. Round the accumulated
+        # fraction, and round the product before ceil, so the boundary is
+        # the exact rational in BOTH engines (the oracle mirrors this).
+        hi = round(hi + frac, 12)
+        cond = rn <= F.ceil(F.round(n * F.lit(hi), 9))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)

@@ -136,3 +136,19 @@ def test_empty_bytecode_short_circuits(tmp_path):
 def test_parse_abi_json_rejects_non_array():
     with pytest.raises(ValueError):
         parse_abi_json('{"type": "function"}')
+
+
+def test_missing_binary_is_environment_error_not_data(tmp_path):
+    # a binary that can't be spawned is an env misconfiguration: it must
+    # raise (fail the task) — swallowed into per-row None it would mark
+    # every skeleton failed_decompilation=true and 'succeed'
+    import pytest
+
+    from eth2dgraph_spark.functions.decompile import (
+        DecompilerEnvironmentError,
+        subprocess_decompiler,
+    )
+
+    impl = subprocess_decompiler(cmd=[str(tmp_path / "no-such-binary"), "{bytecode}", "{output_dir}"])
+    with pytest.raises(DecompilerEnvironmentError, match="spawn failed"):
+        impl("0x6001")

@@ -165,3 +165,26 @@ def test_numpy_kernels_match_scalar_scan():
 
 def test_ngrams_shorter_than_n_empty():
     assert opcode_ngrams(bytes.fromhex("6001"), 5) == []
+
+
+def test_metadata_truncated_cbor_rejected():
+    # declared byte-string length past the buffer end = truncated metadata:
+    # must reject (all-None), not fabricate a short storage hash
+    from eth2dgraph_spark.functions.metadata import decode_metadata
+
+    tail = b"\xa2\x64ipfs\x58\x22" + b"\x01" * 10  # declares 34 bytes, has 10
+    out = decode_metadata(tail)
+    assert out["storage_protocol"] is None and out["storage_address"] is None
+
+
+def test_malformed_hex_policy_is_uniform():
+    # one policy across every byte kernel: corrupt hex -> the kernel's null
+    # representation, never a fabricated value
+    from eth2dgraph_spark.functions.decompile import selector_lifter
+    from eth2dgraph_spark.functions.metadata import split_and_decode_hex
+    from eth2dgraph_spark.functions.skeleton import extract_skeleton_hex
+
+    bad = "0xabc"  # odd length
+    assert extract_skeleton_hex(bad) is None
+    assert split_and_decode_hex(bad)["runtime_code"] is None
+    assert selector_lifter(bad) == []

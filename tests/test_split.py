@@ -96,3 +96,31 @@ def test_sample_by_source_nested_and_deterministic(spark):
 
     with pytest.raises(ValueError):
         sample_by_source(d, "lang", {"de": 1.5})
+
+
+def test_stratified_split_exact_quota_at_float_boundary(spark):
+    # 60 * (0.9 + 0.05) = 57.00000000000001 in accumulated doubles: a naive
+    # ceil put 58 rows in train+val (4 val, 2 test) instead of the exact
+    # 54/3/3 quota the function documents — the rounded boundary fixes it
+    from collections import Counter
+
+    from eth2dgraph_spark.pipeline.split import stratified_split
+
+    rows = [(i, "en") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = Counter(r["split"] for r in stratified_split(d, "lang").collect())
+    assert got == {"train": 54, "val": 3, "test": 3}
+
+
+def test_split_null_id_fails_loud(spark):
+    # a null id would silently land ALL malformed rows in the last label
+    # (hash comparisons are null -> otherwise-branch) — it must raise
+    import pytest
+
+    from eth2dgraph_spark.pipeline.split import hash_split, sample_fraction
+
+    d = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    with pytest.raises(Exception, match="null doc_id"):
+        hash_split(d).collect()
+    with pytest.raises(Exception, match="null doc_id"):
+        sample_fraction(d, 0.5).collect()
