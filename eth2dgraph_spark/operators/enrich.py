@@ -61,15 +61,19 @@ def resolve_names(
                 names.extend(resolver(a[i : i + batch_size]))
             yield pd.DataFrame({"contract": a, "name": names})
 
-    # persist the RPC results BEFORE the join: the mapInPandas stage is
-    # side-effecting (live network calls) but Spark treats it as a
-    # deterministic recomputable stage — a task retry or plan reuse would
-    # re-fire the whole RPC fan-out, and a resolver whose answers vary
-    # between calls (timeouts) could mix rows from different executions
+    # eagerly lineage-cut the RPC results BEFORE the join: the mapInPandas
+    # stage is side-effecting (live network calls) but Spark treats it as a
+    # deterministic recomputable stage. persist() is NOT enough — it is lazy
+    # and non-guaranteed (evicted cached partitions recompute, re-calling the
+    # resolver, and a resolver whose answers vary between calls could mix
+    # rows from different executions). localCheckpoint(eager=True) runs the
+    # fan-out exactly once and severs the lineage, so downstream retries
+    # read checkpointed blocks; its blocks are released by the ContextCleaner
+    # when the frame goes out of scope (no manual unpersist to leak).
     resolved = (
         addrs.mapInPandas(call_batches, out_schema)
         .filter(F.col("name").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     joined = deployments.join(resolved.withColumnRenamed("name", "_rpc_name"), "contract", "left")
     name_col = (

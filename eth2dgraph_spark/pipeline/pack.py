@@ -66,6 +66,15 @@ def greedy_pack(
     `materialize_packs`' within-pack ordering a total order."""
     if num_shards == "auto":
         num_shards = max(df.rdd.getNumPartitions(), 1)
+        import warnings
+
+        warnings.warn(
+            "greedy_pack(num_shards='auto') derives the shard count from the "
+            f"input's physical partition count ({num_shards}); pack assignment "
+            "then depends on file layout. Pin an integer for byte-identical "
+            "packs across re-reads.",
+            stacklevel=2,
+        )
     elif not isinstance(num_shards, int) or num_shards < 1:
         raise ValueError(f"num_shards must be a positive int or 'auto', got {num_shards!r}")
     if num_shards > _MAX_SHARDS:

@@ -93,12 +93,19 @@ def lsh_bucket(
     # zip_with dot, fail every `> 0` test, and silently send EVERY row to
     # bucket 0 — degrading the bucketed join to an O(n^2) self-join with
     # no error. Better one task failure than a silent quadratic.
-    guarded = F.when(F.size(v) == dim, bucket).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("lsh_bucket: embedding length "),
-                F.size(v).cast("string"),
-                F.lit(f" != dim {dim}"),
+    # A NULL vector is NOT an env error (absent embeddings are data): it
+    # keeps a null bucket, which every downstream inner join on lsh_bucket
+    # drops — same tolerance as the null-cosine path. The error text is
+    # built with format_string so it survives even a null size.
+    guarded = (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(F.size(v) == dim, bucket)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"lsh_bucket: embedding length %s != dim {dim}",
+                    F.coalesce(F.size(v).cast("string"), F.lit("null")),
+                )
             )
         )
     )

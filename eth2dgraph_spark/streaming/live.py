@@ -76,7 +76,16 @@ def process_block_batch(
     reading), and rewritten together with the batch. Replaying the same
     batch is a no-op rewrite; reorg re-processing replaces exactly that
     block's rows. (On a transactional table format — Delta/Iceberg — this
-    whole dance is a MERGE; parquet-only sinks pay the bucket rewrite.)"""
+    whole dance is a MERGE; parquet-only sinks pay the bucket rewrite.)
+
+    Costs, stated plainly: every micro-batch reads back and rewrites ALL
+    surviving rows of every touched bucket, so per-batch cost grows with
+    bucket fill (bounded by bucket size x touched buckets, never by table
+    size). The eager localCheckpoint lives in UNREPLICATED executor
+    storage: losing an executor between checkpoint and write fails the
+    batch (Structured Streaming then replays it — correctness holds, one
+    batch of latency is lost). Production alternatives: reliable
+    checkpoint() to HDFS/S3, or a staging-path write-then-swap."""
     spark = batch.sparkSession
     out = with_block_bucket(batch, block_col)
     path = f"{base_path}/{table}"

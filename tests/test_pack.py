@@ -4,6 +4,8 @@ boundary-straddling document."""
 
 from __future__ import annotations
 
+import pytest
+
 from eth2dgraph_spark.pipeline.pack import greedy_pack, pack_stats
 
 
@@ -65,8 +67,10 @@ def test_pack_null_and_zero_tokens_clamped(spark):
 
 def test_pack_default_shards_scale_with_input_and_windows_parallelize(spark):
     docs = _docs(spark, n=200, partitions=8)
-    # default num_shards tracks the input's partition count
-    packed = greedy_pack(docs, budget=16)
+    # default num_shards tracks the input's partition count — and warns,
+    # because that makes pack assignment depend on physical file layout
+    with pytest.warns(UserWarning, match="auto"):
+        packed = greedy_pack(docs, budget=16)
     shards = {r["shard"] for r in packed.select("shard").distinct().collect()}
     assert len(shards) > 1 and max(shards) < 8
     # the window is partitioned by shard (parallel sorts), never a single

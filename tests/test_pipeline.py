@@ -183,6 +183,23 @@ def test_lsh_bucket_dim_mismatch_raises(spark):
         similarity_search.lsh_bucket(df, dim=4).collect()
 
 
+def test_lsh_bucket_null_vector_tolerated(spark):
+    # a NULL embedding is data, not an env error: it gets a null bucket
+    # (every inner join on lsh_bucket then drops it) instead of killing the
+    # job with an unreadable null-message raise_error
+    rows = [(0, [1.0, 0.0]), (1, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["lsh_bucket"] for r in similarity_search.lsh_bucket(df, dim=2, num_planes=2).collect()}
+    assert got[1] is None and got[0] is not None
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_search.lsh_topk(df, q, k=5, dim=2, num_planes=2).collect()
+    assert {r["vec_id"] for r in out} == {0}  # the null row never surfaces
+    pairs = similarity_search.embedding_near_dup_pairs(df, threshold=0.5, dim=2, num_planes=2)
+    assert pairs.count() == 0
+
+
 def test_near_dup_bucket_cap_drops_hot_bucket(spark):
     # a bucket over max_bucket_size is excluded from the O(f^2) expansion
     rows = [(i, [1.0, 0.0]) for i in range(6)]  # all identical -> one bucket
