@@ -641,8 +641,12 @@ def q_interface_jaccard(spark, sf):  # A7 via the real operator: token-SET Jacca
 
 
 def q_simhash_near_pairs(spark, sf):  # banded-Hamming SimHash near-dups
+    # scheme pinned: 6 chunks -> C(6,3)=20 tables on 30-bit keys. The
+    # VERIFIED output is scheme-independent (chunk-combination banding has
+    # exact recall for hamming <= 3), which is why the all-pairs oracle
+    # below stays valid; the pin documents the candidate-set determinism key.
     sigs = dedup.simhash_signatures(_t(spark, sf, "documents"))
-    return dedup.simhash_near_pairs(sigs, max_hamming=3)
+    return dedup.simhash_near_pairs(sigs, max_hamming=3, num_chunks=6)
 
 
 def q_pagerank_ranks(spark, sf):  # iterative graph kernel, oracled by

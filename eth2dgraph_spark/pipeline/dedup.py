@@ -8,8 +8,9 @@ Design for 100 TB:
   - MinHash+LSH: shingle -> K minhashes -> B bands; candidate pairs from a
     groupBy on (band, band_hash) — the classic sub-quadratic path. Hash
     functions are md5-derived so they're deterministic across engines.
-  - SimHash: 64-bit signature via bit-vote over token hashes; near-dups =
-    equal signature bucket (or banded Hamming via 4x16-bit chunks).
+  - SimHash: 60-bit signature via bit-vote over token hashes; near-dups =
+    equal signature bucket, or banded Hamming via Manku-style chunk-
+    combination tables (C(6,3) tables keyed on 30-bit chunk triples).
   - embedding cosine: see similarity_search; near-dup = cosine >= threshold.
 """
 
@@ -302,8 +303,26 @@ def _minhash_from_x(xrows: DataFrame, num_hashes: int) -> DataFrame:
     return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+# Band buckets larger than this are STAR-expanded (each member paired with
+# the bucket-min) instead of all-pairs expanded. A cluster of f documents
+# whose signatures are (near-)identical — templated pages, mirrors,
+# boilerplate that exact dedup does NOT remove because the raw bytes differ
+# — collides in EVERY band and would emit O(f^2) candidate pairs on single
+# band keys: at f=1e5 that's ~1e10 pair rows landing on a handful of
+# reducers. The star keeps O(f) rows and — because downstream dedup runs
+# connected components over the verified pairs (graph.duplicate_clusters) —
+# reconstructs exactly the same clusters when the star edges verify, which
+# they do for genuinely near-identical buckets. Same 1024 convention (and
+# the same exact-or-underestimated contract) as DEFAULT_MAX_SHINGLE_DOCS
+# and operators/similarity.DEFAULT_MAX_POSTING.
+DEFAULT_MAX_BAND_BUCKET = 1024
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """LSH banding: split each signature into bands and emit candidate pairs
     that collide in >=1 band. groupBy (band, key) — sub-quadratic; never a
@@ -313,7 +332,16 @@ def minhash_lsh_candidates(
     a 32-bit rehash of it: the slice is already a fixed small shuffle key
     (8*rows_per_band bytes), it can't introduce collision false-positives,
     and — unlike Spark's Murmur3 `hash()` — the resulting candidate set is
-    engine-portable, so the DuckDB oracle reproduces it exactly."""
+    engine-portable, so the DuckDB oracle reproduces it exactly.
+
+    `max_bucket` (finite BY DEFAULT) is the hot-bucket defense: buckets at or
+    under the cap get the exact all-pairs expansion; over-cap buckets emit
+    each member paired with the bucket-min id instead (O(f) rows, star
+    shape). Pairs whose only collisions are in over-cap buckets are thus
+    represented through the bucket-min — exact-or-underestimated, never
+    invented — and connected-components dedup downstream rebuilds the same
+    clusters. Pass None for the uncapped exact candidate set (vulnerable to
+    the single-reducer mega-bucket)."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -328,14 +356,34 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    a = banded.select(F.col("id").alias("id_a"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    if max_bucket is None:
+        a = banded.select(F.col("id").alias("id_a"), "band", "key")
+        b = banded.select(F.col("id").alias("id_b"), "band", "key")
+        return (
+            a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # bucket stats are a map-side-combinable agg on the same (band, key)
+    # partitioning the join below needs; singleton buckets are pruned here
+    # instead of producing id_a == id_b rows to filter later
+    stats = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("id").alias("_min"))
+        .filter(F.col("_n") > 1)
     )
+    ann = banded.join(stats, ["band", "key"])
+    small = ann.filter(F.col("_n") <= max_bucket)
+    a = small.select(F.col("id").alias("id_a"), "band", "key")
+    b = small.select(F.col("id").alias("id_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    star = ann.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_min"))).select(
+        F.col("_min").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def minhash_dedup_pairs(
@@ -346,6 +394,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.8,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: candidates from banding, then CANDIDATE-
     DRIVEN exact-Jaccard verification (removes LSH false positives; output =
@@ -375,7 +424,7 @@ def minhash_dedup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = _minhash_from_x(ex, num_hashes)
-    cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands)
+    cands = minhash_lsh_candidates(sigs, num_bands, num_hashes // num_bands, max_band_bucket)
     docs = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
@@ -427,38 +476,120 @@ def simhash_signatures(
     return votes.select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Banded Hamming near-dup pairs over 60-bit SimHash signatures.
+def simhash_band_keys(max_hamming: int = 3, num_chunks: int = 6) -> "list[tuple[int, ...]]":
+    """The chunk-combination table index for `simhash_near_pairs`: every
+    (num_chunks - max_hamming)-subset of chunk positions. Public so tests
+    (and capacity planning) can inspect table count and key width."""
+    from itertools import combinations
 
-    Pigeonhole banding: split the signature into `max_hamming + 1` chunks —
-    any pair within Hamming distance `max_hamming` must agree EXACTLY on at
-    least one chunk, so candidates come from equality joins on (band, chunk),
-    never a cross join. Candidates are then verified with the exact popcount
-    of the XOR. Same sub-quadratic shape as MinHash banding."""
-    nbands = max_hamming + 1
-    width = 60 // nbands  # 60-bit signatures (md5-60 hash)
-    chunks = F.array(
+    need = num_chunks - max_hamming
+    if need < 1:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming})"
+        )
+    if 60 % num_chunks != 0:
+        raise ValueError(f"num_chunks ({num_chunks}) must divide the 60-bit signature")
+    return list(combinations(range(num_chunks), need))
+
+
+def simhash_banded(
+    signatures: DataFrame, max_hamming: int = 3, num_chunks: int = 6
+) -> DataFrame:
+    """(id, simhash, band, chunk) rows — one row per chunk-combination table.
+    `chunk` folds the subset's chunks into one long, so the band keyspace is
+    (num_chunks - max_hamming) * (60 / num_chunks) bits wide (30 bits at the
+    defaults) — wide enough that expected bucket size stays ~n/2^30 instead
+    of the n/2^15 a max_hamming+1-way split would give."""
+    width = 60 // num_chunks
+    subsets = simhash_band_keys(max_hamming, num_chunks)
+
+    def chunk(i: int):
+        return F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    def key(subset: "tuple[int, ...]"):
+        k = F.lit(0).cast("long")
+        for j, ci in enumerate(subset):
+            k = k + F.shiftleft(chunk(ci).cast("long"), j * width)
+        return k
+
+    tables = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk"),
-            )
-            for b in range(nbands)
+            F.struct(F.lit(t).alias("band"), key(s).alias("chunk"))
+            for t, s in enumerate(subsets)
         ]
     )
-    banded = signatures.select("id", "simhash", F.explode(chunks).alias("bk")).select(
+    return signatures.select("id", "simhash", F.explode(tables).alias("bk")).select(
         "id", "simhash", "bk.band", "bk.chunk"
     )
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    num_chunks: int = 6,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over 60-bit SimHash signatures.
+
+    Chunk-COMBINATION banding (the public Manku/Jain/Das Sarma scheme,
+    "Detecting near-duplicates for web crawling", WWW'07): split the
+    signature into `num_chunks` chunks; a pair within Hamming distance
+    `max_hamming` differs in at most `max_hamming` chunks, so it agrees
+    EXACTLY on at least `need = num_chunks - max_hamming` of them — hence on
+    every chunk of at least one `need`-subset. One table per `need`-subset
+    (C(num_chunks, need) tables), keyed on the subset's chunks folded into
+    one long: exact recall, never a cross join. Candidates are verified with
+    the exact popcount of the XOR.
+
+    Why combinations and not the simpler max_hamming+1-way split: a 4-way
+    split of 60 bits keys buckets on only 15 bits, so expected bucket size
+    grows as n/2^15 UNCONDITIONALLY — at 1e9 docs that is ~30k docs per
+    bucket per band and ~1e13 candidate pairs. The default here (6 chunks of
+    10 bits, C(6,3)=20 tables keyed on 30-bit triples) keeps expected
+    buckets at n/2^30 for 5x the banding shuffle volume — the published
+    trade, and the one that survives a 100 TB corpus.
+
+    `max_bucket` is the same hot-bucket star defense as
+    `minhash_lsh_candidates`: over-cap buckets (genuinely identical-
+    signature clusters — those belong to `simhash_duplicate_groups`) emit
+    each member against the bucket-min only. Exact-or-underestimated; the
+    full clusters are reconstructed by connected components downstream."""
+    banded = simhash_banded(signatures, max_hamming, num_chunks)
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "chunk")
-    cands = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    if max_bucket is None:
+        cands = (
+            a.join(b, ["band", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct()
+        )
+    else:
+        stats = (
+            banded.groupBy("band", "chunk")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("id").alias("_min"),
+                F.min_by("simhash", "id").alias("_min_sig"),
+            )
+            .filter(F.col("_n") > 1)
+        )
+        ann = banded.join(stats, ["band", "chunk"])
+        small = ann.filter(F.col("_n") <= max_bucket)
+        sa = small.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+        sb = small.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "chunk")
+        pairs = (
+            sa.join(sb, ["band", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+        star = ann.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_min"))).select(
+            F.col("_min").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("_min_sig").alias("sig_a"),
+            F.col("simhash").alias("sig_b"),
+        )
+        cands = pairs.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cands.withColumn("hamming", hamming.cast("long"))
@@ -469,7 +600,9 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 
 def simhash_duplicate_groups(signatures: DataFrame) -> DataFrame:
     """Documents sharing an identical simhash — the bucket form; banded
-    Hamming-distance variants join on 15-bit chunks of the signature."""
+    Hamming-distance variants (`simhash_near_pairs`) join on chunk-
+    combination keys of the signature. Identical-signature mega-clusters
+    belong HERE — the near-pairs path star-caps them."""
     return (
         signatures.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("doc_ids"))

@@ -119,6 +119,75 @@ def test_simhash_near_pairs_banding_complete(spark):
     assert (1, 4) not in got
 
 
+def test_simhash_band_keys_carry_30_bits(spark):
+    # the scale property round-5 review demanded: band keys must carry >= 30
+    # bits so expected bucket size shrinks as n/2^30, not n/2^15
+    subsets = dedup.simhash_band_keys(max_hamming=3, num_chunks=6)
+    assert len(subsets) == 20  # C(6,3)
+    assert all(len(s) == 3 for s in subsets)  # 3 chunks x 10 bits = 30-bit keys
+    sigs = spark.createDataFrame([(1, (1 << 60) - 1)], "id long, simhash long")
+    keys = [r["chunk"] for r in dedup.simhash_banded(sigs).collect()]
+    assert len(keys) == 20
+    assert all(k == (1 << 30) - 1 for k in keys)  # all-ones sig -> all-ones 30-bit key
+
+
+def test_simhash_near_pairs_adversarial_chunk_placement(spark):
+    """Exact recall when the flips land in 3 DIFFERENT chunks — the case a
+    contiguous-band scheme is weakest at and combinations must still catch."""
+    base = 0x5A5A5A5A5A5A5A5 & ((1 << 60) - 1)
+    flips = (1 << 5) | (1 << 25) | (1 << 45)  # chunks 0, 2, 4
+    rows = [(1, base), (2, base ^ flips)]
+    sigs = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_pairs(sigs).collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_simhash_near_pairs_star_cap(spark):
+    # an identical-signature mega-bucket collides in EVERY table; over the
+    # cap it must emit O(f) star pairs (vs f(f-1)/2), all verified hamming 0
+    f = 8
+    sigs = spark.createDataFrame([(i, 12345) for i in range(f)], "id long, simhash long")
+    capped = dedup.simhash_near_pairs(sigs, max_bucket=3).collect()
+    assert len(capped) == f - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in capped)
+    uncapped = dedup.simhash_near_pairs(sigs, max_bucket=None).collect()
+    assert len(uncapped) == f * (f - 1) // 2
+    # a cap that doesn't bind changes nothing
+    large = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(sigs, max_bucket=100).collect()}
+    assert large == {(r["id_a"], r["id_b"]) for r in uncapped}
+
+
+def test_minhash_lsh_star_cap_bounds_mega_cluster(spark):
+    """The round-5 scale hazard: f near-identical docs collide in every band
+    and would emit O(f^2) candidate pairs on single band keys. Over the cap
+    the candidate set must be the O(f) star, and the downstream CC dedup must
+    still keep exactly one representative of the cluster."""
+    from eth2dgraph_spark.graph import dedup_by_clusters
+
+    f = 200
+    sig = list(range(100, 132))  # one identical 32-long signature for all
+    sigs = spark.createDataFrame([(i, sig) for i in range(f)], "id long, sig array<long>")
+    capped = dedup.minhash_lsh_candidates(sigs, max_bucket=10).collect()
+    assert len(capped) == f - 1  # star, not f*(f-1)/2 = 19900
+    assert all(r["id_a"] == 0 for r in capped)
+    # uncapped on a small slice stays the exact all-pairs set
+    small = sigs.filter(F.col("id") < 6)
+    uncapped = dedup.minhash_lsh_candidates(small, max_bucket=None).collect()
+    assert len(uncapped) == 15
+    got = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(small, max_bucket=1024).collect()}
+    assert got == {(r["id_a"], r["id_b"]) for r in uncapped}  # non-binding cap: identical
+    # end-to-end: identical TEXTS through the full pipeline with a binding
+    # cap -> star pairs verify at jaccard 1.0 and dedup keeps ONE doc
+    docs = spark.createDataFrame(
+        [(i, "the exact same templated page body repeated") for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8, max_band_bucket=5)
+    assert pairs.count() == 49
+    kept = dedup_by_clusters(docs, pairs).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
