@@ -304,6 +304,18 @@ def q_ngram_jaccard(spark, sf):  # pipeline: n-gram Jaccard near-dup (A7 kin)
     return _r6(pairs, "jaccard")
 
 
+def q_ngram_jaccard_capped(spark, sf):  # the cap branch itself, cross-engine:
+    # max_shingle_docs=3 BINDS at sf (hot shingles exist in the synthetic
+    # docs), proving the exact-or-underestimated drop rule against an oracle
+    # that mirrors it (intersections counted only over postings <= 3 docs;
+    # per-doc sizes stay uncapped) — the round-5 review asked for exactly
+    # this: the capped path had only single-engine unit coverage.
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.05, max_shingle_docs=3
+    )
+    return _r6(pairs, "jaccard")
+
+
 def q_minhash_signatures(spark, sf):  # pipeline: MinHash (deterministic)
     sigs = dedup.minhash_signatures(_t(spark, sf, "documents"), k=3, num_hashes=8)
     return sigs.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)])
@@ -1506,23 +1518,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (the driver samples a 50-row cap, in order).
     # Rounds 1-2 certified the original first 50; round 3 the next 44;
-    # round 4 the (then) first 50 = all round-4 new/changed queries + the
-    # round-3 window. Round 5 leads with this round's CHANGED queries
-    # (sketch rewrite, rep_stats linearization, pack clamp), then rotates
-    # in the 55 queries whose last driver rows date from r2/r3 — they run
-    # through source-layer code that changed in r4/r5 and are only
-    # locally re-verified since. Nine low-risk r1/r2 shapes spill past the
-    # window; the 46 queries certified by the driver in r4 close the list.
+    # round 4 the (then) first 50; round 5 its first 50 (this round's tail).
+    # Round 6 leads with the queries whose code CHANGED this round — the
+    # LSH/SimHash banding rewrites, the new capped-Jaccard gate, and the
+    # lsh_bucket null-guard rework — then rotates in the queries whose last
+    # driver row dates from r4 (certified r5 only locally). The r4 scalar
+    # shapes that don't fit spill past the window; the 50 driver-certified
+    # r5 rows close the list. Every spilled query is re-verified locally
+    # each round via tools/check_oracle.py (see BASELINE.md round-6 notes).
     return {
-        # --- changed in round 5: must re-certify. The tie-nudge rounding
-        # fix altered the OUTPUT of the five gates that hash-mismatched on
-        # the regenerated sf0.1 data (and potentially of any nudge-touched
-        # gate at a tie row), so those five plus the nudge-touched spill
-        # gates lead the window with the four structurally-changed ones ---
-        "cms_topk": q_cms_topk,
-        "rep_stats": q_rep_stats,
+        # --- changed in round 6: must re-certify ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "simhash": q_simhash,
+        "simhash_dup_groups": q_simhash_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
         "seq_pack": q_seq_pack,
         "pack_texts": q_pack_texts,
+        "minhash_signatures": q_minhash_signatures,
+        # --- last driver row r4; rotate into the window ---
+        "corpus_pipeline": q_corpus_pipeline,
+        "incr_curate": q_incr_curate,
+        "source_mix": q_source_mix,
+        "train_split": q_train_split,
+        "stratified_split": q_stratified_split,
+        "pii_redact": q_pii_redact,
+        "decontam": q_decontam,
+        "motif_paths": q_motif_paths,
+        "khop_reach": q_khop_reach,
+        "triangle_count": q_triangle_count,
+        "heavy_hitters": q_heavy_hitters,
+        "length_histogram": q_length_histogram,
+        "approx_sketches": q_approx_sketches,
+        "percentile_disc": q_percentile_disc,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "order_priority": q_order_priority,
+        "custdist": q_custdist,
+        "brand_supplier_count": q_brand_supplier_count,
+        "large_orders": q_large_orders,
+        "top_balance_idle": q_top_balance_idle,
+        "important_parts": q_important_parts,
+        "nation_flows": q_nation_flows,
+        "returned_revenue": q_returned_revenue,
+        "top_supplier": q_top_supplier,
+        "filter_agg": q_filter_agg,
+        "late_shipments": q_late_shipments,
+        "promo_revenue": q_promo_revenue,
+        "disjunctive_filter": q_disjunctive_filter,
+        "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
+        "string_agg": q_string_agg,
+        "corr_stats": q_corr_stats,
+        "cube_grouping": q_cube_grouping,
+        "range_frame": q_range_frame,
+        "value_window": q_value_window,
+        "posexplode_tokens": q_posexplode_tokens,
+        # ---------------- 50-gate window boundary (approximately here) ----
+        # --- r4-certified shapes that spill past the window; low risk,
+        # re-verified locally at sf0.01 this round ---
+        "argmax_customer": q_argmax_customer,
+        "bool_aggs": q_bool_aggs,
+        "graph_degrees": q_graph_degrees,
+        "segment_pivot": q_segment_pivot,
+        "rollup": q_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "parts_top_per_brand": q_parts_top_per_brand,
+        # --- certified green by the driver in round 5 ---
+        "cms_topk": q_cms_topk,
+        "rep_stats": q_rep_stats,
         "event_gaps": q_event_gaps,
         "windowed_stream": q_windowed_stream,
         "sliding_window": q_sliding_window,
@@ -1530,7 +1602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
         "array_funcs": q_array_funcs,
-        # --- last certified r2/r3; rotate into the driver window ---
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
@@ -1542,9 +1613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs": q_date_funcs,
         "null_funcs": q_null_funcs,
         "explode_outer": q_explode_outer,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ann_topk": q_ann_topk,
-        "dedup_clusters": q_dedup_clusters,
         "pagerank_ranks": q_pagerank_ranks,
         "gas_stats": q_gas_stats,
         "lifetimes_rq4": q_lifetimes_rq4,
@@ -1559,76 +1627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "timestamp_funcs": q_timestamp_funcs,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
         "embedding_cosine": q_embedding_cosine,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "events_extrema": q_events_extrema,
-        "cosine_ngram_pairs": q_cosine_ngram_pairs,
         "embedding_topk": q_embedding_topk,
         "cosine_one_vs_all": q_cosine_one_vs_all,
         "interface_jaccard": q_interface_jaccard,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ivf_topk": q_ivf_topk,
         "asof_attach": q_asof_attach,
         "interval_attach": q_interval_attach,
         "session_count": q_session_count,
-        # --- spill past the 50-gate window (all re-verified locally this
-        # round at sf0.01 AND sf0.1): the 7 r2/r3 shapes above displaced by
-        # the tie-affected gates, plus 6 low-risk r1/r2 shapes ---
-        "graph_degrees": q_graph_degrees,
-        "segment_pivot": q_segment_pivot,
-        "rollup": q_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "parts_top_per_brand": q_parts_top_per_brand,
-        # --- certified green by the driver in round 4 ---
-        "motif_paths": q_motif_paths,
-        "corpus_pipeline": q_corpus_pipeline,
-        "pii_redact": q_pii_redact,
-        "decontam": q_decontam,
-        "source_mix": q_source_mix,
-        "incr_curate": q_incr_curate,
-        "khop_reach": q_khop_reach,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "region_revenue": q_region_revenue,
-        "small_qty_revenue": q_small_qty_revenue,
-        "simhash_dup_groups": q_simhash_dup_groups,
-        "order_priority": q_order_priority,
-        "custdist": q_custdist,
-        "brand_supplier_count": q_brand_supplier_count,
-        "large_orders": q_large_orders,
-        "top_balance_idle": q_top_balance_idle,
-        "important_parts": q_important_parts,
-        "nation_flows": q_nation_flows,
-        "set_ops": q_set_ops,
-        "percentiles": q_percentiles,
-        "string_agg": q_string_agg,
-        "corr_stats": q_corr_stats,
-        "cube_grouping": q_cube_grouping,
-        "train_split": q_train_split,
-        "stratified_split": q_stratified_split,
-        "filter_agg": q_filter_agg,
-        "late_shipments": q_late_shipments,
-        "promo_revenue": q_promo_revenue,
-        "disjunctive_filter": q_disjunctive_filter,
-        "range_frame": q_range_frame,
-        "value_window": q_value_window,
-        "posexplode_tokens": q_posexplode_tokens,
-        "triangle_count": q_triangle_count,
-        "returned_revenue": q_returned_revenue,
-        "top_supplier": q_top_supplier,
-        "heavy_hitters": q_heavy_hitters,
-        "argmax_customer": q_argmax_customer,
-        "bool_aggs": q_bool_aggs,
-        "length_histogram": q_length_histogram,
-        "approx_sketches": q_approx_sketches,
-        "percentile_disc": q_percentile_disc,
     }
 
 
@@ -1935,6 +1945,19 @@ def oracle_sql() -> dict[str, str]:
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
             inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
                       FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
+            SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM (
+              SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
+              FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+            WHERE j >= 0.05""",
+        # mirrors ngram_jaccard_pairs' drop rule: postings longer than the cap
+        # contribute NO intersection evidence; per-doc sizes stay uncapped
+        "ngram_jaccard_capped": f"""
+            WITH {_SHINGLES_CTE},
+            pc AS (SELECT shingle, count(*)::BIGINT AS dc FROM sh GROUP BY shingle),
+            ok AS (SELECT id, sh.shingle FROM sh JOIN pc USING(shingle) WHERE pc.dc <= 3),
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                      FROM ok a JOIN ok b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
             SELECT id_a, id_b, round(j + 1e-9, 6) AS jaccard FROM (
               SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
               FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
