@@ -78,6 +78,29 @@ def test_pagerank_known_cycle(spark):
         assert math.isclose(v, 1 / 3, rel_tol=1e-9)
 
 
+def test_pagerank_tol_early_exit(spark):
+    # a 3-cycle is at its stationary distribution from iteration 1 (uniform
+    # init is the fixed point), so a tol run must stop long before num_iter
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    st = {}
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, num_iter=50, tol=1e-12, stats=st).collect()}
+    assert st["iterations"] <= 2 and st["last_delta"] <= 1e-12
+    for v in ranks.values():
+        assert math.isclose(v, 1 / 3, rel_tol=1e-9)
+    # tol off: runs the pinned count (the gate's determinism contract)
+    st2 = {}
+    pagerank(e, num_iter=4, stats=st2).collect()
+    assert st2["iterations"] == 4 and st2["last_delta"] is None
+    # tol on but not immediately converged: the star graph's L1 delta decays
+    # ~0.85x/round from 1.088, crossing 0.05 at iteration 9 — strictly
+    # between the lower bound and the num_iter cap
+    e2 = _edges(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub")])
+    st3 = {}
+    r3 = {r["node"]: r["rank"] for r in pagerank(e2, num_iter=15, tol=0.05, stats=st3).collect()}
+    assert 2 < st3["iterations"] < 15
+    assert math.isclose(sum(r3.values()), 1.0, rel_tol=1e-6)
+
+
 def test_k_hop_distances(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "a")])
     srcs = spark.createDataFrame([("a",)], "node string")
