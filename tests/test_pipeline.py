@@ -188,6 +188,70 @@ def test_minhash_lsh_star_cap_bounds_mega_cluster(spark):
     assert len(kept) == 1 and kept[0]["doc_id"] == 0
 
 
+def test_simhash_near_pairs_randomized_exact_recall(spark):
+    """Seeded randomized brute-force pin: over 300 signatures (uniform plus
+    planted mutations at Hamming 1..6 of shared bases), the banded output
+    must equal the exact popcount-filtered pair set — every hamming<=3 pair
+    found (the pigeonhole recall claim on arbitrary bit placements, not
+    just the single adversarial case), every hamming>3 pair excluded, for
+    BOTH chunkings (6x10-bit tables and the 4-chunk degenerate)."""
+    import itertools
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    sigs = [rng.getrandbits(60) for _ in range(200)]
+    for _ in range(50):  # planted near/far pairs off shared bases
+        base = rng.choice(sigs)
+        flips = rng.sample(range(60), rng.randint(1, 6))
+        mut = base
+        for b in flips:
+            mut ^= 1 << b
+        sigs.append(mut)
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    expected = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    for chunks in (6, 4):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(df, num_chunks=chunks).collect()
+        }
+        assert got == expected
+
+
+def test_lsh_capped_candidates_subset_of_uncapped(spark):
+    """Star edges pair a bucket member with the bucket-min, which shares
+    that bucket — so the capped candidate set must always be a SUBSET of
+    the uncapped one (exact-or-underestimated, never invented), here on a
+    mix of identical-signature clusters and singletons."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        if i < 60:  # three 20-member identical-signature clusters
+            sig = [1000 + 100 * (i // 20) + j for j in range(8)]
+        else:
+            sig = [rng.getrandbits(30) for _ in range(8)]
+        rows.append((i, sig))
+    df = spark.createDataFrame(rows, "id long, sig array<long>")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, num_bands=2, rows_per_band=4, max_bucket=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, num_bands=2, rows_per_band=4, max_bucket=5).collect()
+    }
+    assert capped <= uncapped
+    # and the star still covers every cluster member through its min
+    members = {x for p in capped for x in p}
+    assert set(range(60)) <= members
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
