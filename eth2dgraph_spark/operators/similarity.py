@@ -55,13 +55,26 @@ def cosine_similarity_pairs(
     # skeleton can't contribute to any dot product, so postings of length 1
     # are dropped, and the grouping key is a 64-bit hash, never the string.
     nr = ngram_rows.select(F.xxhash64("ngram").alias("ngram"), F.struct("id", "cnt").alias("e"))
-    posting = (
-        nr.groupBy("ngram")
-        .agg(F.sort_array(F.collect_list("e")).alias("es"))  # sorts by id
-        .filter(F.size("es") > 1)
-    )
+    # the cap is enforced BEFORE collect_list (count agg + semi-join):
+    # collect_list's per-group buffer never spills, so a hot posting would
+    # otherwise materialize its full O(f) array in one task before the
+    # size filter could drop it — the buffer form of the reducer hazard
+    # the cap exists to prevent. Count agg is map-side combinable; the
+    # semi-join lands on the partitioning the posting groupBy needs.
+    posting_src = nr
     if max_posting_len is not None:
-        posting = posting.filter(F.size("es") <= max_posting_len)
+        eligible = (
+            nr.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("_dc"))
+            .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_posting_len))
+            .select("ngram")
+        )
+        posting_src = nr.join(eligible, "ngram", "left_semi")
+    posting = (
+        posting_src.groupBy("ngram")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))  # sorts by id
+        .filter(F.size("es") > 1)  # no-op under the semi-join; needed for None
+    )
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -109,14 +122,23 @@ def jaccard_similarity_pairs(
     tok = token_rows.select("id", F.xxhash64("token").alias("token")).distinct()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # sizes fixed above -> singleton tokens prune away; pairs come from the
-    # sorted posting list of each token (same shape as the cosine path)
-    posting = (
-        tok.groupBy("token")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # sorted posting list of each token (same shape as the cosine path).
+    # Cap enforced BEFORE collect_list — see cosine_similarity_pairs for
+    # the per-group-buffer rationale.
+    posting_src = tok
     if max_posting_len is not None:
-        posting = posting.filter(F.size("ids") <= max_posting_len)
+        eligible = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_dc"))
+            .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_posting_len))
+            .select("token")
+        )
+        posting_src = tok.join(eligible, "token", "left_semi")
+    posting = (
+        posting_src.groupBy("token")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)  # no-op under the semi-join; needed for None
+    )
     pair = F.explode(
         F.flatten(
             F.transform(

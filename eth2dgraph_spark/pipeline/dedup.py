@@ -169,18 +169,32 @@ def ngram_jaccard_pairs(
     cap before the O(f²) expansion. Pairs whose shared shingles are all
     under the cap keep their exact Jaccard; a pair loses (at most) the
     intersection evidence carried by capped stop-shingles, i.e. scores are
-    exact-or-underestimated, never inflated. Pass None to disable (exact but
-    vulnerable to the hot-shingle reducer); use stop_shingle_postings() to
+    exact-or-underestimated, never inflated. The cap is enforced BEFORE
+    collect_list (count agg + semi-join on eligible keys), not by filtering
+    the collected array: collect_list's per-group buffer never spills, so a
+    single corpus-wide stop-shingle (every web page contains 'terms of
+    service') would otherwise materialize an O(corpus) array in ONE task
+    before the filter could drop it. The count agg is map-side combinable
+    (tiny shuffle) and the semi-join lands on the same hash partitioning
+    the posting groupBy needs. Pass None to disable (exact but vulnerable
+    to the hot-shingle buffer AND reducer); use stop_shingle_postings() to
     see what a cap dropped.
     """
     from pyspark.storagelevel import StorageLevel
 
     sh = _hashed_shingle_sets(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    posting = sh.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
-    posting = posting.filter(F.size("ids") > 1)
+    posting_src = sh
     if max_shingle_docs is not None:
-        posting = posting.filter(F.size("ids") <= max_shingle_docs)
+        eligible = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_dc"))
+            .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
+            .select("h")
+        )
+        posting_src = sh.join(eligible, "h", "left_semi")
+    posting = posting_src.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    posting = posting.filter(F.size("ids") > 1)  # no-op under the semi-join; needed for None
     pair = F.explode(
         F.flatten(
             F.transform(
