@@ -31,14 +31,46 @@ def _norm_text(text_col: str):
     return norm_ws(text_col)
 
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int | None = 1024,
+) -> DataFrame:
     """Groups of exact duplicates (after whitespace/case normalization).
-    Returns (fingerprint, dup_count, doc_ids) for groups with >1 member."""
+    Returns (fingerprint, dup_count, doc_ids) for groups with >1 member.
+
+    `dup_count` is always exact; `doc_ids` lists the `max_ids` SMALLEST
+    member ids (ascending) — a mega-group of f identical documents (the
+    templated-page case) must not materialize an f-length array in one
+    collect_list buffer, which never spills. Membership is ranked with a
+    window (WindowExec spills per-partition-group), so only the surviving
+    <= max_ids rows per group reach the collection. Pass None for the full
+    lists (exact, but one O(f) buffer per mega-group)."""
+    fp = df.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("fingerprint"))
+    if max_ids is None:
+        return (
+            fp.groupBy("fingerprint")
+            .agg(
+                F.count(F.lit(1)).alias("dup_count"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .filter(F.col("dup_count") > 1)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        F.row_number().over(w.orderBy(id_col)).alias("_rn"),
+    )
     return (
-        df.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("dup_count") > 1)
+        ranked.filter((F.col("dup_count") > 1) & (F.col("_rn") <= max_ids))
+        .groupBy("fingerprint", "dup_count")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .select("fingerprint", "dup_count", "doc_ids")
     )
 
 
@@ -650,13 +682,35 @@ def simhash_near_pairs(
     )
 
 
-def simhash_duplicate_groups(signatures: DataFrame) -> DataFrame:
+def simhash_duplicate_groups(signatures: DataFrame, max_ids: int | None = 1024) -> DataFrame:
     """Documents sharing an identical simhash — the bucket form; banded
     Hamming-distance variants (`simhash_near_pairs`) join on chunk-
     combination keys of the signature. Identical-signature mega-clusters
-    belong HERE — the near-pairs path star-caps them."""
+    belong HERE — the near-pairs path star-caps them — which is exactly why
+    `doc_ids` is bounded: `dup_count` stays exact, the list holds the
+    `max_ids` smallest ids (window-ranked, spillable; collect_list buffers
+    don't spill). Pass None for full lists."""
+    if max_ids is None:
+        return (
+            signatures.groupBy("simhash")
+            .agg(
+                F.count(F.lit(1)).alias("dup_count"),
+                F.sort_array(F.collect_list("id")).alias("doc_ids"),
+            )
+            .filter(F.col("dup_count") > 1)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("simhash")
+    ranked = signatures.select(
+        "simhash",
+        "id",
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        F.row_number().over(w.orderBy("id")).alias("_rn"),
+    )
     return (
-        signatures.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("doc_ids"))
-        .filter(F.col("dup_count") > 1)
+        ranked.filter((F.col("dup_count") > 1) & (F.col("_rn") <= max_ids))
+        .groupBy("simhash", "dup_count")
+        .agg(F.sort_array(F.collect_list("id")).alias("doc_ids"))
+        .select("simhash", "dup_count", "doc_ids")
     )

@@ -28,6 +28,23 @@ def test_exact_duplicates(spark, docs):
     assert groups[0]["doc_ids"] == [1, 2, 3]
 
 
+def test_duplicate_group_member_lists_are_bounded(spark):
+    """The mega-group defense: dup_count stays exact while doc_ids holds
+    only the max_ids smallest members — a 10^8-member identical-text group
+    must never materialize its full id array in one collect_list buffer."""
+    docs = spark.createDataFrame(
+        [(i, "same exact text body") for i in range(30)], "doc_id long, text string"
+    )
+    g = dedup.exact_duplicates(docs, max_ids=10).collect()
+    assert len(g) == 1 and g[0]["dup_count"] == 30 and g[0]["doc_ids"] == list(range(10))
+    # default cap binds only past 1024 members: small groups are unchanged
+    full = dedup.exact_duplicates(docs).collect()
+    assert full[0]["doc_ids"] == list(range(30))
+    sigs = spark.createDataFrame([(i, 42) for i in range(30)], "id long, simhash long")
+    sg = dedup.simhash_duplicate_groups(sigs, max_ids=7).collect()
+    assert len(sg) == 1 and sg[0]["dup_count"] == 30 and sg[0]["doc_ids"] == list(range(7))
+
+
 def test_dedup_exact_keeps_min(spark, docs):
     kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
     assert kept == [1, 4, 5]
