@@ -1535,6 +1535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_groups": q_simhash_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        # round-6 session 2: posting caps now enforced pre-collect
+        # (jaccard_similarity_pairs) and pagerank grew the tol probe —
+        # re-certify both under the driver
+        "interface_jaccard": q_interface_jaccard,
+        "pagerank_ranks": q_pagerank_ranks,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "cosine_ngram_pairs": q_cosine_ngram_pairs,
@@ -1613,7 +1618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs": q_date_funcs,
         "null_funcs": q_null_funcs,
         "explode_outer": q_explode_outer,
-        "pagerank_ranks": q_pagerank_ranks,
         "gas_stats": q_gas_stats,
         "lifetimes_rq4": q_lifetimes_rq4,
         "last_block": q_last_block,
@@ -1635,7 +1639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_extrema": q_events_extrema,
         "embedding_topk": q_embedding_topk,
         "cosine_one_vs_all": q_cosine_one_vs_all,
-        "interface_jaccard": q_interface_jaccard,
         "asof_attach": q_asof_attach,
         "interval_attach": q_interval_attach,
         "session_count": q_session_count,
