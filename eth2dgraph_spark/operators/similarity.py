@@ -55,25 +55,30 @@ def cosine_similarity_pairs(
     # skeleton can't contribute to any dot product, so postings of length 1
     # are dropped, and the grouping key is a 64-bit hash, never the string.
     nr = ngram_rows.select(F.xxhash64("ngram").alias("ngram"), F.struct("id", "cnt").alias("e"))
-    # the cap is enforced BEFORE collect_list (count agg + semi-join):
-    # collect_list's per-group buffer never spills, so a hot posting would
-    # otherwise materialize its full O(f) array in one task before the
-    # size filter could drop it — the buffer form of the reducer hazard
-    # the cap exists to prevent. Count agg is map-side combinable; the
-    # semi-join lands on the partitioning the posting groupBy needs.
+    # the cap is enforced BEFORE collect_list: collect_list's per-group
+    # buffer never spills, so a hot posting would otherwise materialize its
+    # full O(f) array in one task before the size filter could drop it —
+    # the buffer form of the reducer hazard the cap exists to prevent. The
+    # posting length comes from a WINDOW over the posting key (WindowExec
+    # spills per group), not a count agg + semi-join: ngram_rows is not
+    # persisted here, and the window consumes it ONCE, with the groupBy
+    # below reusing the window's hash partitioning (no extra exchange).
+    # (dedup.ngram_jaccard_pairs uses the agg+semi-join form instead —
+    # its shingle frame is persisted, so re-reads there are cache hits.)
     posting_src = nr
     if max_posting_len is not None:
-        eligible = (
-            nr.groupBy("ngram")
-            .agg(F.count(F.lit(1)).alias("_dc"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ngram")
+        posting_src = (
+            nr.withColumn("_dc", F.count(F.lit(1)).over(w))
             .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_posting_len))
-            .select("ngram")
+            .drop("_dc")
         )
-        posting_src = nr.join(eligible, "ngram", "left_semi")
     posting = (
         posting_src.groupBy("ngram")
         .agg(F.sort_array(F.collect_list("e")).alias("es"))  # sorts by id
-        .filter(F.size("es") > 1)  # no-op under the semi-join; needed for None
+        .filter(F.size("es") > 1)  # no-op under the window filter; needed for None
     )
     pair = F.explode(
         F.flatten(
@@ -123,21 +128,23 @@ def jaccard_similarity_pairs(
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # sizes fixed above -> singleton tokens prune away; pairs come from the
     # sorted posting list of each token (same shape as the cosine path).
-    # Cap enforced BEFORE collect_list — see cosine_similarity_pairs for
-    # the per-group-buffer rationale.
+    # Cap enforced BEFORE collect_list via a window — see
+    # cosine_similarity_pairs for the per-group-buffer rationale and the
+    # window-vs-semi-join choice.
     posting_src = tok
     if max_posting_len is not None:
-        eligible = (
-            tok.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("_dc"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("token")
+        posting_src = (
+            tok.withColumn("_dc", F.count(F.lit(1)).over(w))
             .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_posting_len))
-            .select("token")
+            .drop("_dc")
         )
-        posting_src = tok.join(eligible, "token", "left_semi")
     posting = (
         posting_src.groupBy("token")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)  # no-op under the semi-join; needed for None
+        .filter(F.size("ids") > 1)  # no-op under the window filter; needed for None
     )
     pair = F.explode(
         F.flatten(
