@@ -186,9 +186,15 @@ def ngram_jaccard_pairs(
     k: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
     max_shingle_docs: int | None = DEFAULT_MAX_SHINGLE_DOCS,
+    eager: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted index (no cross join):
     |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|-|A∩B|.
+
+    `eager` (default) materializes the output and releases the persisted
+    shingle frame before returning; False returns the lazy plan (for plan
+    inspection or custom reuse) and leaves the shingle frame persisted
+    until the session's ContextCleaner or an explicit unpersist.
 
     Scale shape: (1) per-doc sizes are counted BEFORE any pruning; (2)
     candidate pairs come from ONE groupBy(shingle-hash) with an in-row
@@ -244,13 +250,23 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    # materialize the (threshold-filtered) output eagerly so the persisted
+    # shingle frame — the BIG intermediate, one row per (doc, shingle) —
+    # can be released here instead of pinning executor storage until the
+    # session ends. Same contract as minhash_lsh_candidates: the returned
+    # frame is already computed; downstream reads checkpointed blocks.
+    out = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def contamination_pairs(
@@ -505,13 +521,19 @@ def minhash_dedup_pairs(
     a = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (
+    # eager-checkpoint the verified pairs so the persisted shingle explode
+    # (the widest intermediate of the whole pipeline) is released here
+    # instead of pinning executor storage until the session ends
+    out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    ex.unpersist()
+    return out
 
 
 def simhash_signatures(

@@ -98,7 +98,9 @@ def test_jaccard_posting_list_no_index_self_join(spark):
     from eth2dgraph_spark.pipeline.dedup import ngram_jaccard_pairs
 
     d = read_table(spark, SF, "documents")
-    p = plan_of(ngram_jaccard_pairs(d, k=3, threshold=0.05), "simple")
+    # eager=False: the default eagerly checkpoints the result, which hides
+    # the plan behind a Scan ExistingRDD — the lazy form exposes it
+    p = plan_of(ngram_jaccard_pairs(d, k=3, threshold=0.05, eager=False), "simple")
     joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
     # the LeftSemi is the cap's eligible-key pre-drop (bounds collect_list
     # buffers), not a pair-generating join — exclude it from the bound
