@@ -326,4 +326,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # them; each surviving wedge is exactly one triangle.
     closing = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = wedges.join(closing, ["b", "c"], "left_semi")
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # the output is ONE row — materialize it eagerly so the persisted
+    # symmetric closure is released here instead of pinning executor
+    # storage until the session ends
+    out = tri.agg(F.count(F.lit(1)).alias("n_triangles")).localCheckpoint(eager=True)
+    und.unpersist()
+    return out
