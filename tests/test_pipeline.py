@@ -205,6 +205,31 @@ def test_minhash_lsh_star_cap_bounds_mega_cluster(spark):
     assert len(kept) == 1 and kept[0]["doc_id"] == 0
 
 
+def test_dedup_functions_release_cached_frames(spark):
+    """The materialize-then-release contract: the pair/candidate functions
+    persist wide intermediates internally but must leave NOTHING in the
+    cache manager when they return — a long-lived session (notebook,
+    streaming driver) must not accumulate pinned executor storage."""
+    from eth2dgraph_spark.graph import triangle_count
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} plus shared boilerplate text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.ngram_jaccard_pairs(docs, threshold=0.1).count()
+    dedup.minhash_dedup_pairs(docs, threshold=0.5).count()
+    sigs = spark.createDataFrame([(i, i * 7919) for i in range(20)], "id long, simhash long")
+    dedup.simhash_near_pairs(sigs).count()
+    dedup.minhash_lsh_candidates(
+        spark.createDataFrame([(i, list(range(8))) for i in range(5)], "id long, sig array<long>")
+    ).count()
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    triangle_count(edges).collect()
+    assert cm.isEmpty()
+
+
 def test_simhash_near_pairs_randomized_exact_recall(spark):
     """Seeded randomized brute-force pin: over 300 signatures (uniform plus
     planted mutations at Hamming 1..6 of shared bases), the banded output
