@@ -34,7 +34,15 @@ from . import transfers as transfer_ops
 @dataclass
 class ExtractResult:
     """The 10-directory output contract of src/extraction/extract.rs:300-316,
-    as named DataFrames."""
+    as named DataFrames.
+
+    The shared hubs of the DAG (propagated traces, enriched deployments,
+    decompiled skeletons) are persisted inside extract_all: the 10 tables
+    are written as separate actions, and without pinning, every action
+    would re-run the expensive UDF stages (metadata CBOR, skeletonize,
+    keccak, decompile) the dedup-before-UDF design exists to minimize.
+    Call `release()` after the tables are written (or consumed) to free
+    the pinned executor storage."""
 
     blocks: DataFrame
     transactions: DataFrame
@@ -46,6 +54,14 @@ class ExtractResult:
     abi: DataFrame
     abi_membership: DataFrame
     accounts: DataFrame
+    _pinned: "list[DataFrame]" = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the internally pinned hub frames. Safe to call twice;
+        the table DataFrames stay valid (they recompute from source after)."""
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
 
     def as_dict(self) -> dict[str, DataFrame]:
         return {
@@ -87,7 +103,7 @@ def enrich_deployments(raw_deployments: DataFrame) -> DataFrame:
 
 
 def derive_skeleton_tables(
-    deployments: DataFrame, decompiler=selector_lifter
+    deployments: DataFrame, decompiler=selector_lifter, _pin: "list[DataFrame] | None" = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """A3 skeleton dedup -> U1 decompile (once per distinct skeleton) ->
     P13 signatures -> A4 ABI dedup -> J3 membership -> P14 compliancy.
@@ -107,6 +123,14 @@ def derive_skeleton_tables(
         "_abi", decompile_udf(decompiler)(F.col("deployed_bytecode"))
     ).drop("deployed_bytecode")
     decompiled = decompiled.withColumn("failed_decompilation", F.col("_abi").isNull())
+    if _pin is not None:
+        # three output tables (skeletons, abi, membership) branch off this
+        # frame; without pinning, each write action re-runs the decompiler
+        # over every distinct skeleton — the exact cost A3 dedup minimizes
+        from pyspark.storagelevel import StorageLevel
+
+        decompiled = decompiled.persist(StorageLevel.MEMORY_AND_DISK)
+        _pin.append(decompiled)
 
     raw_entries = decompiled.select(
         "skeleton_hash", F.explode_outer("_abi").alias("e")
@@ -180,14 +204,24 @@ def extract_all(
 ) -> ExtractResult:
     """End-to-end: the Spark equivalent of `eth2dgraph extract`
     (src/main.rs:18-21, src/extraction/extract.rs:291-400)."""
+    from pyspark.storagelevel import StorageLevel
+
+    pinned: list[DataFrame] = []
     txs = block_ops.tx_bytes4(block_ops.normalize_tx_to(transactions))
     enriched_blocks = block_ops.enrich_blocks(blocks, transactions)
-    # propagate trace errors ONCE: each extractor would otherwise run its
-    # own full filter+groupBy(tx_hash)+join over the entire traces table —
-    # a duplicated shuffle of the largest input at scale
-    t = trace_ops.propagate_trace_errors(traces)
+    # propagate trace errors once per MATERIALIZATION of this frame: the
+    # definition is shared, but deployments and destructions are written
+    # as separate actions, so the filter+groupBy(tx_hash)+join over the
+    # entire traces table — a shuffle of the largest input at scale —
+    # is persisted and released via ExtractResult.release()
+    t = trace_ops.propagate_trace_errors(traces).persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.append(t)
     raw_deps = trace_ops.extract_deployments(t, propagate_errors=False)
-    deps = enrich_deployments(raw_deps)
+    # deps feeds four separate downstream actions (deployments write,
+    # skeletons/abi/membership, accounts) — pin it so the metadata/
+    # skeletonize/keccak UDF pass over distinct bytecodes runs once
+    deps = enrich_deployments(raw_deps).persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.append(deps)
     dess = trace_ops.extract_destructions(t, propagate_errors=False)
     transfers = transfer_ops.decode_token_transfers(logs)
     logs_exploded = transfer_ops.explode_topics(logs)
@@ -196,6 +230,7 @@ def extract_all(
             "skeleton_hash", "skeleton_bytecode", "deployed_bytecode", "block_number", "tx_hash"
         ),
         decompiler,
+        _pin=pinned,
     )
     deployments = deps.select(
         "contract", "creator", "block_number", "tx_hash", "failed_deploy",
@@ -214,4 +249,5 @@ def extract_all(
         abi=abi_table,
         abi_membership=membership,
         accounts=accounts,
+        _pinned=pinned,
     )

@@ -165,3 +165,21 @@ def test_size_bounded_output_files(spark, tmp_path):
     write_eth_table(df, "abi", base, max_records_per_file=100)
     files = glob.glob(f"{base}/abi/*.parquet")
     assert len(files) == 10  # 1000 rows / 100 per file
+
+
+def test_release_frees_pinned_hub_frames(chain):
+    """extract_all pins its shared hubs (propagated traces, enriched
+    deployments, decompiled skeletons) so the 10 per-table write actions
+    don't re-run the UDF stages; release() must free every pin and leave
+    the table frames usable (they recompute from source afterward)."""
+    blocks, txs, logs, traces = chain
+    res = extract_all(blocks, txs, logs, traces)
+    res.skeletons.count()  # materialize through all three hubs
+    pins = list(res._pinned)
+    assert len(pins) == 3
+    assert all(p.storageLevel.useMemory or p.storageLevel.useDisk for p in pins)
+    res.release()
+    assert res._pinned == []
+    assert all(not (p.storageLevel.useMemory or p.storageLevel.useDisk) for p in pins)
+    res.release()  # idempotent
+    assert res.deployments.count() > 0  # tables stay valid post-release
