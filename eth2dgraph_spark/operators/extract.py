@@ -80,17 +80,25 @@ class ExtractResult:
 
 def enrich_deployments(raw_deployments: DataFrame) -> DataFrame:
     """P6/P7/P8 + skeleton hash on the DISTINCT deployed bytecodes, joined
-    back — dedup-before-UDF (src/extraction/extract.rs:170-246)."""
+    back — dedup-before-UDF (src/extraction/extract.rs:170-246).
+
+    The dedup and the join-back key on md5(deployed_bytecode), not the
+    bytecode itself: contract code is up to 24 KB of hex, and a shuffle
+    that sorts/compares 24 KB string keys pays that on every row on both
+    sides; the 128-bit digest is a 16-byte key with no realistic collision
+    risk (~1e-24 at 1e7 distinct codes — and a collision would only merge
+    two enrichment rows, it cannot invent data)."""
+    raw = raw_deployments.withColumn("_code_md5", F.md5(F.col("deployed_bytecode")))
     distinct_codes = (
-        raw_deployments.select("deployed_bytecode")
+        raw.select("_code_md5", "deployed_bytecode")
         .filter(F.col("deployed_bytecode").isNotNull())
-        .dropDuplicates(["deployed_bytecode"])
+        .dropDuplicates(["_code_md5"])
     )
     enriched_codes = (
         distinct_codes.withColumn("_meta", metadata_udf(F.col("deployed_bytecode")))
         .withColumn("_skeleton", skeleton_udf(F.col("deployed_bytecode")))
         .select(
-            "deployed_bytecode",
+            "_code_md5",
             F.col("_meta.storage_protocol").alias("storage_protocol"),
             F.col("_meta.storage_address").alias("storage_address"),
             F.col("_meta.solc_version").alias("solc_version"),
@@ -99,7 +107,7 @@ def enrich_deployments(raw_deployments: DataFrame) -> DataFrame:
             keccak256_udf(F.col("_skeleton")).alias("skeleton_hash"),
         )
     )
-    return raw_deployments.join(enriched_codes, "deployed_bytecode", "left")
+    return raw.join(enriched_codes, "_code_md5", "left").drop("_code_md5")
 
 
 def derive_skeleton_tables(
