@@ -10,8 +10,8 @@ dedup-before-decompile (A3) and global ABI dedup (A4).
 Scale notes: every derivation is a narrow projection or a single shuffle on
 a natural key (block_number / skeleton_hash / signature). The expensive
 Python kernels (metadata CBOR, skeletonize, decompile, keccak) run only on
-dropDuplicates(deployed_bytecode) rows — at mainnet scale ~100x fewer rows
-than deployments.
+dropDuplicates(md5(deployed_bytecode)) rows — at mainnet scale ~100x fewer
+rows than deployments.
 """
 
 from __future__ import annotations
