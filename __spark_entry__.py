@@ -367,6 +367,16 @@ def q_fingerprint(spark, sf):  # pipeline: document fingerprinting
     return d.select("doc_id", "fingerprint", "fingerprint64")
 
 
+def q_boilerplate_stats(spark, sf):  # pipeline: cross-doc boilerplate-passage
+    # removal audit (CCNet/RefinedWeb paragraph-dedup pass), token-window
+    # passages. window=3/max_docs=5 BIND on the synthetic docs (small vocab
+    # means 3-token windows genuinely recur across documents), so the drop
+    # rule itself is exercised cross-engine, not just the n_dropped=0 path.
+    return text.passage_drop_stats(
+        _t(spark, sf, "documents"), window=3, max_docs=5
+    )
+
+
 def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
     ev = _t(spark, sf, "events")
     return ev.groupBy("user_id").agg(
@@ -1642,6 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attach": q_asof_attach,
         "interval_attach": q_interval_attach,
         "session_count": q_session_count,
+        # --- new this round (past the 50-gate window; verified locally
+        # via tools/check_oracle.py at sf0.01 and sf0.1) ---
+        "boilerplate_stats": q_boilerplate_stats,
     }
 
 
@@ -2662,6 +2675,25 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS ({_simhash_oracle()})
             SELECT simhash, count(*)::BIGINT AS dup_count, min(id) AS min_doc
             FROM v GROUP BY simhash HAVING count(*) > 1""",
+        "boilerplate_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '), 1) AS i
+              FROM documents
+            ), passages AS (
+              SELECT doc_id, CAST(floor((i - 1) / 3) AS BIGINT) AS pidx,
+                     md5(string_agg(tok, ' ' ORDER BY i)) AS ph
+              FROM toks GROUP BY doc_id, floor((i - 1) / 3)
+            ), freq AS (
+              SELECT ph, count(DISTINCT doc_id) AS doc_freq FROM passages GROUP BY ph
+            )
+            SELECT p.doc_id,
+                   count(*)::BIGINT AS n_passages,
+                   CAST(sum(CASE WHEN f.doc_freq > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM passages p JOIN freq f USING (ph)
+            GROUP BY p.doc_id""",
     }
 
 

@@ -225,3 +225,124 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint64", F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate-passage removal (the CCNet/RefinedWeb-style
+# paragraph-dedup pass): a passage that recurs across many DISTINCT documents
+# (headers, navigation chrome, license blurbs, templated footers) is dropped
+# from EVERY document, while each document's unique prose is kept. This is a
+# different axis from whole-document dedup (pipeline/dedup.py) and from
+# within-document repetition stats (repetition_stats above).
+
+
+def passage_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """(id, pidx, ph) rows: md5 per passage, where a passage is a
+    non-overlapping window of `window` whitespace tokens (the tail keeps its
+    short remainder). Token windows rather than newline paragraphs so the
+    pass also works on token-stream corpora; split on a real delimiter
+    upstream and set window high to get paragraph semantics.
+
+    Scale shape: every passage is built IN-ROW from pure column expressions
+    (split -> sequence -> slice -> array_join -> md5) — no explode-then-
+    regroup shuffle to assemble windows; the exploded output carries only
+    (id, pidx, 32-hex ph), so everything shuffled downstream is keyed on the
+    16-byte digest, never on passage text."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    npass = F.greatest(F.ceil(F.size(toks) / F.lit(window)).cast("int"), F.lit(1))
+    passages = F.transform(
+        F.sequence(F.lit(0), npass - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pidx"),
+            F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")).alias("ph"),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(passages).alias("p")).select(
+        "id", "p.pidx", "p.ph"
+    )
+
+
+def boilerplate_passage_hashes(passages: DataFrame, max_docs: int = 100) -> DataFrame:
+    """(ph, doc_freq) for passages appearing in MORE than `max_docs`
+    distinct documents — the boilerplate set. Document frequency (not
+    occurrence count) so a passage repeated inside one document is never
+    boilerplate by itself; that case is repetition_stats' job."""
+    return (
+        passages.groupBy("ph")
+        .agg(F.countDistinct("id").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_docs)
+    )
+
+
+def passage_drop_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    max_docs: int = 100,
+) -> DataFrame:
+    """Per-document audit of what drop_boilerplate_passages would do:
+    (id_col, n_passages, n_dropped). Run this first to tune `max_docs`;
+    the oracle-gated form of this operator family.
+
+    The passage frame is intentionally NOT persisted: it is a pure
+    projection of the input (recompute = one extra scan-bound pass), and
+    at corpus scale caching a frame comparable to the corpus costs more
+    than the rescan — the opposite trade from dedup's shingle frames,
+    which feed a multi-stage pipeline."""
+    p = passage_hashes(df, id_col, text_col, window)
+    hot = boilerplate_passage_hashes(p, max_docs).select("ph", F.lit(1).alias("_hot"))
+    return (
+        p.join(hot, "ph", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def drop_boilerplate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    window: int = 50,
+    max_docs: int = 100,
+) -> DataFrame:
+    """Input plus `out_col` (the text with boilerplate passages removed,
+    remaining passages re-joined in order) and `n_passages_dropped`. A
+    document that is ALL boilerplate keeps an empty string (filter on
+    n_passages_dropped / length downstream to drop it entirely).
+
+    The kept-index list per document is bounded by the document's own
+    passage count (len(text)/window), so the collect_list buffer is
+    per-doc-sized, never corpus-sized; the rebuild slices the ORIGINAL
+    token array in-row, so passage text itself is never shuffled."""
+    p = passage_hashes(df, id_col, text_col, window)
+    hot = boilerplate_passage_hashes(p, max_docs)
+    kept = p.join(hot.select("ph"), "ph", "left_anti")
+    keep_idx = kept.groupBy("id").agg(F.sort_array(F.collect_list("pidx")).alias("_keep"))
+    keep_idx = keep_idx.select(F.col("id").alias("_bp_id"), "_keep")
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    npass = F.greatest(F.ceil(F.size(toks) / F.lit(window)).cast("int"), F.lit(1))
+    keep = F.coalesce(F.col("_keep"), F.array().cast("array<bigint>"))
+    rebuilt = F.array_join(
+        F.flatten(
+            F.transform(keep, lambda i: F.slice(toks, i.cast("int") * window + 1, window))
+        ),
+        " ",
+    )
+    return (
+        df.join(keep_idx, df[id_col] == F.col("_bp_id"), "left")
+        .withColumn(out_col, rebuilt)
+        .withColumn("n_passages_dropped", (npass.cast("long") - F.size(keep)).cast("long"))
+        .drop("_bp_id", "_keep")
+    )
