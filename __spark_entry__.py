@@ -377,6 +377,18 @@ def q_boilerplate_stats(spark, sf):  # pipeline: cross-doc boilerplate-passage
     )
 
 
+def q_boilerplate_clean(spark, sf):  # the REBUILD path of the same operator:
+    # md5 of the cleaned text proves the slice-and-rejoin reconstruction is
+    # byte-identical to the oracle's string_agg-over-kept-passages rebuild
+    # (all-boilerplate docs compare as md5('') on both engines).
+    out = text.drop_boilerplate_passages(
+        _t(spark, sf, "documents"), window=3, max_docs=5
+    )
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_passages_dropped"
+    )
+
+
 def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
     ev = _t(spark, sf, "events")
     return ev.groupBy("user_id").agg(
@@ -1655,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (past the 50-gate window; verified locally
         # via tools/check_oracle.py at sf0.01 and sf0.1) ---
         "boilerplate_stats": q_boilerplate_stats,
+        "boilerplate_clean": q_boilerplate_clean,
     }
 
 
@@ -2694,6 +2707,34 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dropped
             FROM passages p JOIN freq f USING (ph)
             GROUP BY p.doc_id""",
+        "boilerplate_clean": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS tok,
+                     generate_subscripts(string_split(trim(text), ' '), 1) AS i
+              FROM documents
+            ), passages AS (
+              SELECT doc_id, CAST(floor((i - 1) / 3) AS BIGINT) AS pidx,
+                     string_agg(tok, ' ' ORDER BY i) AS ptext,
+                     md5(string_agg(tok, ' ' ORDER BY i)) AS ph
+              FROM toks GROUP BY doc_id, floor((i - 1) / 3)
+            ), freq AS (
+              SELECT ph, count(DISTINCT doc_id) AS doc_freq FROM passages GROUP BY ph
+            ), rebuilt AS (
+              SELECT p.doc_id, string_agg(p.ptext, ' ' ORDER BY p.pidx) AS text_clean
+              FROM passages p JOIN freq f USING (ph)
+              WHERE f.doc_freq <= 5 GROUP BY p.doc_id
+            ), drops AS (
+              SELECT p.doc_id,
+                     CAST(sum(CASE WHEN f.doc_freq > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_passages_dropped
+              FROM passages p JOIN freq f USING (ph) GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
+                   dr.n_passages_dropped
+            FROM documents d
+            LEFT JOIN rebuilt r USING (doc_id)
+            JOIN drops dr ON dr.doc_id = d.doc_id""",
     }
 
 
