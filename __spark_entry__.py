@@ -1542,7 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rounds 1-2 certified the original first 50; round 3 the next 44;
     # round 4 the (then) first 50; round 5 its first 50 (this round's tail).
     # Round 6 leads with the queries whose code CHANGED this round — the
-    # LSH/SimHash banding rewrites, the new capped-Jaccard gate, and the
+    # LSH/SimHash banding rewrites, the new capped-Jaccard gate, the two
+    # boilerplate-removal gates (the round's newest code), and the
     # lsh_bucket null-guard rework — then rotates in the queries whose last
     # driver row dates from r4 (certified r5 only locally). The r4 scalar
     # shapes that don't fit spill past the window; the 50 driver-certified
@@ -1553,6 +1554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        # round-6 late addition: boilerplate-passage removal (pipeline/text.py)
+        # — newest code in the round, so it leads the window too
+        "boilerplate_stats": q_boilerplate_stats,
+        "boilerplate_clean": q_boilerplate_clean,
         "simhash": q_simhash,
         "simhash_dup_groups": q_simhash_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1664,10 +1669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attach": q_asof_attach,
         "interval_attach": q_interval_attach,
         "session_count": q_session_count,
-        # --- new this round (past the 50-gate window; verified locally
-        # via tools/check_oracle.py at sf0.01 and sf0.1) ---
-        "boilerplate_stats": q_boilerplate_stats,
-        "boilerplate_clean": q_boilerplate_clean,
     }
 
 
