@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eth2dgraph_spark.operators import blocks, lifetimes
-from eth2dgraph_spark.pipeline import dedup, similarity_search, text
+from eth2dgraph_spark.pipeline import dedup, importance, similarity_search, text
 from eth2dgraph_spark.sources.testdata import read_table
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -387,6 +387,39 @@ def q_boilerplate_clean(spark, sf):  # the REBUILD path of the same operator:
     return out.select(
         "doc_id", F.md5("text_clean").alias("clean_md5"), "n_passages_dropped"
     )
+
+
+def q_dsir_weights(spark, sf):  # pipeline: DSIR hashed-ngram importance
+    # weights (Xie et al. NeurIPS'23). Target = src0/src1 docs; raw = all.
+    # num_buckets=512 keeps both model tables broadcast-sized while still
+    # spreading the synthetic vocab across many buckets.
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    w = importance.dsir_logweights(d, target, num_buckets=512)
+    return w.select("id", "n_features", _r6e("log_weight").alias("log_weight"))
+
+
+def q_lm_perplexity(spark, sf):  # pipeline: bigram-LM perplexity scoring
+    # (CCNet-style quality filter, self-scored corpus LM).
+    s = importance.bigram_lm_scores(_t(spark, sf, "documents"))
+    return s.select(
+        "id",
+        "n_bigrams",
+        _r6e("avg_logp").alias("avg_logp"),
+        _r6e("ppl").alias("ppl"),
+    )
+
+
+def q_semantic_dedup(spark, sf):  # pipeline: SemDeDup prune decisions.
+    # nlist=1 makes the gate centroid-independent (the ivf_topk trick:
+    # every vector lands in the one cluster, so the result must equal the
+    # global brute-force rule the oracle computes); multi-cluster
+    # separation is unit-tested. threshold=0.4 BINDS on the synthetic
+    # embeddings (59-66 near-dup pairs per sf; nearest pair sits ~1e-5
+    # from the boundary, far outside double-rounding noise).
+    e = _t(spark, sf, "embeddings")
+    cents = similarity_search.ivf_index(e, nlist=1, iters=1)
+    return similarity_search.semantic_dedup(e, cents, threshold=0.4)
 
 
 def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
@@ -1558,6 +1591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — newest code in the round, so it leads the window too
         "boilerplate_stats": q_boilerplate_stats,
         "boilerplate_clean": q_boilerplate_clean,
+        # round-6 late additions: importance scoring + semantic dedup
+        "dsir_weights": q_dsir_weights,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
         "simhash_dup_groups": q_simhash_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2736,6 +2773,74 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN rebuilt r USING (doc_id)
             JOIN drops dr ON dr.doc_id = d.doc_id""",
+        # DSIR: unigram+bigram grams hashed into 512 buckets (same md5-60bit
+        # rule), add-1 models over raw (=all docs) and target (src0/src1),
+        # per-doc sum of cnt * (ln p_t - ln p_r). Mirrors
+        # pipeline/importance.dsir_logweights exactly, smoothed-zero
+        # target lookups included.
+        "dsir_weights": f"""
+            WITH toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+                          FROM documents),
+            grams AS (
+              SELECT doc_id, source, w[i.i] AS g
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS i(i)
+              UNION ALL
+              SELECT doc_id, source, w[i.i] || ' ' || w[i.i + 1] AS g
+              FROM toks, UNNEST(range(1, len(w))) AS i(i)),
+            feats AS (SELECT doc_id, source,
+                             ('0x'||substr(md5(g),1,15))::BIGINT % 512 AS bucket,
+                             count(*) AS cnt
+                      FROM grams GROUP BY doc_id, source, bucket),
+            raw AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY bucket),
+            rtot AS (SELECT sum(c) AS t FROM raw),
+            tgt AS (SELECT bucket, sum(cnt) AS c FROM feats
+                    WHERE source IN ('src0', 'src1') GROUP BY bucket),
+            ttot AS (SELECT sum(c) AS t FROM tgt),
+            scored AS (SELECT f.doc_id, f.cnt,
+                              ln((COALESCE(tg.c, 0) + 1.0) / (ttot.t + 512.0))
+                            - ln((r.c + 1.0) / (rtot.t + 512.0)) AS d
+                       FROM feats f JOIN raw r USING (bucket)
+                       LEFT JOIN tgt tg USING (bucket)
+                       CROSS JOIN rtot CROSS JOIN ttot)
+            SELECT doc_id AS id, sum(cnt)::BIGINT AS n_features,
+                   round(sum(cnt * d) + 1e-9, 6) AS log_weight
+            FROM scored GROUP BY doc_id""",
+        # bigram LM: add-1 smoothing, hash-keyed count tables (collisions
+        # merge identically on both engines), self-scored corpus.
+        "lm_perplexity": f"""
+            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                          FROM documents),
+            bg AS (SELECT doc_id, w[i.i] AS w1, w[i.i] || ' ' || w[i.i + 1] AS g
+                   FROM toks, UNNEST(range(1, len(w))) AS i(i)),
+            h AS (SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS bgh,
+                         ('0x'||substr(md5(w1),1,15))::BIGINT AS ctxh FROM bg),
+            c2 AS (SELECT bgh, count(*) AS c2 FROM h GROUP BY bgh),
+            c1 AS (SELECT ctxh, count(*) AS c1 FROM h GROUP BY ctxh),
+            v AS (SELECT count(DISTINCT ('0x'||substr(md5(w[i.i]),1,15))::BIGINT) AS v
+                  FROM toks, UNNEST(range(1, len(w) + 1)) AS i(i)),
+            lp AS (SELECT h.doc_id,
+                          ln((COALESCE(c2.c2, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + 1.0 * v.v)) AS logp
+                   FROM h LEFT JOIN c2 USING (bgh) LEFT JOIN c1 USING (ctxh)
+                   CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n, avg(logp) AS al
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id AS id, COALESCE(a.n, 0)::BIGINT AS n_bigrams,
+                   round(a.al + 1e-9, 6) AS avg_logp,
+                   round(exp(-a.al) + 1e-9, 6) AS ppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # SemDeDup at nlist=1: the single cluster makes the Spark arm equal
+        # the global brute-force greedy rule (drop iff a smaller-id
+        # near-dup exists at cosine >= 0.4).
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            p AS (SELECT b.vec_id AS ib FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+            c AS (SELECT ib, count(*) AS n FROM p GROUP BY ib)
+            SELECT e.vec_id AS id, COALESCE(c.n, 0)::BIGINT AS n_dup_neighbors,
+                   COALESCE(c.n, 0) = 0 AS kept
+            FROM e LEFT JOIN c ON c.ib = e.vec_id""",
     }
 
 

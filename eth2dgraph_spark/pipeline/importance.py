@@ -1,0 +1,256 @@
+"""Corpus-level importance scoring for training-data selection.
+
+Two published selection methods the rest of the pipeline composes with:
+
+- **DSIR** hashed n-gram importance weights (Xie et al., "Data Selection
+  for Language Models via Importance Resampling", NeurIPS 2023): score
+  every raw document by the log-likelihood ratio of a target-domain
+  bag-of-hashed-ngrams model vs the raw-corpus model, then take a
+  deterministic Gumbel-top-k resample by that weight.
+- **n-gram LM scoring / perplexity filtering** (Wenzek et al., "CCNet:
+  Extracting High Quality Monolingual Datasets from Web Crawl Data",
+  LREC 2020 — the public method; CCNet uses a KenLM 5-gram, this is the
+  dependency-free bigram instance of the same filter): train an add-alpha
+  bigram LM on a reference corpus, score every document by mean token
+  log-probability, filter on the perplexity.
+
+Scale shapes (the 100 TB contract):
+
+- DSIR feature space is a FIXED `num_buckets` hash range, so both model
+  tables are bounded (<= num_buckets rows) and broadcast into the per-doc
+  scoring join — the only corpus-scale shuffles are the per-doc feature
+  groupBy and the final per-doc sum, both keyed on doc id.
+- The LM's bigram/context tables are corpus-scale, so those joins shuffle
+  — but on 60-bit md5 hash keys (longs), never the bigram strings, the
+  same key discipline as `dedup.ngram_jaccard_pairs`. Hash collisions
+  merge the colliding bigrams' counts identically on every engine (the
+  oracle mirrors the hashing), so results stay deterministic.
+- No driver-side iteration; the one scalar total per model table rides a
+  broadcast 1-row aggregate (the pagerank dangling-mass pattern), not a
+  collect.
+
+All arithmetic is plain double logs, so every op here is cross-engine
+oracle-gated in `__spark_entry__.py` (`dsir_weights`, `lm_perplexity`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import md5_60bit, norm_ws
+
+DEFAULT_NUM_BUCKETS = 4096
+DEFAULT_ALPHA = 1.0
+
+
+def _norm_tokens(text_col: str):
+    """Whitespace tokens of the normalized text — same tokenization as
+    text.tokenize/fingerprint (one definition rule, see _ws_tokens in
+    __spark_entry__.py)."""
+    return F.split(norm_ws(text_col), " ")
+
+
+def _with_bigrams(toks):
+    """Adjacent-token bigrams 'w1 w2' from a token array column.
+
+    slice lengths are size-1 >= 0 (split of a normalized string is never
+    an empty array), so one-token docs yield [] rather than an error."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document hashed n-gram feature counts: (id, bucket, cnt).
+
+    DSIR's feature map: unigrams (+ adjacent bigrams) hashed into a fixed
+    `num_buckets` range. Hashing is md5-60bit mod B — engine-portable (the
+    DuckDB oracle computes the identical bucket), deterministic, and the
+    shuffle key is a small long."""
+    toks = _norm_tokens(text_col)
+    grams = F.concat(toks, _with_bigrams(toks)) if include_bigrams else toks
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.pmod(md5_60bit(F.col("g")), F.lit(num_buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ngram_model(
+    features: DataFrame,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Bag-of-hashed-ngrams model from a feature frame: (bucket, logp)
+    with add-alpha smoothing, logp = ln((c_b + alpha) / (total + alpha*B)).
+
+    Bounded output (<= num_buckets rows) — safe to broadcast. Buckets the
+    feature frame never saw are absent; score-time lookups coalesce them
+    to the smoothed-zero ln(alpha / (total + alpha*B))."""
+    by_bucket = features.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    total = by_bucket.agg(F.sum("c").alias("_total"))
+    denom = F.col("_total") + F.lit(float(alpha) * num_buckets)
+    return (
+        by_bucket.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.log((F.col("c") + F.lit(float(alpha))) / denom).alias("logp"),
+            F.log(F.lit(float(alpha)) / denom).alias("logp0"),
+        )
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """DSIR importance log-weight per raw document: (id, n_features,
+    log_weight) where log_weight = sum_b c_doc(b) * (ln p_target(b) -
+    ln p_raw(b)).
+
+    Both model tables are bounded by num_buckets and broadcast; a doc
+    bucket missing from a model scores at that model's smoothed zero.
+    The raw model is fit on `raw` itself (the paper's q-hat); `target` is
+    the in-domain sample (p-hat)."""
+    feats = hashed_ngram_features(raw, text_col, id_col, num_buckets)
+    p_t = ngram_model(
+        hashed_ngram_features(target, text_col, id_col, num_buckets),
+        num_buckets,
+        alpha,
+    )
+    p_r = ngram_model(feats, num_buckets, alpha)
+    # every bucket in feats exists in p_r by construction (same frame), but
+    # the target lookup needs its smoothed zero; ship it on a 1-row frame
+    # so absent-bucket rows don't need a second model scan
+    t_zero = p_t.agg(F.min("logp0").alias("_t_logp0"))
+    scored = (
+        feats.join(F.broadcast(p_t.select("bucket", F.col("logp").alias("logp_t"))), "bucket", "left")
+        .join(F.broadcast(p_r.select("bucket", F.col("logp").alias("logp_r"))), "bucket")
+        .crossJoin(F.broadcast(t_zero))
+        .withColumn("logp_t", F.coalesce("logp_t", "_t_logp0"))
+    )
+    return scored.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_features"),
+        F.sum(F.col("cnt") * (F.col("logp_t") - F.col("logp_r"))).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    n: int,
+    seed_salt: str = "dsir-v1",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resample: keep the n docs with the
+    largest log_weight + Gumbel(id), the paper's sampling-without-
+    replacement trick with the noise derived from md5(id || salt) instead
+    of an RNG — append-stable and engine-portable like split.hash_split.
+
+    u in (0,1) comes from a 52-bit md5 slice; g = -ln(-ln(u))."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + seed_salt))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16 ** 13))
+    )
+    g = -F.log(-F.log(u + F.lit(1e-300)))
+    keyed = weights.withColumn("_k", F.col("log_weight") + g)
+    rn = F.row_number().over(Window.orderBy(F.desc("_k"), F.asc("id")))
+    # single global top-n: fine for selection sizes that fit one stage's
+    # sort; for corpus-scale n switch to an approximate threshold first
+    return keyed.withColumn("_rn", rn).filter(F.col("_rn") <= n).drop("_k", "_rn")
+
+
+def bigram_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Add-alpha bigram LM tables from a reference corpus.
+
+    Returns (bigram_counts, context_counts, vocab_size):
+    - bigram_counts: (bg_hash, c2) — 60-bit md5 hash of 'w1 w2'
+    - context_counts: (ctx_hash, c1) — hash of w1, c1 = count of bigram
+      instances whose context hashes there (= sum_w2 c2(w1,w2) modulo
+      collisions)
+    - vocab_size: 1-row frame (v,) = distinct unigram hashes
+
+    Each table is grouped on ITS OWN hash key alone — grouping bigrams on
+    (bg_hash, ctx_hash) would leave duplicate bg_hash rows whenever two
+    bigrams with different contexts collide on bg_hash, fanning out the
+    score-time join; keying each table independently makes collisions
+    merge counts, identically to the hash-mirroring oracle.
+
+    Corpus-scale tables; downstream joins key on the long hashes."""
+    toks = _norm_tokens(text_col)
+    bg = reference.select(F.explode(_with_bigrams(toks)).alias("bg"))
+    hashed = bg.select(
+        md5_60bit(F.col("bg")).alias("bg_hash"),
+        md5_60bit(F.substring_index(F.col("bg"), " ", 1)).alias("ctx_hash"),
+    )
+    bigram_counts = hashed.groupBy("bg_hash").agg(F.count(F.lit(1)).alias("c2"))
+    context_counts = hashed.groupBy("ctx_hash").agg(F.count(F.lit(1)).alias("c1"))
+    uni = reference.select(F.explode(toks).alias("w"))
+    vocab = uni.agg(F.countDistinct(md5_60bit(F.col("w"))).alias("v"))
+    return bigram_counts, context_counts, vocab
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Per-document bigram-LM score: (id, n_bigrams, avg_logp, ppl).
+
+    P(w2|w1) = (c2(w1,w2) + alpha) / (c1(w1) + alpha*V); avg_logp is the
+    mean ln P over the doc's adjacent bigrams; ppl = exp(-avg_logp).
+    Unseen bigrams/contexts coalesce to count 0 (pure add-alpha smoothing).
+    Docs with < 2 tokens return n_bigrams = 0 and NULL avg_logp/ppl — the
+    caller's filter decides their fate, not a fake score.
+
+    `reference` defaults to `docs` itself (self-scored corpus, the CCNet
+    shape when no curated LM corpus exists yet)."""
+    ref = docs if reference is None else reference
+    bigram_counts, context_counts, vocab = bigram_lm(ref, text_col, id_col, alpha)
+    toks = _norm_tokens(text_col)
+    doc_bg = docs.select(
+        F.col(id_col).alias("id"), F.explode_outer(_with_bigrams(toks)).alias("bg")
+    ).select(
+        "id",
+        F.when(F.col("bg").isNotNull(), md5_60bit(F.col("bg"))).alias("bg_hash"),
+        F.when(
+            F.col("bg").isNotNull(), md5_60bit(F.substring_index(F.col("bg"), " ", 1))
+        ).alias("ctx_hash"),
+    )
+    a = F.lit(float(alpha))
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + a)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + a * F.col("v"))
+    )
+    scored = (
+        doc_bg.join(bigram_counts, "bg_hash", "left")
+        .join(context_counts, "ctx_hash", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp", F.when(F.col("bg_hash").isNotNull(), logp))
+    )
+    return scored.groupBy("id").agg(
+        F.count("bg_hash").cast("long").alias("n_bigrams"),
+        F.avg("logp").alias("avg_logp"),
+        F.exp(-F.avg("logp")).alias("ppl"),
+    )

@@ -322,3 +322,90 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", 2023): assign
+    every embedding to its nearest k-means centroid (one broadcast argmin
+    pass — centroids come from `ivf_index`, reusing the IVF coarse
+    quantizer as the paper reuses its clustering), then exact cosine
+    within each cluster. Pairs are (id_a < id_b, cosine >= threshold).
+
+    The in-cluster expansion is O(f^2) on a single cluster key, so
+    `max_cluster_size` (finite BY DEFAULT) drops over-cap clusters before
+    the self-join — the same degenerate-bucket defense as
+    `embedding_near_dup_pairs` / `dedup.DEFAULT_MAX_SHINGLE_DOCS`. Raise
+    nlist so honest clusters stay under the cap."""
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .groupBy("id", "v")
+        .agg(F.min(F.struct("d2", "list_id")).alias("m"))
+        .select("id", "v", F.col("m.list_id").alias("list_id"))
+    )
+    if max_cluster_size is not None:
+        # <= nlist count rows: broadcast-joined, no extra shuffle of assigned
+        ok = (
+            assigned.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cluster_size)
+            .select("list_id")
+        )
+        assigned = assigned.join(F.broadcast(ok), "list_id")
+    a = assigned.select("list_id", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = assigned.select("list_id", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", _cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """SemDeDup prune decision per embedding: (id, n_dup_neighbors, kept).
+
+    Keep rule: drop a document iff some SMALLER-id document in its cluster
+    is a near-duplicate (cosine >= threshold) — the deterministic greedy
+    variant of the paper's keep-one-exemplar-per-group rule, matching the
+    first-wins convention of `dedup.dedup_exact`. (The paper keeps the
+    member farthest from the centroid; any single-representative rule
+    removes the same duplicate mass, and min-id is order-free and
+    engine-portable for the oracle gate.) One shuffle past the pair list:
+    the drop set is the distinct id_b side, anti-joined back."""
+    pairs = semantic_dedup_pairs(
+        embeddings, centroids, threshold, id_col, vec_col, max_cluster_size
+    )
+    by_b = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_dup_neighbors")
+    )
+    ids = embeddings.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(by_b, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_dup_neighbors", F.lit(0)).cast("long").alias("n_dup_neighbors"),
+            (F.coalesce("n_dup_neighbors", F.lit(0)) == 0).alias("kept"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Importance-scoring pipeline tests: DSIR hashed-ngram weights,
+Gumbel-top-k selection, bigram-LM perplexity scoring, SemDeDup pruning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth2dgraph_spark.pipeline import importance, similarity_search
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "code code code function return", "src_code"),
+        (2, "code function return value type", "src_code"),
+        (3, "the cat sat on the mat", "src_prose"),
+        (4, "the dog sat on the rug", "src_prose"),
+        (5, "code the function the return", "src_mixed"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hashed_ngram_features_counts(spark, corpus):
+    feats = importance.hashed_ngram_features(corpus, num_buckets=64)
+    per_doc = {
+        r["id"]: r["n"]
+        for r in feats.groupBy("id").agg(F.sum("cnt").alias("n")).collect()
+    }
+    # every doc has 5 tokens -> 5 unigrams + 4 bigrams = 9 grams (doc 3/4
+    # have 6 tokens -> 11)
+    assert per_doc == {1: 9, 2: 9, 3: 11, 4: 11, 5: 9}
+
+
+def test_dsir_weights_favor_target_like_docs(spark, corpus):
+    target = corpus.filter(F.col("source") == "src_code")
+    w = {
+        r["id"]: r["log_weight"]
+        for r in importance.dsir_logweights(corpus, target, num_buckets=256).collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5}
+    # code-like docs must outscore prose docs under a code-trained target
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    # the mixed doc sits strictly between the two blocks
+    assert max(w[3], w[4]) < w[5] < min(w[1], w[2])
+
+
+def test_dsir_select_is_deterministic_and_weight_biased(spark, corpus):
+    target = corpus.filter(F.col("source") == "src_code")
+    w = importance.dsir_logweights(corpus, target, num_buckets=256)
+    a = sorted(r["id"] for r in importance.dsir_select(w, 2).collect())
+    b = sorted(r["id"] for r in importance.dsir_select(w, 2).collect())
+    assert a == b  # md5-derived Gumbel noise: no RNG, stable across runs
+    # with weights this far apart the Gumbel noise cannot flip the order:
+    # the two code docs win
+    assert a == [1, 2]
+
+
+def test_bigram_lm_scores_known_values(spark):
+    # reference corpus "a b a b": bigrams a b (x2), b a (x1); vocab {a, b}
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "b b"), (4, "a")],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {r["id"]: r for r in importance.bigram_lm_scores(docs, ref).collect()}
+    # P(b|a) = (2+1)/(2+2) = 3/4 ; P(a|b) = (1+1)/(1+2) = 2/3 ; P(b|b) = (0+1)/(1+2) = 1/3
+    expected_doc1 = (math.log(3 / 4) * 2 + math.log(2 / 3)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == pytest.approx(expected_doc1)
+    assert out[2]["avg_logp"] == pytest.approx(math.log(3 / 4))
+    assert out[3]["avg_logp"] == pytest.approx(math.log(1 / 3))
+    # higher-probability doc -> lower perplexity
+    assert out[2]["ppl"] < out[3]["ppl"]
+    # one-token doc: no bigrams, NULL score (caller decides, no fake value)
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_logp"] is None and out[4]["ppl"] is None
+
+
+def test_bigram_lm_self_scored_default(spark):
+    docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    row = importance.bigram_lm_scores(docs).collect()[0]
+    assert row["n_bigrams"] == 3 and row["ppl"] == pytest.approx(
+        math.exp(-row["avg_logp"])
+    )
+
+
+@pytest.fixture()
+def clustered_vecs(spark):
+    # two well-separated clusters on orthogonal axes + one lone vector;
+    # within-cluster cosine ~1, across ~0
+    rows = [
+        (0, [1.0, 0.01, 0.0]),
+        (1, [1.0, 0.02, 0.0]),
+        (2, [0.99, 0.0, 0.01]),
+        (10, [0.0, 1.0, 0.01]),
+        (11, [0.01, 1.0, 0.0]),
+        (20, [0.5, 0.5, 0.7]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_multi_cluster(spark, clustered_vecs):
+    cents = similarity_search.ivf_index(clustered_vecs, nlist=3, iters=3)
+    out = {r["id"]: r for r in similarity_search.semantic_dedup(
+        clustered_vecs, cents, threshold=0.95
+    ).collect()}
+    # min-id greedy: 0 survives its cluster, 1/2 drop; 10 survives, 11 drops
+    assert out[0]["kept"] and not out[1]["kept"] and not out[2]["kept"]
+    assert out[10]["kept"] and not out[11]["kept"]
+    assert out[20]["kept"]  # lone vector: no near-dup neighbor
+    assert out[1]["n_dup_neighbors"] >= 1 and out[20]["n_dup_neighbors"] == 0
+
+
+def test_semantic_dedup_pairs_stay_within_clusters(spark, clustered_vecs):
+    """Pairs never cross cluster boundaries even when the global cosine
+    would qualify — the paper's recall trade for the scale win."""
+    cents = similarity_search.ivf_index(clustered_vecs, nlist=3, iters=3)
+    pairs = similarity_search.semantic_dedup_pairs(
+        clustered_vecs, cents, threshold=0.0  # every in-cluster pair qualifies
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # cross-cluster pairs (e.g. 0-10) must be absent despite threshold 0
+    assert all(not (a < 10 <= b) for a, b in ids)
+
+
+def test_semantic_dedup_cluster_cap_drops_mega_cluster(spark):
+    """Over-cap clusters are excluded before the O(f^2) expansion (the
+    degenerate-bucket defense); their members survive with 0 neighbors."""
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity_search.ivf_index(vecs, nlist=1, iters=1)
+    capped = similarity_search.semantic_dedup(
+        vecs, cents, threshold=0.9, max_cluster_size=10
+    )
+    assert all(r["kept"] for r in capped.collect())
+    uncapped = similarity_search.semantic_dedup(vecs, cents, threshold=0.9)
+    assert sum(1 for r in uncapped.collect() if r["kept"]) == 1
