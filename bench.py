@@ -61,6 +61,12 @@ HEADLINE = [
     "fingerprint",
     "cms_topk",
     "corpus_pipeline",
+    # round-6 additions (importance scoring + semantic dedup): the 29-query
+    # subtotal above/below stays comparable to rounds 1-5; these three are
+    # extra (BASELINE.md round-6 session-3 note)
+    "dsir_weights",
+    "lm_perplexity",
+    "semantic_dedup",
     "order_priority",
     "custdist",
     "nation_flows",

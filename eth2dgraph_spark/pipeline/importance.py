@@ -35,7 +35,7 @@ oracle-gated in `__spark_entry__.py` (`dsir_weights`, `lm_perplexity`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import md5_60bit, norm_ws
@@ -126,7 +126,13 @@ def dsir_logweights(
     Both model tables are bounded by num_buckets and broadcast; a doc
     bucket missing from a model scores at that model's smoothed zero.
     The raw model is fit on `raw` itself (the paper's q-hat); `target` is
-    the in-domain sample (p-hat)."""
+    the in-domain sample (p-hat).
+
+    NULL-text docs produce no grams and are absent from the output (=
+    never selected) — mirror-consistent with the oracle. The target model
+    frame is consumed by two jobs (the broadcast join and its
+    smoothed-zero aggregate), so the target corpus is scanned twice —
+    fine by construction: DSIR's target is the small in-domain sample."""
     feats = hashed_ngram_features(raw, text_col, id_col, num_buckets)
     p_t = ngram_model(
         hashed_ngram_features(target, text_col, id_col, num_buckets),
@@ -160,7 +166,12 @@ def dsir_select(
     replacement trick with the noise derived from md5(id || salt) instead
     of an RNG — append-stable and engine-portable like split.hash_split.
 
-    u in (0,1) comes from a 52-bit md5 slice; g = -ln(-ln(u))."""
+    u in (0,1) comes from a 52-bit md5 slice; g = -ln(-ln(u)).
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition top-n
+    with a driver merge, never a global sort on one reducer. That holds n
+    rows on the driver, so for corpus-scale n (selecting billions) cut by
+    an approximate weight threshold (approxQuantile on _k) first."""
     u = (
         F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + seed_salt))), 1, 13), 16, 10)
         .cast("double")
@@ -168,10 +179,7 @@ def dsir_select(
     )
     g = -F.log(-F.log(u + F.lit(1e-300)))
     keyed = weights.withColumn("_k", F.col("log_weight") + g)
-    rn = F.row_number().over(Window.orderBy(F.desc("_k"), F.asc("id")))
-    # single global top-n: fine for selection sizes that fit one stage's
-    # sort; for corpus-scale n switch to an approximate threshold first
-    return keyed.withColumn("_rn", rn).filter(F.col("_rn") <= n).drop("_k", "_rn")
+    return keyed.orderBy(F.desc("_k"), F.asc("id")).limit(n).drop("_k")
 
 
 def bigram_lm(
@@ -221,8 +229,9 @@ def bigram_lm_scores(
     P(w2|w1) = (c2(w1,w2) + alpha) / (c1(w1) + alpha*V); avg_logp is the
     mean ln P over the doc's adjacent bigrams; ppl = exp(-avg_logp).
     Unseen bigrams/contexts coalesce to count 0 (pure add-alpha smoothing).
-    Docs with < 2 tokens return n_bigrams = 0 and NULL avg_logp/ppl — the
-    caller's filter decides their fate, not a fake score.
+    Docs with < 2 tokens (NULL text included — explode_outer keeps the
+    row) return n_bigrams = 0 and NULL avg_logp/ppl — the caller's filter
+    decides their fate, not a fake score.
 
     `reference` defaults to `docs` itself (self-scored corpus, the CCNet
     shape when no curated LM corpus exists yet)."""

@@ -58,6 +58,28 @@ def test_dsir_select_is_deterministic_and_weight_biased(spark, corpus):
     assert a == [1, 2]
 
 
+def test_dsir_select_plan_is_take_ordered(spark, corpus):
+    """Top-n must compile to TakeOrderedAndProject (per-partition top-n +
+    driver merge), never a global single-reducer sort."""
+    target = corpus.filter(F.col("source") == "src_code")
+    w = importance.dsir_logweights(corpus, target, num_buckets=256)
+    plan = importance.dsir_select(w, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_null_text_semantics(spark):
+    """NULL-text docs: absent from DSIR weights (no grams), present in LM
+    scores with n_bigrams=0 and NULL score (explode_outer keeps the row)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s"), (2, None, "s")], "doc_id long, text string, source string"
+    )
+    w_ids = {r["id"] for r in importance.dsir_logweights(docs, docs).collect()}
+    assert w_ids == {1}
+    lm = {r["id"]: r for r in importance.bigram_lm_scores(docs).collect()}
+    assert set(lm) == {1, 2}
+    assert lm[2]["n_bigrams"] == 0 and lm[2]["avg_logp"] is None
+
+
 def test_bigram_lm_scores_known_values(spark):
     # reference corpus "a b a b": bigrams a b (x2), b a (x1); vocab {a, b}
     docs = spark.createDataFrame(
