@@ -399,6 +399,17 @@ def q_dsir_weights(spark, sf):  # pipeline: DSIR hashed-ngram importance
     return w.select("id", "n_features", _r6e("log_weight").alias("log_weight"))
 
 
+def q_dsir_select(spark, sf):  # pipeline: the DSIR resample itself —
+    # deterministic Gumbel-top-50 by log_weight, cross-engine. Rank-50
+    # boundary gap measured 1.7e-3..8.5e-2 across sfs, so double noise
+    # cannot flip the selected set.
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    w = importance.dsir_logweights(d, target, num_buckets=512)
+    sel = importance.dsir_select(w, 50)
+    return sel.select("id", "n_features", _r6e("log_weight").alias("log_weight"))
+
+
 def q_lm_perplexity(spark, sf):  # pipeline: bigram-LM perplexity scoring
     # (CCNet-style quality filter, self-scored corpus LM).
     s = importance.bigram_lm_scores(_t(spark, sf, "documents"))
@@ -1593,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_clean": q_boilerplate_clean,
         # round-6 late additions: importance scoring + semantic dedup
         "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
         "simhash": q_simhash,
@@ -2805,6 +2817,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, sum(cnt)::BIGINT AS n_features,
                    round(sum(cnt * d) + 1e-9, 6) AS log_weight
             FROM scored GROUP BY doc_id""",
+        # the DSIR resample: same weights CTEs, Gumbel key from the same
+        # md5-slice formula, top-50 by (key desc, id)
+        "dsir_select": f"""
+            WITH toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+                          FROM documents),
+            grams AS (
+              SELECT doc_id, source, w[i.i] AS g
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS i(i)
+              UNION ALL
+              SELECT doc_id, source, w[i.i] || ' ' || w[i.i + 1] AS g
+              FROM toks, UNNEST(range(1, len(w))) AS i(i)),
+            feats AS (SELECT doc_id, source,
+                             ('0x'||substr(md5(g),1,15))::BIGINT % 512 AS bucket,
+                             count(*) AS cnt
+                      FROM grams GROUP BY doc_id, source, bucket),
+            raw AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY bucket),
+            rtot AS (SELECT sum(c) AS t FROM raw),
+            tgt AS (SELECT bucket, sum(cnt) AS c FROM feats
+                    WHERE source IN ('src0', 'src1') GROUP BY bucket),
+            ttot AS (SELECT sum(c) AS t FROM tgt),
+            scored AS (SELECT f.doc_id, f.cnt,
+                              ln((COALESCE(tg.c, 0) + 1.0) / (ttot.t + 512.0))
+                            - ln((r.c + 1.0) / (rtot.t + 512.0)) AS d
+                       FROM feats f JOIN raw r USING (bucket)
+                       LEFT JOIN tgt tg USING (bucket)
+                       CROSS JOIN rtot CROSS JOIN ttot),
+            w AS (SELECT doc_id AS id, sum(cnt)::BIGINT AS n_features,
+                         sum(cnt * d) AS lw
+                  FROM scored GROUP BY doc_id),
+            k AS (SELECT id, n_features, lw,
+                         lw + -ln(-ln((('0x'||substr(md5(id::VARCHAR||':dsir-v1'),1,13))::BIGINT
+                                       / power(16, 13)) + 1e-300)) AS gk
+                  FROM w)
+            SELECT id, n_features, round(lw + 1e-9, 6) AS log_weight
+            FROM k ORDER BY gk DESC, id LIMIT 50""",
         # bigram LM: add-1 smoothing, hash-keyed count tables (collisions
         # merge identically on both engines), self-scored corpus.
         "lm_perplexity": f"""

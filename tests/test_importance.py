@@ -147,6 +147,36 @@ def test_semantic_dedup_pairs_stay_within_clusters(spark, clustered_vecs):
     assert all(not (a < 10 <= b) for a, b in ids)
 
 
+def test_blocked_cosine_pairs_exactly_once(spark):
+    """The blocked GEMM kernel emits every unordered in-bucket pair
+    EXACTLY once with the right cosine, with tiny block_rows forcing real
+    multi-block paths (cross-block, same-block, replicated rows)."""
+    import math
+
+    rows = [
+        (b, i, [math.cos(i * 0.37 + b), math.sin(i * 0.37 + b)])
+        for b in (0, 1)
+        for i in range(b * 100, b * 100 + 13)
+    ]
+    df = spark.createDataFrame(rows, "bkt int, id long, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity_search._blocked_cosine_pairs(
+            df, "bkt", threshold=-2.0, block_rows=3
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for bkt in (0, 1)
+        for a in range(bkt * 100, bkt * 100 + 13)
+        for b in range(a + 1, bkt * 100 + 13)
+    }
+    assert set(got) == want
+    # unit vectors at angles: cosine must be cos(delta-angle)
+    for (a, b), c in got.items():
+        assert c == pytest.approx(math.cos((b - a) * 0.37), abs=1e-12)
+
+
 def test_semantic_dedup_cluster_cap_drops_mega_cluster(spark):
     """Over-cap clusters are excluded before the O(f^2) expansion (the
     degenerate-bucket defense); their members survive with 0 neighbors."""
