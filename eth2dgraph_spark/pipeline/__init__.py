@@ -1,3 +1,23 @@
-from . import dedup, similarity_search, text, multimodal
+from . import (
+    corpus,
+    dedup,
+    importance,
+    multimodal,
+    pack,
+    similarity_search,
+    sketch,
+    split,
+    text,
+)
 
-__all__ = ["dedup", "similarity_search", "text", "multimodal"]
+__all__ = [
+    "corpus",
+    "dedup",
+    "importance",
+    "multimodal",
+    "pack",
+    "similarity_search",
+    "sketch",
+    "split",
+    "text",
+]

@@ -328,10 +328,10 @@ def _blocked_cosine_pairs(
 
     Scheme: hash each bucket's members into R_b = ceil(size/block_rows)
     sub-blocks; a row in block b ships to every block-pair key
-    (bucket, i, j) with i = b <= j (as the LEFT side) and i <= j = b (as
-    the RIGHT side) — the symmetric triangular scheme, so every key's
-    work is an even (size/R_b)^2 and each row is replicated R_b + 1
-    times. Each key's group runs one numpy float64 GEMM over unit
+    (bucket, i, j) with i = b <= j (as the LEFT side) and i < j = b (as
+    the RIGHT side; same-block keys reuse their left rows as both sides)
+    — the symmetric triangular scheme, so every key's work is an even
+    (size/R_b)^2 and each row is replicated R_b times. Each key's group runs one numpy float64 GEMM over unit
     vectors (L-side sliced to bound the score matrix's memory), applies
     the exactly-once rule (same-block keys keep id < id_r only), filters
     to the threshold INSIDE the kernel, and emits only qualifying
@@ -374,9 +374,18 @@ def _blocked_cosine_pairs(
         "id",
         "v",
     )
+    # the right side ships only to STRICTLY-lower block keys: a same-block
+    # key (i, i) reuses its left rows as both sides, so shipping right rows
+    # there would be a wasted replica. sequence() must be guarded — with
+    # start > stop it COUNTS DOWN (sequence(0, -1) = [0, -1]), so block 0
+    # gets an explicit empty array (explode drops the row).
     right = x.select(
         "_bkt",
-        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_i"),
+        F.explode(
+            F.when(F.col("_blk") > 0, F.sequence(F.lit(0), F.col("_blk") - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
         F.col("_blk").alias("_j"),
         F.lit(1).alias("_side"),
         "id",
@@ -391,7 +400,8 @@ def _blocked_cosine_pairs(
         lm = pdf[pdf["_side"] == 0]
         rm = pdf[pdf["_side"] == 1]
         if same_block:
-            # i == j: both sides carry the identical block; use one copy
+            # i == j: right rows are never shipped here; the block is its
+            # own right side
             rm = lm
         if lm.empty or rm.empty:
             return empty

@@ -52,7 +52,10 @@ def test_relational_queries_stay_jvm_side(spark):
     requires them."""
     import __spark_entry__ as E
 
-    arrow_ok = set()  # none of the gate queries need Python at all
+    # no gate query may use a scalar pandas UDF; Arrow-batched GROUP kernels
+    # (FlatMapGroupsInPandas — the blocked-GEMM cosine path) are allowed,
+    # same class as the MapInPandas allowance in the global sweep below
+    arrow_ok = set()
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
