@@ -1721,12 +1721,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_bpe_tokens(spark, sf):  # bench-only: BPE tokenizer train + encode.
+    # Iterative by nature (each merge depends on the previous argmax), so
+    # no ANSI-SQL oracle exists; correctness is pinned by the pure-Python
+    # reference comparison in tests/test_bpe.py. 24 merges keeps the
+    # bench's job count bounded while still exercising multi-round
+    # checkpointed training plus the vocab-encode join.
+    from eth2dgraph_spark.pipeline import bpe
+
+    d = _t(spark, sf, "documents")
+    merges = bpe.bpe_train(d, num_merges=24)
+    return bpe.bpe_token_counts(d, merges)
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries bench.py times but the oracle gate skips: kernels whose
-    semantics aren't DuckDB-expressible (keccak, CBOR) and are instead
-    golden-tested byte-for-byte in tests/test_kernels.py."""
+    semantics aren't DuckDB-expressible (keccak, CBOR; iterative BPE
+    training) and are instead golden-tested byte-for-byte in
+    tests/test_kernels.py / reference-compared in tests/test_bpe.py."""
     return {
         "byte_kernels": q_byte_kernels,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 

@@ -67,6 +67,7 @@ HEADLINE = [
     "dsir_weights",
     "lm_perplexity",
     "semantic_dedup",
+    "bpe_tokens",
     "order_priority",
     "custdist",
     "nation_flows",
