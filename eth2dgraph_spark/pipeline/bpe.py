@@ -290,3 +290,12 @@ def bpe_token_counts(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+def bpe_decode(df: DataFrame, toks_col: str = "toks", out_col: str = "text_decoded") -> DataFrame:
+    """Inverse of encoding for a token array: concatenate and turn the
+    end-of-word markers back into spaces. Lossless against the
+    whitespace-normalized text the tokenizer saw (pure column math)."""
+    joined = F.array_join(F.col(toks_col), "")
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(joined, F.lit(END), F.lit(" ")))
+    )

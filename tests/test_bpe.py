@@ -131,6 +131,47 @@ def test_bpe_token_counts_per_doc(spark):
     assert out[2]["n_bpe_tokens"] == enc["aa"]
 
 
+def test_bpe_decode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "the lowest low"), (2, "newest estates")], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(df, num_merges=6)
+    words = df.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    enc = bpe.bpe_encode_words(words.select("word").distinct(), merges)
+    dec = bpe.bpe_decode(enc, "toks")
+    for r in dec.collect():
+        assert r["text_decoded"] == r["word"]
+
+
+def test_bpe_counts_feed_greedy_pack(spark):
+    """Composition: real BPE token counts drive sequence packing — the
+    end-to-end path a training-data pipeline actually runs."""
+    from eth2dgraph_spark.pipeline import pack
+
+    df = spark.createDataFrame(
+        [(i, "aa ab ba bb " * (i + 1)) for i in range(6)], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(df, num_merges=4)
+    counts = bpe.bpe_token_counts(df, merges)
+    packed = pack.greedy_pack(
+        counts.select(F.col("id").alias("doc_id"), "n_bpe_tokens"),
+        token_col="n_bpe_tokens",
+        budget=64,
+        num_shards=2,
+    )
+    rows = packed.collect()
+    assert len(rows) == 6
+    # offsets within a pack are unique and bounded by the budget
+    seen = set()
+    for r in rows:
+        key = (r["shard"], r["pack_id"], r["pack_offset"])
+        assert key not in seen
+        seen.add(key)
+        assert 0 <= r["pack_offset"] < 64
+
+
 def test_bpe_merge_fold_nonoverlap_rule(spark):
     df = spark.createDataFrame([(["a", "a", "a", END],)], "toks array<string>")
     got = df.select(bpe._merge_fold(F.col("toks"), "a", "a").alias("m")).collect()[0]["m"]
