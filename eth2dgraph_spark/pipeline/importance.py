@@ -132,8 +132,19 @@ def dsir_logweights(
     never selected) — mirror-consistent with the oracle. The target model
     frame is consumed by two jobs (the broadcast join and its
     smoothed-zero aggregate), so the target corpus is scanned twice —
-    fine by construction: DSIR's target is the small in-domain sample."""
-    feats = hashed_ngram_features(raw, text_col, id_col, num_buckets)
+    fine by construction: DSIR's target is the small in-domain sample.
+
+    The RAW feature frame, by contrast, is the corpus-scale cost of the
+    whole op and has two consumers (the raw model's aggregate and the
+    scoring join), so it is persisted for the duration and released once
+    the per-doc result is eagerly checkpointed — the
+    materialize-then-release contract of dedup.minhash_dedup_pairs;
+    without it the corpus-wide explode+groupBy runs twice."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = hashed_ngram_features(raw, text_col, id_col, num_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     p_t = ngram_model(
         hashed_ngram_features(target, text_col, id_col, num_buckets),
         num_buckets,
@@ -150,10 +161,12 @@ def dsir_logweights(
         .crossJoin(F.broadcast(t_zero))
         .withColumn("logp_t", F.coalesce("logp_t", "_t_logp0"))
     )
-    return scored.groupBy("id").agg(
+    out = scored.groupBy("id").agg(
         F.sum("cnt").cast("long").alias("n_features"),
         F.sum(F.col("cnt") * (F.col("logp_t") - F.col("logp_r"))).alias("log_weight"),
-    )
+    ).localCheckpoint(eager=True)
+    feats.unpersist()
+    return out
 
 
 def dsir_select(
