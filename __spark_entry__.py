@@ -433,6 +433,19 @@ def q_semantic_dedup(spark, sf):  # pipeline: SemDeDup prune decisions.
     return similarity_search.semantic_dedup(e, cents, threshold=0.4)
 
 
+def q_embedding_near_dups(spark, sf):  # pipeline: the embedding near-dup
+    # pair op itself, through the blocked-GEMM kernel. num_planes=0 puts
+    # every vector in ONE bucket (the ivf_topk trick), so the output must
+    # equal global brute-force pairs at the threshold; bucketed-recall
+    # behavior is unit-tested. threshold=0.4 binds (59-66 pairs per sf,
+    # nearest pair ~1e-5 from the boundary).
+    e = _t(spark, sf, "embeddings")
+    out = similarity_search.embedding_near_dup_pairs(
+        e, threshold=0.4, dim=64, num_planes=0, max_bucket_size=None
+    )
+    return out.select("id_a", "id_b", _r6e("cosine").alias("cosine"))
+
+
 def q_events_extrema(spark, sf):  # W3 per-key extrema (lifetimes.rs:210-226)
     ev = _t(spark, sf, "events")
     return ev.groupBy("user_id").agg(
@@ -1607,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
+        "embedding_near_dups": q_embedding_near_dups,
         "simhash": q_simhash,
         "simhash_dup_groups": q_simhash_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2891,6 +2905,14 @@ def oracle_sql() -> dict[str, str]:
                    round(a.al + 1e-9, 6) AS avg_logp,
                    round(exp(-a.al) + 1e-9, 6) AS ppl
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # near-dup pairs at num_planes=0: one bucket -> global brute force
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
         # SemDeDup at nlist=1: the single cluster makes the Spark arm equal
         # the global brute-force greedy rule (drop iff a smaller-id
         # near-dup exists at cosine >= 0.4).

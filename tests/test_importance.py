@@ -177,6 +177,36 @@ def test_blocked_cosine_pairs_exactly_once(spark):
         assert c == pytest.approx(math.cos((b - a) * 0.37), abs=1e-12)
 
 
+def test_blocked_cosine_pairs_matches_numpy_brute_force(spark):
+    """Randomized pin: the kernel's (pairs, cosines) equal a per-bucket
+    numpy brute force, at a block_rows that forces many block-pair keys."""
+    import numpy as np
+
+    rng = np.random.RandomState(1729)
+    vecs = rng.randn(120, 8)
+    buckets = [int(i % 3) for i in range(120)]
+    rows = [(buckets[i], i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "bkt int, id long, v array<double>")
+    thr = 0.3
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity_search._blocked_cosine_pairs(
+            similarity_search._with_unit_vec(df), "bkt", threshold=thr, block_rows=7
+        ).collect()
+    }
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = {}
+    for a in range(120):
+        for b in range(a + 1, 120):
+            if buckets[a] == buckets[b]:
+                c = float(unit[a] @ unit[b])
+                if c >= thr:
+                    want[(a, b)] = c
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k] == pytest.approx(c, abs=1e-12)
+
+
 def test_semantic_dedup_cluster_cap_drops_mega_cluster(spark):
     """Over-cap clusters are excluded before the O(f^2) expansion (the
     degenerate-bucket defense); their members survive with 0 neighbors."""
