@@ -421,6 +421,18 @@ def q_lm_perplexity(spark, sf):  # pipeline: bigram-LM perplexity scoring
     )
 
 
+def q_lm_perplexity_tri(spark, sf):  # the generalized n-gram LM at n=3
+    # (CCNet proper is a 5-gram; 3 is what the synthetic corpus supports
+    # without the smoothed-zero term dominating every score).
+    s = importance.ngram_lm_scores(_t(spark, sf, "documents"), n=3)
+    return s.select(
+        "id",
+        F.col("n_bigrams").alias("n_trigrams"),
+        _r6e("avg_logp").alias("avg_logp"),
+        _r6e("ppl").alias("ppl"),
+    )
+
+
 def q_semantic_dedup(spark, sf):  # pipeline: SemDeDup prune decisions.
     # nlist=1 makes the gate centroid-independent (the ivf_topk trick:
     # every vector lands in the one cluster, so the result must equal the
@@ -1619,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_tri": q_lm_perplexity_tri,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash": q_simhash,
@@ -2902,6 +2915,33 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT doc_id, count(*) AS n, avg(logp) AS al
                     FROM lp GROUP BY doc_id)
             SELECT d.doc_id AS id, COALESCE(a.n, 0)::BIGINT AS n_bigrams,
+                   round(a.al + 1e-9, 6) AS avg_logp,
+                   round(exp(-a.al) + 1e-9, 6) AS ppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # trigram LM: same scheme, context = first 2 tokens; DuckDB's
+        # range(a, b) is empty when b <= a, so short docs fall out of bg
+        # and re-enter via the documents left join with n=0/NULL
+        "lm_perplexity_tri": f"""
+            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                          w[i.i] || ' ' || w[i.i + 1] AS ctx,
+                          w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS g
+                   FROM toks, UNNEST(range(1, len(w) - 1)) AS i(i)),
+            h AS (SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS bgh,
+                         ('0x'||substr(md5(ctx),1,15))::BIGINT AS ctxh FROM bg),
+            c2 AS (SELECT bgh, count(*) AS c2 FROM h GROUP BY bgh),
+            c1 AS (SELECT ctxh, count(*) AS c1 FROM h GROUP BY ctxh),
+            v AS (SELECT count(DISTINCT ('0x'||substr(md5(w[i.i]),1,15))::BIGINT) AS v
+                  FROM toks, UNNEST(range(1, len(w) + 1)) AS i(i)),
+            lp AS (SELECT h.doc_id,
+                          ln((COALESCE(c2.c2, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + 1.0 * v.v)) AS logp
+                   FROM h LEFT JOIN c2 USING (bgh) LEFT JOIN c1 USING (ctxh)
+                   CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n, avg(logp) AS al
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id AS id, COALESCE(a.n, 0)::BIGINT AS n_trigrams,
                    round(a.al + 1e-9, 6) AS avg_logp,
                    round(exp(-a.al) + 1e-9, 6) AS ppl
             FROM documents d LEFT JOIN agg a USING (doc_id)""",

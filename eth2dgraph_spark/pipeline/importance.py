@@ -51,17 +51,21 @@ def _norm_tokens(text_col: str):
     return F.split(norm_ws(text_col), " ")
 
 
-def _with_bigrams(toks):
-    """Adjacent-token bigrams 'w1 w2' from a token array column.
-
-    slice lengths are size-1 >= 0 (split of a normalized string is never
-    an empty array), so one-token docs yield [] rather than an error."""
-    n = F.size(toks)
-    return F.zip_with(
-        F.slice(toks, F.lit(1), n - 1),
-        F.slice(toks, F.lit(2), n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+def _with_ngrams(toks, n: int):
+    """Sliding space-joined n-token windows from a token array column;
+    docs with fewer than n tokens yield [] (the sequence() guard matters:
+    with start > stop Spark's sequence COUNTS DOWN rather than returning
+    empty)."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    windows = F.transform(
+        F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
+    return F.when(cnt >= 1, windows).otherwise(F.array().cast("array<string>"))
+
+
+def _with_bigrams(toks):
+    """Adjacent-token bigrams 'w1 w2' (the n=2 windows)."""
+    return _with_ngrams(toks, 2)
 
 
 def hashed_ngram_features(
@@ -195,69 +199,77 @@ def dsir_select(
     return keyed.orderBy(F.desc("_k"), F.asc("id")).limit(n).drop("_k")
 
 
-def bigram_lm(
+def ngram_lm(
     reference: DataFrame,
+    n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = DEFAULT_ALPHA,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Add-alpha bigram LM tables from a reference corpus.
+    """Add-alpha n-gram LM tables from a reference corpus (n >= 2; CCNet
+    proper uses n=5 — pass the n your corpus supports).
 
-    Returns (bigram_counts, context_counts, vocab_size):
-    - bigram_counts: (bg_hash, c2) — 60-bit md5 hash of 'w1 w2'
-    - context_counts: (ctx_hash, c1) — hash of w1, c1 = count of bigram
-      instances whose context hashes there (= sum_w2 c2(w1,w2) modulo
-      collisions)
+    Returns (gram_counts, context_counts, vocab_size):
+    - gram_counts: (bg_hash, c2) — 60-bit md5 hash of the n space-joined
+      tokens
+    - context_counts: (ctx_hash, c1) — hash of the first n-1 tokens,
+      c1 = count of n-gram instances whose context hashes there
     - vocab_size: 1-row frame (v,) = distinct unigram hashes
 
-    Each table is grouped on ITS OWN hash key alone — grouping bigrams on
+    Each table is grouped on ITS OWN hash key alone — grouping grams on
     (bg_hash, ctx_hash) would leave duplicate bg_hash rows whenever two
-    bigrams with different contexts collide on bg_hash, fanning out the
+    grams with different contexts collide on bg_hash, fanning out the
     score-time join; keying each table independently makes collisions
     merge counts, identically to the hash-mirroring oracle.
 
     Corpus-scale tables; downstream joins key on the long hashes."""
+    if n < 2:
+        raise ValueError(f"ngram_lm needs n >= 2, got {n}")
     toks = _norm_tokens(text_col)
-    bg = reference.select(F.explode(_with_bigrams(toks)).alias("bg"))
+    bg = reference.select(F.explode(_with_ngrams(toks, n)).alias("bg"))
     hashed = bg.select(
         md5_60bit(F.col("bg")).alias("bg_hash"),
-        md5_60bit(F.substring_index(F.col("bg"), " ", 1)).alias("ctx_hash"),
+        md5_60bit(F.substring_index(F.col("bg"), " ", n - 1)).alias("ctx_hash"),
     )
-    bigram_counts = hashed.groupBy("bg_hash").agg(F.count(F.lit(1)).alias("c2"))
+    gram_counts = hashed.groupBy("bg_hash").agg(F.count(F.lit(1)).alias("c2"))
     context_counts = hashed.groupBy("ctx_hash").agg(F.count(F.lit(1)).alias("c1"))
     uni = reference.select(F.explode(toks).alias("w"))
     vocab = uni.agg(F.countDistinct(md5_60bit(F.col("w"))).alias("v"))
-    return bigram_counts, context_counts, vocab
+    return gram_counts, context_counts, vocab
 
 
-def bigram_lm_scores(
+def ngram_lm_scores(
     docs: DataFrame,
     reference: DataFrame | None = None,
+    n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = DEFAULT_ALPHA,
 ) -> DataFrame:
-    """Per-document bigram-LM score: (id, n_bigrams, avg_logp, ppl).
+    """Per-document n-gram-LM score: (id, n_bigrams, avg_logp, ppl) —
+    the column stays named n_bigrams for the n=2 default's gate contract;
+    it counts the doc's n-gram instances for any n.
 
-    P(w2|w1) = (c2(w1,w2) + alpha) / (c1(w1) + alpha*V); avg_logp is the
-    mean ln P over the doc's adjacent bigrams; ppl = exp(-avg_logp).
-    Unseen bigrams/contexts coalesce to count 0 (pure add-alpha smoothing).
-    Docs with < 2 tokens (NULL text included — explode_outer keeps the
-    row) return n_bigrams = 0 and NULL avg_logp/ppl — the caller's filter
+    P(w_n|w_1..w_{n-1}) = (c_n + alpha) / (c_ctx + alpha*V); avg_logp is
+    the mean ln P over the doc's n-grams; ppl = exp(-avg_logp). Unseen
+    grams/contexts coalesce to count 0 (pure add-alpha smoothing). Docs
+    with < n tokens (NULL text included — explode_outer keeps the row)
+    return n_bigrams = 0 and NULL avg_logp/ppl — the caller's filter
     decides their fate, not a fake score.
 
     `reference` defaults to `docs` itself (self-scored corpus, the CCNet
     shape when no curated LM corpus exists yet)."""
     ref = docs if reference is None else reference
-    bigram_counts, context_counts, vocab = bigram_lm(ref, text_col, id_col, alpha)
+    gram_counts, context_counts, vocab = ngram_lm(ref, n, text_col, id_col, alpha)
     toks = _norm_tokens(text_col)
     doc_bg = docs.select(
-        F.col(id_col).alias("id"), F.explode_outer(_with_bigrams(toks)).alias("bg")
+        F.col(id_col).alias("id"), F.explode_outer(_with_ngrams(toks, n)).alias("bg")
     ).select(
         "id",
         F.when(F.col("bg").isNotNull(), md5_60bit(F.col("bg"))).alias("bg_hash"),
         F.when(
-            F.col("bg").isNotNull(), md5_60bit(F.substring_index(F.col("bg"), " ", 1))
+            F.col("bg").isNotNull(),
+            md5_60bit(F.substring_index(F.col("bg"), " ", n - 1)),
         ).alias("ctx_hash"),
     )
     a = F.lit(float(alpha))
@@ -266,7 +278,7 @@ def bigram_lm_scores(
         / (F.coalesce(F.col("c1"), F.lit(0)) + a * F.col("v"))
     )
     scored = (
-        doc_bg.join(bigram_counts, "bg_hash", "left")
+        doc_bg.join(gram_counts, "bg_hash", "left")
         .join(context_counts, "ctx_hash", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn("logp", F.when(F.col("bg_hash").isNotNull(), logp))
@@ -276,3 +288,24 @@ def bigram_lm_scores(
         F.avg("logp").alias("avg_logp"),
         F.exp(-F.avg("logp")).alias("ppl"),
     )
+
+
+def bigram_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The n=2 instance of ngram_lm (kept as the named default)."""
+    return ngram_lm(reference, 2, text_col, id_col, alpha)
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """The n=2 instance of ngram_lm_scores (kept as the named default)."""
+    return ngram_lm_scores(docs, reference, 2, text_col, id_col, alpha)

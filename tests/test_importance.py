@@ -100,6 +100,39 @@ def test_bigram_lm_scores_known_values(spark):
     assert out[4]["n_bigrams"] == 0 and out[4]["avg_logp"] is None and out[4]["ppl"] is None
 
 
+def test_ngram_lm_trigram_known_values(spark):
+    # reference "a b c a b c": trigrams 'a b c' x2, 'b c a' x1, 'c a b' x1;
+    # contexts 'a b' x2, 'b c' x1, 'c a' x1; vocab {a,b,c} -> V=3
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "a b"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {r["id"]: r for r in importance.ngram_lm_scores(docs, ref, n=3).collect()}
+    # P('a b c') = (2+1)/(2+3); P('b c a') = (1+1)/(1+3); P('c a b') = (1+1)/(1+3)
+    expected_doc1 = (
+        2 * math.log(3 / 5) + math.log(2 / 4) + math.log(2 / 4)
+    ) / 4
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["avg_logp"] == pytest.approx(expected_doc1)
+    assert out[2]["n_bigrams"] == 1 and out[2]["avg_logp"] == pytest.approx(
+        math.log(3 / 5)
+    )
+    # < n tokens: zero grams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logp"] is None
+    # fully unseen trigram AND context: (0+1)/(0+3)
+    assert out[4]["avg_logp"] == pytest.approx(math.log(1 / 3))
+
+
+def test_ngram_lm_n2_equals_bigram_wrapper(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    a = {r["id"]: (r["n_bigrams"], r["avg_logp"]) for r in importance.bigram_lm_scores(docs).collect()}
+    b = {r["id"]: (r["n_bigrams"], r["avg_logp"]) for r in importance.ngram_lm_scores(docs, n=2).collect()}
+    assert a == b
+
+
 def test_bigram_lm_self_scored_default(spark):
     docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
     row = importance.bigram_lm_scores(docs).collect()[0]
