@@ -124,6 +124,33 @@ def test_ngram_lm_trigram_known_values(spark):
     assert out[4]["avg_logp"] == pytest.approx(math.log(1 / 3))
 
 
+def test_with_ngrams_matches_python_sliding_windows(spark):
+    """Property: the column-side window builder equals Python slicing on
+    randomized token counts, including the under-n empty case."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        toks = [rng.choice("pqr") for _ in range(rng.randint(0, 6))]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 4):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id",
+                importance._with_ngrams(importance._norm_tokens("text"), n).alias("g"),
+            ).collect()
+        }
+        for i, text in rows:
+            # mirror norm_ws: collapse whitespace, then split on single
+            # spaces — an empty text yields the one-empty-token array [""]
+            t = " ".join(text.split()).split(" ")
+            want = [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
+            assert got[i] == want, (i, n, t, got[i])
+
+
 def test_ngram_lm_n2_equals_bigram_wrapper(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
