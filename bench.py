@@ -61,9 +61,9 @@ HEADLINE = [
     "fingerprint",
     "cms_topk",
     "corpus_pipeline",
-    # round-6 additions (importance scoring + semantic dedup): the 29-query
-    # subtotal above/below stays comparable to rounds 1-5; these three are
-    # extra (BASELINE.md round-6 session-3 note)
+    # round-6 additions (importance scoring, semantic dedup, BPE): the
+    # 29-query subtotal above/below stays comparable to rounds 1-5; these
+    # four are extra (BASELINE.md round-6 session-3 notes)
     "dsir_weights",
     "lm_perplexity",
     "semantic_dedup",

@@ -32,14 +32,25 @@ def curate_corpus(
     max_dup_word_ratio: float | None = None,
     max_top_word_ratio: float | None = None,
     fingerprint_col: str | None = None,
+    max_ppl: float | None = None,
+    lm_reference: DataFrame | None = None,
+    lm_n: int = 2,
 ) -> DataFrame:
     """Per-document curated frame: exact-dedup representatives that pass the
     quality floor (and, when the thresholds are set, the Gopher-style
-    repetition filters), annotated with (lang_pred, n_tokens_ws,
-    n_tokens_bpe_est, quality_score, split). Deterministic end to end —
-    every stage is either exact or hash-based, so the same corpus always
-    curates identically. `fingerprint_col` forwards a precomputed
-    fingerprint to the dedup stage (see dedup_exact)."""
+    repetition filters and the CCNet-style LM perplexity cut), annotated
+    with (lang_pred, n_tokens_ws, n_tokens_bpe_est, quality_score, split).
+    Deterministic end to end — every stage is either exact or hash-based,
+    so the same corpus always curates identically. `fingerprint_col`
+    forwards a precomputed fingerprint to the dedup stage (see dedup_exact).
+
+    `max_ppl` enables the perplexity filter and REQUIRES `lm_reference`
+    (the LM training corpus): self-scoring here would make every kept/
+    dropped decision depend on the whole evolving corpus, silently
+    breaking curate_increment's append-equivalence — a fixed reference
+    keeps scores append-stable. Docs too short to score (ppl NULL) are
+    KEPT: an unscorable document is not evidence of low quality, and the
+    length-sensitive filters already own that axis."""
     kept = dedup_exact(df, id_col, text_col, fingerprint_col=fingerprint_col)
     scored = quality_score(kept, text_col).filter(F.col("quality_score") >= min_quality)
     if max_dup_word_ratio is not None or max_top_word_ratio is not None:
@@ -48,6 +59,20 @@ def curate_corpus(
             scored = scored.filter(F.col("dup_word_ratio") <= max_dup_word_ratio)
         if max_top_word_ratio is not None:
             scored = scored.filter(F.col("top_word_ratio") <= max_top_word_ratio)
+    if max_ppl is not None:
+        if lm_reference is None:
+            raise ValueError(
+                "curate_corpus: max_ppl needs an explicit lm_reference — "
+                "self-scoring would break curate_increment's append-equivalence"
+            )
+        from .importance import ngram_lm_scores
+
+        ppl = ngram_lm_scores(scored, lm_reference, lm_n, text_col, id_col).select(
+            F.col("id").alias(id_col), "ppl"
+        )
+        scored = scored.join(ppl, id_col, "left").filter(
+            F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
+        ).drop("ppl")
     tagged = lang_id(scored, text_col)
     counted = token_count(tagged, text_col)
     assigned = hash_split(counted, id_col, fractions)

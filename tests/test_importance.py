@@ -160,6 +160,39 @@ def test_ngram_lm_n2_equals_bigram_wrapper(spark):
     assert a == b
 
 
+def test_curate_corpus_ppl_filter(spark):
+    """The optional LM-perplexity stage: reference-likely docs survive,
+    the out-of-distribution doc dies, unscorable (too-short) docs are
+    kept, and the stage requires an explicit reference corpus."""
+    from eth2dgraph_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb aa bb"),
+            (2, "aa bb aa bb aa bb cc dd"),
+            (3, "zz yy xx ww vv uu tt ss"),  # nothing the reference ever saw
+            (4, "aa"),  # 1 token: unscorable, must survive the ppl stage
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    base = {r["doc_id"] for r in corpus.curate_corpus(docs, min_quality=0.0).collect()}
+    assert base == {1, 2, 3, 4}
+    scores = {
+        r["id"]: r["ppl"] for r in importance.bigram_lm_scores(docs, ref).collect()
+    }
+    cutoff = (scores[2] + scores[3]) / 2  # between in-dist and OOD
+    got = {
+        r["doc_id"]
+        for r in corpus.curate_corpus(
+            docs, min_quality=0.0, max_ppl=cutoff, lm_reference=ref
+        ).collect()
+    }
+    assert got == {1, 2, 4}
+    with pytest.raises(ValueError, match="lm_reference"):
+        corpus.curate_corpus(docs, min_quality=0.0, max_ppl=10.0)
+
+
 def test_bigram_lm_self_scored_default(spark):
     docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
     row = importance.bigram_lm_scores(docs).collect()[0]
