@@ -53,14 +53,25 @@ def _norm_tokens(text_col: str):
 
 def _with_ngrams(toks, n: int):
     """Sliding space-joined n-token windows from a token array column;
-    docs with fewer than n tokens yield [] (the sequence() guard matters:
-    with start > stop Spark's sequence COUNTS DOWN rather than returning
-    empty)."""
-    cnt = F.size(toks) - F.lit(n - 1)
-    windows = F.transform(
-        F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
-    return F.when(cnt >= 1, windows).otherwise(F.array().cast("array<string>"))
+    docs with fewer than n tokens yield [].
+
+    Built as n-1 chained zip_withs over shifted slices of the SAME window
+    count, not per-window slice+array_join (that form briefly shipped and
+    measured ~3x slower on the sf0.1 bigram gates: dsir_weights
+    3.5 -> 7.1 s, lm_perplexity 2.3 -> 7.4 s — one array allocation per
+    window). The greatest(.., 0) guard keeps under-n docs at zero-length
+    slices (slice() throws on negative length), which zip_with carries
+    through to []."""
+    size = F.size(toks)
+    win = F.greatest(size - F.lit(n - 1), F.lit(0))
+    out = F.slice(toks, F.lit(1), win)
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, F.lit(i + 1), win),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
 
 
 def _with_bigrams(toks):
