@@ -2833,7 +2833,9 @@ def oracle_sql() -> dict[str, str]:
         # pipeline/importance.dsir_logweights exactly, smoothed-zero
         # target lookups included.
         "dsir_weights": f"""
-            WITH toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+            WITH toks AS (SELECT doc_id, source,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
                           FROM documents),
             grams AS (
               SELECT doc_id, source, w[i.i] AS g
@@ -2862,7 +2864,9 @@ def oracle_sql() -> dict[str, str]:
         # the DSIR resample: same weights CTEs, Gumbel key from the same
         # md5-slice formula, top-50 by (key desc, id)
         "dsir_select": f"""
-            WITH toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+            WITH toks AS (SELECT doc_id, source,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
                           FROM documents),
             grams AS (
               SELECT doc_id, source, w[i.i] AS g
@@ -2897,7 +2901,9 @@ def oracle_sql() -> dict[str, str]:
         # bigram LM: add-1 smoothing, hash-keyed count tables (collisions
         # merge identically on both engines), self-scored corpus.
         "lm_perplexity": f"""
-            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
                           FROM documents),
             bg AS (SELECT doc_id, w[i.i] AS w1, w[i.i] || ' ' || w[i.i + 1] AS g
                    FROM toks, UNNEST(range(1, len(w))) AS i(i)),
@@ -2922,7 +2928,9 @@ def oracle_sql() -> dict[str, str]:
         # range(a, b) is empty when b <= a, so short docs fall out of bg
         # and re-enter via the documents left join with n=0/NULL
         "lm_perplexity_tri": f"""
-            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
                           FROM documents),
             bg AS (SELECT doc_id,
                           w[i.i] || ' ' || w[i.i + 1] AS ctx,

@@ -35,6 +35,8 @@ oracle-gated in `__spark_entry__.py` (`dsir_weights`, `lm_perplexity`).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,10 +47,14 @@ DEFAULT_ALPHA = 1.0
 
 
 def _norm_tokens(text_col: str):
-    """Whitespace tokens of the normalized text — same tokenization as
-    text.tokenize/fingerprint (one definition rule, see _ws_tokens in
-    __spark_entry__.py)."""
-    return F.split(norm_ws(text_col), " ")
+    """Whitespace tokens of the normalized text — same split rule as
+    text.tokenize/fingerprint (see _ws_tokens in __spark_entry__.py), but
+    with zero-length tokens dropped: split("") yields [""], and that
+    phantom '' unigram would otherwise give empty/whitespace-only docs a
+    real DSIR weight and pollute the raw/target models (they must be
+    absent, as the dsir_logweights docstring promises). The oracle SQL
+    mirrors the filter (list_filter(..., len > 0))."""
+    return F.filter(F.split(norm_ws(text_col), " "), lambda x: F.length(x) > 0)
 
 
 def _with_ngrams(toks, n: int):
@@ -168,8 +174,16 @@ def dsir_logweights(
     p_r = ngram_model(feats, num_buckets, alpha)
     # every bucket in feats exists in p_r by construction (same frame), but
     # the target lookup needs its smoothed zero; ship it on a 1-row frame
-    # so absent-bucket rows don't need a second model scan
-    t_zero = p_t.agg(F.min("logp0").alias("_t_logp0"))
+    # so absent-bucket rows don't need a second model scan. An EMPTY target
+    # model (empty frame / all-NULL text) makes min(logp0) NULL, which
+    # would silently NULL every log_weight — coalesce to the closed form
+    # at total=0, ln(alpha / (0 + alpha*B)) = -ln(B): empty target =
+    # uniform smoothed model, every doc scored, none silently dropped.
+    t_zero = p_t.agg(
+        F.coalesce(F.min("logp0"), F.lit(-math.log(float(num_buckets)))).alias(
+            "_t_logp0"
+        )
+    )
     scored = (
         feats.join(F.broadcast(p_t.select("bucket", F.col("logp").alias("logp_t"))), "bucket", "left")
         .join(F.broadcast(p_r.select("bucket", F.col("logp").alias("logp_r"))), "bucket")

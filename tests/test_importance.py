@@ -80,6 +80,56 @@ def test_null_text_semantics(spark):
     assert lm[2]["n_bigrams"] == 0 and lm[2]["avg_logp"] is None
 
 
+def test_empty_text_yields_no_grams(spark):
+    """Empty/whitespace-only docs contribute NO unigrams: they are absent
+    from DSIR weights and score n_bigrams=0/NULL in the LM — the phantom
+    ''-token regression (split('') == ['']) stays dead."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s"), (2, "", "s"), (3, "   ", "s")],
+        "doc_id long, text string, source string",
+    )
+    feats = importance.hashed_ngram_features(docs)
+    assert {r["id"] for r in feats.select("id").distinct().collect()} == {1}
+    w_ids = {r["id"] for r in importance.dsir_logweights(docs, docs).collect()}
+    assert w_ids == {1}
+    lm = {r["id"]: r for r in importance.bigram_lm_scores(docs).collect()}
+    assert set(lm) == {1, 2, 3}
+    for i in (2, 3):
+        assert lm[i]["n_bigrams"] == 0 and lm[i]["avg_logp"] is None
+
+
+def test_dsir_empty_target_uses_closed_form_zero(spark):
+    """An empty target corpus must NOT silently NULL every log_weight:
+    t_zero coalesces to the closed form ln(alpha/(0+alpha*B)) = -ln(B),
+    i.e. the uniform smoothed model."""
+    docs = spark.createDataFrame(
+        [(1, "a b a", "s"), (2, "c d", "s")], "doc_id long, text string, source string"
+    )
+    empty_target = docs.filter(F.col("doc_id") < 0)
+    B = 64
+    out = {
+        r["id"]: r["log_weight"]
+        for r in importance.dsir_logweights(docs, empty_target, num_buckets=B).collect()
+    }
+    assert set(out) == {1, 2}
+    assert all(v is not None and math.isfinite(v) for v in out.values())
+    # closed form check for doc 2 ('c d' -> grams c, d, 'c d', counts all 1,
+    # assuming no bucket collisions among this corpus's 8 grams):
+    # logp_t = -ln(B) per gram; logp_r = ln((c_b+1)/(T+B)) with T=8 total
+    feats = {
+        (r["id"], r["bucket"]): r["cnt"]
+        for r in importance.hashed_ngram_features(docs, num_buckets=B).collect()
+    }
+    T = sum(feats.values())
+    want = sum(
+        cnt * (-math.log(B) - math.log((cnt_b + 1.0) / (T + B)))
+        for (i, bkt), cnt in feats.items()
+        if i == 2
+        for cnt_b in [sum(c for (j, b2), c in feats.items() if b2 == bkt)]
+    )
+    assert out[2] == pytest.approx(want)
+
+
 def test_bigram_lm_scores_known_values(spark):
     # reference corpus "a b a b": bigrams a b (x2), b a (x1); vocab {a, b}
     docs = spark.createDataFrame(
@@ -144,9 +194,9 @@ def test_with_ngrams_matches_python_sliding_windows(spark):
             ).collect()
         }
         for i, text in rows:
-            # mirror norm_ws: collapse whitespace, then split on single
-            # spaces — an empty text yields the one-empty-token array [""]
-            t = " ".join(text.split()).split(" ")
+            # mirror _norm_tokens: whitespace split with empty tokens
+            # dropped — an empty text yields [] (no phantom '' token)
+            t = text.split()
             want = [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
             assert got[i] == want, (i, n, t, got[i])
 
