@@ -187,6 +187,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_docs: int | None = DEFAULT_MAX_SHINGLE_DOCS,
     eager: bool = True,
+    cap_form: str = "window",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted index (no cross join):
     |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|-|A∩B|.
@@ -208,29 +209,49 @@ def ngram_jaccard_pairs(
     under the cap keep their exact Jaccard; a pair loses (at most) the
     intersection evidence carried by capped stop-shingles, i.e. scores are
     exact-or-underestimated, never inflated. The cap is enforced BEFORE
-    collect_list (count agg + semi-join on eligible keys), not by filtering
-    the collected array: collect_list's per-group buffer never spills, so a
-    single corpus-wide stop-shingle (every web page contains 'terms of
-    service') would otherwise materialize an O(corpus) array in ONE task
-    before the filter could drop it. The count agg is map-side combinable
-    (tiny shuffle) and the semi-join lands on the same hash partitioning
-    the posting groupBy needs. Pass None to disable (exact but vulnerable
-    to the hot-shingle buffer AND reducer); use stop_shingle_postings() to
-    see what a cap dropped.
+    collect_list, not by filtering the collected array: collect_list's
+    per-group buffer never spills, so a single corpus-wide stop-shingle
+    (every web page contains 'terms of service') would otherwise
+    materialize an O(corpus) array in ONE task before the filter could
+    drop it. `cap_form` picks the mechanics — "window" (default):
+    count(1) over (partition by h) + filter, ONE shuffle of the shingle
+    frame whose hashpartitioning(h) the posting groupBy reuses, and
+    WindowExec's group buffer spills so hot keys stream through disk;
+    "semijoin" (the round-6 form, kept for the A/B harness): count agg +
+    left-semi join, which scans the persisted shingle frame twice —
+    measured ~10% slower at sf0.1 and on a 3k-doc hot-shingle corpus with
+    identical outputs (tools/measure_r7.py, BASELINE.md round 7). Pass
+    max_shingle_docs=None to disable capping (exact but vulnerable to the
+    hot-shingle buffer AND reducer); use stop_shingle_postings() to see
+    what a cap dropped.
     """
     from pyspark.storagelevel import StorageLevel
+
+    from pyspark.sql.window import Window
 
     sh = _hashed_shingle_sets(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     posting_src = sh
     if max_shingle_docs is not None:
-        eligible = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("_dc"))
-            .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
-            .select("h")
-        )
-        posting_src = sh.join(eligible, "h", "left_semi")
+        if cap_form == "window":
+            # ONE shuffle of sh on h: the window's hashpartitioning(h) is
+            # reused by the posting groupBy (no second exchange), and
+            # WindowExec's group buffer spills (ExternalAppendOnlyUnsafeRowBuffer)
+            # — a corpus-wide stop-shingle streams through disk instead of
+            # OOMing a reducer.
+            posting_src = (
+                sh.withColumn("_dc", F.count(F.lit(1)).over(Window.partitionBy("h")))
+                .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
+                .drop("_dc")
+            )
+        else:
+            eligible = (
+                sh.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("_dc"))
+                .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
+                .select("h")
+            )
+            posting_src = sh.join(eligible, "h", "left_semi")
     posting = posting_src.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     posting = posting.filter(F.size("ids") > 1)  # no-op under the semi-join; needed for None
     pair = F.explode(
