@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eth2dgraph_spark.operators import blocks, lifetimes
-from eth2dgraph_spark.pipeline import dedup, importance, similarity_search, text
+from eth2dgraph_spark.pipeline import (
+    dedup,
+    importance,
+    similarity_search,
+    substring,
+    text,
+)
 from eth2dgraph_spark.sources.testdata import read_table
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -386,6 +392,34 @@ def q_boilerplate_clean(spark, sf):  # the REBUILD path of the same operator:
     )
     return out.select(
         "doc_id", F.md5("text_clean").alias("clean_md5"), "n_passages_dropped"
+    )
+
+
+def q_substring_stats(spark, sf):  # pipeline: substring-level exact dedup
+    # audit (Lee et al. ACL'22 ExactSubstr — sliding-window equivalence of
+    # the paper's suffix array). window=25 BINDS on the synthetic docs
+    # (~1,300 duplicated window occurrences at sf0.01), so span merging and
+    # the occurrence-count rule are exercised cross-engine, not the
+    # zero-dup path.
+    return substring.substring_drop_stats(_t(spark, sf, "documents"), window=25)
+
+
+def q_substring_keep_first(spark, sf):  # the keep-one-copy variant: the
+    # globally first (id, off) occurrence of each duplicated window is
+    # exempt — drops strictly fewer tokens than drop-all; the row_number
+    # branch gets its own cross-engine row.
+    return substring.substring_drop_stats(
+        _t(spark, sf, "documents"), window=25, keep_first=True
+    )
+
+
+def q_substring_clean(spark, sf):  # the REBUILD path: md5 of the text with
+    # duplicated >=25-token spans removed proves the in-row merged-span
+    # slice-and-rejoin equals the oracle's NOT-EXISTS token filter +
+    # string_agg rebuild byte-for-byte.
+    out = substring.drop_duplicate_substrings(_t(spark, sf, "documents"), window=25)
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_tokens_dropped"
     )
 
 
@@ -1619,6 +1653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 rows close the list. Every spilled query is re-verified locally
     # each round via tools/check_oracle.py (see BASELINE.md round-6 notes).
     return {
+        # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
+        "substring_stats": q_substring_stats,
+        "substring_keep_first": q_substring_keep_first,
+        "substring_clean": q_substring_clean,
         # --- changed in round 6: must re-certify ---
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1884,6 +1922,64 @@ def _ann_topk_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
                      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
               FROM s)
         SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
+
+
+def _substring_oracle(w: int, keep_first: bool, clean: bool) -> str:
+    """DuckDB replica of pipeline/substring: sliding w-token windows of
+    the trimmed original text (zero-length tokens dropped), 60-bit md5
+    window hashes (collision-identical to Spark's md5_60bit), global
+    occurrence count via a window aggregate, optional global-first
+    exemption, gaps-and-islands span merge, and either the per-doc stats
+    or the md5 of the rebuilt text."""
+    if keep_first:
+        dup = f"""dup AS (SELECT doc_id, off FROM (
+                    SELECT doc_id, off,
+                           count(*) OVER (PARTITION BY wh) AS n,
+                           row_number() OVER (PARTITION BY wh ORDER BY doc_id, off) AS rn
+                    FROM wins) WHERE n >= 2 AND rn > 1)"""
+    else:
+        dup = f"""cnt AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        dup AS (SELECT w.doc_id, w.off FROM wins w JOIN cnt USING (wh))"""
+    base = f"""
+        WITH toks AS (SELECT doc_id,
+                             list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> len(x) > 0) AS w
+                      FROM documents),
+        wins AS (SELECT doc_id, i.i - 1 AS off,
+                        ('0x'||substr(md5(array_to_string(w[i.i:i.i+{w - 1}], ' ')),1,15))::BIGINT AS wh
+                 FROM toks, UNNEST(range(1, greatest(len(w) - {w} + 1, 0) + 1)) AS i(i)),
+        {dup},
+        brk AS (SELECT doc_id, off,
+                       CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= {w}
+                            THEN 0 ELSE 1 END AS b
+                FROM dup),
+        grp AS (SELECT doc_id, off,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY off) AS g
+                FROM brk),
+        spans AS (SELECT doc_id, min(off) AS s, max(off) + {w} AS e
+                  FROM grp GROUP BY doc_id, g),
+        drops AS (SELECT doc_id, sum(e - s) AS nd FROM spans GROUP BY doc_id)"""
+    if clean:
+        return f"""{base},
+        kept AS (SELECT t.doc_id, j.j AS pos, t.w[j.j] AS tok
+                 FROM toks t, UNNEST(range(1, len(t.w) + 1)) AS j(j)
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                   WHERE s.doc_id = t.doc_id
+                                     AND j.j - 1 >= s.s AND j.j - 1 < s.e)),
+        cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+               FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, md5(COALESCE(c.txt, '')) AS clean_md5,
+               COALESCE(dr.nd, 0)::BIGINT AS n_tokens_dropped
+        FROM documents d LEFT JOIN cl c USING (doc_id)
+        LEFT JOIN drops dr USING (doc_id)"""
+    return f"""{base},
+        dw AS (SELECT doc_id, count(*) AS ndw FROM dup GROUP BY doc_id)
+        SELECT d.doc_id, len(t.w)::BIGINT AS n_tokens,
+               greatest(len(t.w) - {w - 1}, 0)::BIGINT AS n_windows,
+               COALESCE(dw.ndw, 0)::BIGINT AS n_dup_windows,
+               COALESCE(dr.nd, 0)::BIGINT AS n_dropped_tokens
+        FROM documents d JOIN toks t USING (doc_id)
+        LEFT JOIN dw USING (doc_id) LEFT JOIN drops dr USING (doc_id)"""
 
 
 def _langid_oracle() -> str:
@@ -2832,6 +2928,15 @@ def oracle_sql() -> dict[str, str]:
         # per-doc sum of cnt * (ln p_t - ln p_r). Mirrors
         # pipeline/importance.dsir_logweights exactly, smoothed-zero
         # target lookups included.
+        # substring-level exact dedup (ExactSubstr): sliding 25-token
+        # windows hashed 60-bit, occurrence count >= 2 (multiplicity, not
+        # doc frequency), gaps-and-islands span merge (off - lag(off) <= W
+        # <=> the Spark fold's o <= running_end), drop-token sum per doc
+        "substring_stats": _substring_oracle(25, keep_first=False, clean=False),
+        "substring_keep_first": _substring_oracle(25, keep_first=True, clean=False),
+        # the rebuild: tokens NOT covered by any merged span, re-joined in
+        # order; md5-compared against Spark's in-row slice-and-rejoin
+        "substring_clean": _substring_oracle(25, keep_first=False, clean=True),
         "dsir_weights": f"""
             WITH toks AS (SELECT doc_id, source,
                                  list_filter(string_split({_NORM}, ' '),
