@@ -1642,43 +1642,111 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (the driver samples a 50-row cap, in order).
-    # Rounds 1-2 certified the original first 50; round 3 the next 44;
-    # round 4 the (then) first 50; round 5 its first 50 (this round's tail).
-    # Round 6 leads with the queries whose code CHANGED this round — the
-    # LSH/SimHash banding rewrites, the new capped-Jaccard gate, the two
-    # boilerplate-removal gates (the round's newest code), and the
-    # lsh_bucket null-guard rework — then rotates in the queries whose last
-    # driver row dates from r4 (certified r5 only locally). The r4 scalar
-    # shapes that don't fit spill past the window; the 50 driver-certified
-    # r5 rows close the list. Every spilled query is re-verified locally
-    # each round via tools/check_oracle.py (see BASELINE.md round-6 notes).
+    # Round-7 window policy (VERDICT r6 item 1 + the r6 ADVICE boundary
+    # note): (a) queries NEW this round or whose code CHANGED since their
+    # last driver row lead — the three substring gates, ngram_jaccard(+
+    # capped) whose posting cap moved to the window form (850e1f4), and
+    # the four DSIR/LM gates whose tokenization dropped the phantom ''
+    # unigram (030f9e0); (b) then every gate whose last driver row is r2
+    # (10) or r4 (14); (c) the window closes with the STALEST r5 gates.
+    # Everything past the boundary marker spills: 22 r5-certified + all 45
+    # unchanged r6-certified rows, each re-verified locally this round via
+    # tools/check_oracle.py (sweep recorded in BASELINE.md round-7 notes).
     return {
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
         "substring_clean": q_substring_clean,
-        # --- changed in round 6: must re-certify ---
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
+        # --- changed since their r6 driver row: posting cap -> window
+        # form (850e1f4); DSIR/LM empty-token + empty-target fixes
+        # (030f9e0) ---
+        "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        # round-6 late addition: boilerplate-passage removal (pipeline/text.py)
-        # — newest code in the round, so it leads the window too
-        "boilerplate_stats": q_boilerplate_stats,
-        "boilerplate_clean": q_boilerplate_clean,
-        # round-6 late additions: importance scoring + semantic dedup
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_tri": q_lm_perplexity_tri,
+        # --- last driver row r2: the stalest gates in the registry ---
+        "anti_join": q_anti_join,
+        "asof_attach": q_asof_attach,
+        "cosine_one_vs_all": q_cosine_one_vs_all,
+        "graph_degrees": q_graph_degrees,
+        "interval_attach": q_interval_attach,
+        "parts_top_per_brand": q_parts_top_per_brand,
+        "rollup": q_rollup,
+        "segment_pivot": q_segment_pivot,
+        "semi_join": q_semi_join,
+        "session_count": q_session_count,
+        # --- last driver row r4 ---
+        "argmax_customer": q_argmax_customer,
+        "bool_aggs": q_bool_aggs,
+        "corr_stats": q_corr_stats,
+        "cube_grouping": q_cube_grouping,
+        "disjunctive_filter": q_disjunctive_filter,
+        "filter_agg": q_filter_agg,
+        "late_shipments": q_late_shipments,
+        "percentiles": q_percentiles,
+        "posexplode_tokens": q_posexplode_tokens,
+        "promo_revenue": q_promo_revenue,
+        "range_frame": q_range_frame,
+        "set_ops": q_set_ops,
+        "string_agg": q_string_agg,
+        "value_window": q_value_window,
+        # --- r5-certified; stalest of that cohort fill the window ---
+        "cms_topk": q_cms_topk,
+        "windowed_stream": q_windowed_stream,
+        "dedup_exact": q_dedup_exact,
+        "embedding_cosine": q_embedding_cosine,
+        "embedding_topk": q_embedding_topk,
+        "event_gaps": q_event_gaps,
+        "rank_funcs": q_rank_funcs,
+        "rep_stats": q_rep_stats,
+        "sliding_window": q_sliding_window,
+        "tumbling_window": q_tumbling_window,
+        "running_sum": q_running_sum,
+        "array_funcs": q_array_funcs,
+        "map_funcs": q_map_funcs,
+        "lateral_topk": q_lateral_topk,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "min_cost_lineitem": q_min_cost_lineitem,
+        "waiting_supplier": q_waiting_supplier,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "unpivot_metrics": q_unpivot_metrics,
+        "try_funcs": q_try_funcs,
+        "regexp_funcs": q_regexp_funcs,
+        "date_funcs": q_date_funcs,
+        "null_funcs": q_null_funcs,
+        "explode_outer": q_explode_outer,
+        "gas_stats": q_gas_stats,
+        "last_block": q_last_block,
+        "lifetimes_rq1": q_lifetimes_rq1,
+        "lifetimes_rq2": q_lifetimes_rq2,
+        "lifetimes_rq3": q_lifetimes_rq3,
+        "lifetimes_rq4": q_lifetimes_rq4,
+        "segment_stats": q_segment_stats,
+        "pagination": q_pagination,
+        "first_per_key": q_first_per_key,
+        "json_extract": q_json_extract,
+        "string_funcs": q_string_funcs,
+        "timestamp_funcs": q_timestamp_funcs,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "events_extrema": q_events_extrema,
+        # --- r6-certified spills (code unchanged since their r6 row);
+        # re-verified locally at sf0.01 ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_dup_groups": q_simhash_dup_groups,
+        "boilerplate_stats": q_boilerplate_stats,
+        "boilerplate_clean": q_boilerplate_clean,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups": q_embedding_near_dups,
-        "simhash": q_simhash,
-        "simhash_dup_groups": q_simhash_dup_groups,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        # round-6 session 2: posting caps now enforced pre-collect
-        # (jaccard_similarity_pairs) and pagerank grew the tol probe —
-        # re-certify both under the driver
         "interface_jaccard": q_interface_jaccard,
         "pagerank_ranks": q_pagerank_ranks,
         "ann_topk": q_ann_topk,
@@ -1686,8 +1754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_ngram_pairs": q_cosine_ngram_pairs,
         "seq_pack": q_seq_pack,
         "pack_texts": q_pack_texts,
-        "minhash_signatures": q_minhash_signatures,
-        # --- last driver row r4; rotate into the window ---
         "corpus_pipeline": q_corpus_pipeline,
         "incr_curate": q_incr_curate,
         "source_mix": q_source_mix,
@@ -1715,74 +1781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_flows": q_nation_flows,
         "returned_revenue": q_returned_revenue,
         "top_supplier": q_top_supplier,
-        "filter_agg": q_filter_agg,
-        "late_shipments": q_late_shipments,
-        "promo_revenue": q_promo_revenue,
-        "disjunctive_filter": q_disjunctive_filter,
-        "set_ops": q_set_ops,
-        "percentiles": q_percentiles,
-        "string_agg": q_string_agg,
-        "corr_stats": q_corr_stats,
-        "cube_grouping": q_cube_grouping,
-        "range_frame": q_range_frame,
-        "value_window": q_value_window,
-        "posexplode_tokens": q_posexplode_tokens,
-        # ---------------- 50-gate window boundary (approximately here) ----
-        # --- r4-certified shapes that spill past the window; low risk,
-        # re-verified locally at sf0.01 this round ---
-        "argmax_customer": q_argmax_customer,
-        "bool_aggs": q_bool_aggs,
-        "graph_degrees": q_graph_degrees,
-        "segment_pivot": q_segment_pivot,
-        "rollup": q_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "parts_top_per_brand": q_parts_top_per_brand,
-        # --- certified green by the driver in round 5 ---
-        "cms_topk": q_cms_topk,
-        "rep_stats": q_rep_stats,
-        "event_gaps": q_event_gaps,
-        "windowed_stream": q_windowed_stream,
-        "sliding_window": q_sliding_window,
-        "rank_funcs": q_rank_funcs,
-        "tumbling_window": q_tumbling_window,
-        "running_sum": q_running_sum,
-        "array_funcs": q_array_funcs,
-        "map_funcs": q_map_funcs,
-        "lateral_topk": q_lateral_topk,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        "min_cost_lineitem": q_min_cost_lineitem,
-        "waiting_supplier": q_waiting_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
-        "try_funcs": q_try_funcs,
-        "regexp_funcs": q_regexp_funcs,
-        "date_funcs": q_date_funcs,
-        "null_funcs": q_null_funcs,
-        "explode_outer": q_explode_outer,
-        "gas_stats": q_gas_stats,
-        "lifetimes_rq4": q_lifetimes_rq4,
-        "last_block": q_last_block,
-        "lifetimes_rq1": q_lifetimes_rq1,
-        "lifetimes_rq2": q_lifetimes_rq2,
-        "lifetimes_rq3": q_lifetimes_rq3,
-        "segment_stats": q_segment_stats,
-        "pagination": q_pagination,
-        "first_per_key": q_first_per_key,
-        "json_extract": q_json_extract,
-        "string_funcs": q_string_funcs,
-        "timestamp_funcs": q_timestamp_funcs,
-        "dedup_exact": q_dedup_exact,
-        "embedding_cosine": q_embedding_cosine,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "events_extrema": q_events_extrema,
-        "embedding_topk": q_embedding_topk,
-        "cosine_one_vs_all": q_cosine_one_vs_all,
-        "asof_attach": q_asof_attach,
-        "interval_attach": q_interval_attach,
-        "session_count": q_session_count,
     }
 
 
