@@ -217,9 +217,13 @@ def q_semi_join(spark, sf):  # customers with >=1 order (K2/J2 exists-shape)
     )
 
 
-def q_anti_join(spark, sf):  # customers with no orders
+def q_anti_join(spark, sf):  # customers with no URGENT orders. The right
+    # side is predicate-restricted BEFORE the anti-join (the filter must
+    # push below the join) so the gate produces rows on this testdata —
+    # the unrestricted no-orders form matched the oracle on 0 rows, a
+    # trivially-passing certification.
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
@@ -2120,7 +2124,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey""",
         "anti_join": """
             SELECT c_nationkey, count(*)::BIGINT AS n_customers FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey
+                              AND o.o_orderpriority='1-URGENT')
             GROUP BY c_nationkey""",
         "pagination": """
             SELECT o_orderkey, round(o_totalprice,2) AS total FROM orders
