@@ -427,6 +427,24 @@ def q_substring_clean(spark, sf):  # the REBUILD path: md5 of the text with
     )
 
 
+def q_quality_clf(spark, sf):  # pipeline: trained quality classifier
+    # (GPT-3 Appendix A / CCNet fastText analogue, pipeline/classifier.py)
+    # — hashed-feature logistic regression, full-batch GD. 2 epochs so the
+    # oracle can UNROLL the identical math in SQL (zero init makes epoch 1
+    # closed-form); positives = src0/src1 docs, the dsir_weights target
+    # convention. Scores rounded 6dp on both engines: cross-partition
+    # double-sum order is the only nondeterminism and it sits at ~1e-15.
+    from eth2dgraph_spark.pipeline import classifier
+
+    d = _t(spark, sf, "documents")
+    labeled = d.withColumn(
+        "label", F.col("source").isin("src0", "src1").cast("double")
+    )
+    w = classifier.train_quality_classifier(labeled, num_buckets=512, epochs=2)
+    s = classifier.quality_classifier_scores(d, w, num_buckets=512)
+    return s.select("id", _r6e("clf_score").alias("clf_score"))
+
+
 def q_dsir_weights(spark, sf):  # pipeline: DSIR hashed-ngram importance
     # weights (Xie et al. NeurIPS'23). Target = src0/src1 docs; raw = all.
     # num_buckets=512 keeps both model tables broadcast-sized while still
@@ -1661,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
         "substring_clean": q_substring_clean,
+        # --- NEW in round 7: trained quality classifier (hashed-feature
+        # logistic regression, 2-epoch train+score unrolled in the oracle)
+        "quality_clf": q_quality_clf,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1713,9 +1734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
-        "waiting_supplier": q_waiting_supplier,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "waiting_supplier": q_waiting_supplier,
         "unpivot_metrics": q_unpivot_metrics,
         "try_funcs": q_try_funcs,
         "regexp_funcs": q_regexp_funcs,
@@ -2937,6 +2958,55 @@ def oracle_sql() -> dict[str, str]:
         # <=> the Spark fold's o <= running_end), drop-token sum per doc
         "substring_stats": _substring_oracle(25, keep_first=False, clean=False),
         "substring_keep_first": _substring_oracle(25, keep_first=True, clean=False),
+        # trained quality classifier: 2 epochs of full-batch logistic GD
+        # UNROLLED (zero init => epoch-1 errors are the constant 0.5 - y,
+        # so w1 is closed-form; epoch 2 recomputes margins under w1), then
+        # the final sigmoid score under w2. lr=0.5, l2=1e-3, B=512 buckets
+        # + bias bucket 512, L1-normalized unigram+bigram md5 features —
+        # byte-for-byte the pipeline/classifier.py math.
+        "quality_clf": f"""
+            WITH toks AS (SELECT doc_id, source,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
+                          FROM documents),
+            grams AS (
+              SELECT doc_id, w[i.i] AS g
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS i(i)
+              UNION ALL
+              SELECT doc_id, w[i.i] || ' ' || w[i.i + 1] AS g
+              FROM toks, UNNEST(range(1, len(w))) AS i(i)),
+            cnt AS (SELECT doc_id,
+                           ('0x'||substr(md5(g),1,15))::BIGINT % 512 AS bucket,
+                           count(*) AS c
+                    FROM grams GROUP BY doc_id, bucket),
+            tot AS (SELECT doc_id, sum(c) AS t FROM cnt GROUP BY doc_id),
+            feats AS (SELECT doc_id, bucket, c / t AS x
+                      FROM cnt JOIN tot USING (doc_id)
+                      UNION ALL
+                      SELECT doc_id, 512 AS bucket, 1.0 AS x FROM tot),
+            lab AS (SELECT t.doc_id,
+                           CASE WHEN d.source IN ('src0','src1')
+                                THEN 1.0 ELSE 0.0 END AS y
+                    FROM tot t JOIN documents d USING (doc_id)),
+            n AS (SELECT count(*)::DOUBLE AS n FROM lab),
+            g1 AS (SELECT f.bucket, sum(f.x * (0.5 - l.y)) / any_value(n.n) AS g
+                   FROM feats f JOIN lab l USING (doc_id) CROSS JOIN n
+                   GROUP BY f.bucket),
+            w1 AS (SELECT bucket, -0.5 * g AS w FROM g1),
+            m2 AS (SELECT f.doc_id, sum(f.x * w1.w) AS m
+                   FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+            e2 AS (SELECT l.doc_id, 1.0/(1.0 + exp(-m2.m)) - l.y AS e
+                   FROM m2 JOIN lab l USING (doc_id)),
+            g2 AS (SELECT f.bucket, sum(f.x * e2.e) / any_value(n.n) AS g
+                   FROM feats f JOIN e2 USING (doc_id) CROSS JOIN n
+                   GROUP BY f.bucket),
+            w2 AS (SELECT w1.bucket, w1.w - 0.5 * (g2.g + 0.001 * w1.w) AS w
+                   FROM w1 JOIN g2 USING (bucket)),
+            m3 AS (SELECT f.doc_id, sum(f.x * w2.w) AS m
+                   FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+            SELECT doc_id AS id,
+                   round(1.0/(1.0 + exp(-m)) + 1e-9, 6) AS clf_score
+            FROM m3""",
         # the rebuild: tokens NOT covered by any merged span, re-joined in
         # order; md5-compared against Spark's in-row slice-and-rejoin
         "substring_clean": _substring_oracle(25, keep_first=False, clean=True),

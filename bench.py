@@ -68,6 +68,10 @@ HEADLINE = [
     "lm_perplexity",
     "semantic_dedup",
     "bpe_tokens",
+    # round-7 additions: substring-level exact dedup + trained quality
+    # classifier — extras beyond the comparable subtotals, same policy
+    "substring_stats",
+    "quality_clf",
     "order_priority",
     "custdist",
     "nation_flows",

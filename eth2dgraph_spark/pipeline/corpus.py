@@ -35,6 +35,12 @@ def curate_corpus(
     max_ppl: float | None = None,
     lm_reference: DataFrame | None = None,
     lm_n: int = 2,
+    min_clf_score: float | None = None,
+    clf_positive: DataFrame | None = None,
+    clf_negative: DataFrame | None = None,
+    clf_epochs: int | None = None,
+    clf_lr: float | None = None,
+    clf_num_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document curated frame: exact-dedup representatives that pass the
     quality floor (and, when the thresholds are set, the Gopher-style
@@ -50,7 +56,14 @@ def curate_corpus(
     breaking curate_increment's append-equivalence — a fixed reference
     keeps scores append-stable. Docs too short to score (ppl NULL) are
     KEPT: an unscorable document is not evidence of low quality, and the
-    length-sensitive filters already own that axis."""
+    length-sensitive filters already own that axis.
+
+    `min_clf_score` enables the trained quality classifier (GPT-3 /
+    CCNet-style, pipeline/classifier.py) and REQUIRES both `clf_positive`
+    (curated exemplars) and `clf_negative` (raw/rejected exemplars) as
+    FIXED reference frames — training on the evolving corpus itself would
+    break append-equivalence exactly like LM self-scoring. Unscorable
+    docs (no grams) are kept, the max_ppl convention."""
     kept = dedup_exact(df, id_col, text_col, fingerprint_col=fingerprint_col)
     scored = quality_score(kept, text_col).filter(F.col("quality_score") >= min_quality)
     if max_dup_word_ratio is not None or max_top_word_ratio is not None:
@@ -73,6 +86,48 @@ def curate_corpus(
         scored = scored.join(ppl, id_col, "left").filter(
             F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
         ).drop("ppl")
+    if min_clf_score is not None:
+        if clf_positive is None or clf_negative is None:
+            raise ValueError(
+                "curate_corpus: min_clf_score needs explicit clf_positive "
+                "and clf_negative reference frames — training on the "
+                "corpus itself would break curate_increment's "
+                "append-equivalence"
+            )
+        from .classifier import (
+            DEFAULT_EPOCHS,
+            DEFAULT_LR,
+            DEFAULT_NUM_BUCKETS,
+            quality_classifier_scores,
+            train_quality_classifier,
+        )
+
+        nb = clf_num_buckets or DEFAULT_NUM_BUCKETS
+        # re-id the references so pos/neg doc_id collisions can't merge
+        # two documents' features in the training groupBy; the ids carry
+        # no information (full-batch sums are id-invariant)
+        labeled = (
+            clf_positive.select(F.col(text_col), F.lit(1.0).alias("label"))
+            .unionByName(
+                clf_negative.select(F.col(text_col), F.lit(0.0).alias("label"))
+            )
+            .withColumn("_clf_id", F.monotonically_increasing_id())
+        )
+        w = train_quality_classifier(
+            labeled,
+            label_col="label",
+            text_col=text_col,
+            id_col="_clf_id",
+            num_buckets=nb,
+            epochs=clf_epochs or DEFAULT_EPOCHS,
+            lr=clf_lr or DEFAULT_LR,
+        )
+        cs = quality_classifier_scores(scored, w, text_col, id_col, nb).select(
+            F.col("id").alias(id_col), "clf_score"
+        )
+        scored = scored.join(cs, id_col, "left").filter(
+            F.col("clf_score").isNull() | (F.col("clf_score") >= min_clf_score)
+        ).drop("clf_score")
     tagged = lang_id(scored, text_col)
     counted = token_count(tagged, text_col)
     assigned = hash_split(counted, id_col, fractions)
