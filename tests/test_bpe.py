@@ -176,3 +176,29 @@ def test_bpe_merge_fold_nonoverlap_rule(spark):
     df = spark.createDataFrame([(["a", "a", "a", END],)], "toks array<string>")
     got = df.select(bpe._merge_fold(F.col("toks"), "a", "a").alias("m")).collect()[0]["m"]
     assert got == ["aa", "a", END]
+
+
+def test_priority_greedy_equals_rank_sequential_on_trained_tables():
+    """The bpe_encode oracle applies the pinned merges in RANK ORDER (one
+    left-to-right non-overlap pass each) while the kernel runs the
+    priority-greedy loop. On VALID tables — every operand a single char
+    or an earlier merge's product, which training guarantees — the two
+    agree; pin that on randomized trained tables so the oracle's
+    rank-sequential form can never silently diverge from the kernel."""
+    rng = random.Random(20260815)
+    for trial in range(30):
+        vocab = "abcdef"[: rng.randint(2, 6)]
+        words = [
+            "".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(5, 60))
+        ]
+        counts = Counter(words)
+        merges = bpe._train_local(
+            list(counts.items()), num_merges=rng.randint(1, 30), min_pair_freq=2
+        )
+        ranks = {(l, r): k for k, l, r, _ in merges}
+        for w in set(words):
+            seq = tuple(list(w) + [END])
+            for _, l, r, _ in merges:
+                seq = bpe._merge_word_local(seq, l, r)
+            assert list(seq) == bpe._encode_word(w, ranks), (trial, w, merges)
