@@ -427,6 +427,29 @@ def q_substring_clean(spark, sf):  # the REBUILD path: md5 of the text with
     )
 
 
+# Fixed query workload for the BM25 gate: literal strings over the
+# corpus vocabulary ('dup' is the one rare term — high idf; the rest are
+# near-uniform, so tf and length normalization do the ranking work).
+_BM25_QUERIES = [
+    (1, "dup hash join"),
+    (2, "window stream batch sort"),
+    (3, "slow vector merge"),
+    (4, "customer order query"),
+]
+
+
+def q_bm25_topk(spark, sf):  # pipeline: lexical BM25 top-k retrieval
+    # (Robertson FnTIR'09, Lucene idf form) — the lexical counterpart of
+    # ann_topk. score_dp=6 ranks on tie-nudged rounded scores so
+    # mathematically-tied docs order by id identically on both engines.
+    from eth2dgraph_spark.pipeline import retrieval
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return retrieval.bm25_topk(
+        _t(spark, sf, "documents"), qdf, k=10, score_dp=6
+    )
+
+
 # Pinned BPE merge table for the bpe_encode gate: the first 24 merges
 # bpe_train() learns on sf0.01 documents (deterministic — re-derivable
 # with tools/measure_r7.py's training snippet). Pinning lets the ORACLE
@@ -1716,9 +1739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logistic regression, 2-epoch train+score unrolled in the oracle)
         "quality_clf": q_quality_clf,
         # --- NEW in round 7: BPE encoding under a pinned merge table —
-        # the encode kernel's first cross-engine row (training stays
-        # bench-only; VERDICT r6 item 5)
+        # the encode kernel's first cross-engine row (VERDICT r6 item 5)
         "bpe_encode": q_bpe_encode,
+        # --- NEW in round 7: lexical BM25 top-k retrieval ---
+        "bm25_topk": q_bm25_topk,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1769,9 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
-        "window_ignore_nulls": q_window_ignore_nulls,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
         "unpivot_metrics": q_unpivot_metrics,
@@ -1982,6 +2006,46 @@ def _ann_topk_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
                      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
               FROM s)
         SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replica of retrieval.bm25_topk over the literal query
+    workload: distinct query terms, tf per (doc, term) restricted to
+    them, df per term, N/avgdl over ALL docs, Lucene idf, rank on the
+    tie-nudged 6dp-rounded score with ascending-id tie-break."""
+    vals = ", ".join("({}, '{}')".format(i, t) for i, t in _BM25_QUERIES)
+    return f"""
+        WITH q(query_id, query_text) AS (VALUES {vals}),
+        qterms AS (SELECT DISTINCT query_id AS qid, unnest(
+                     list_filter(string_split_regex(lower(trim(query_text)),
+                                                    '\\s+'), x -> len(x) > 0)
+                   ) AS term FROM q),
+        toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '),
+                                            x -> len(x) > 0) AS w
+                 FROM documents),
+        lens AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM toks),
+        consts AS (SELECT count(*)::DOUBLE AS n_docs,
+                          COALESCE(avg(dl), 0.0) AS avgdl FROM lens),
+        tf AS (SELECT t.doc_id, x.term, count(*)::DOUBLE AS tf
+               FROM toks t, UNNEST(w) AS x(term)
+               WHERE x.term IN (SELECT DISTINCT term FROM qterms)
+               GROUP BY t.doc_id, x.term),
+        dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT qt.qid, tf.doc_id,
+                 sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * tf.tf * {k1 + 1.0}
+                     / (tf.tf + {k1} * (1.0 - {b} + {b} * l.dl / c.avgdl))
+                 ) AS s
+          FROM tf JOIN dft d USING (term) JOIN lens l USING (doc_id)
+          JOIN qterms qt USING (term) CROSS JOIN consts c
+          GROUP BY qt.qid, tf.doc_id),
+        ranked AS (SELECT qid, doc_id, round(s + 1e-9, 6) AS score,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY round(s + 1e-9, 6) DESC, doc_id) AS rank
+                   FROM scored)
+        SELECT qid AS query_id, doc_id, score, rank
+        FROM ranked WHERE rank <= {k}"""
 
 
 def _bpe_encode_oracle() -> str:
@@ -3042,6 +3106,8 @@ def oracle_sql() -> dict[str, str]:
         # guarded-delimiter replaces == the kernel's priority-greedy loop
         # on valid tables)
         "bpe_encode": _bpe_encode_oracle(),
+        # lexical BM25 top-k over the literal query workload
+        "bm25_topk": _bm25_oracle(),
         # trained quality classifier: 2 epochs of full-batch logistic GD
         # UNROLLED (zero init => epoch-1 errors are the constant 0.5 - y,
         # so w1 is closed-form; epoch 2 recomputes margins under w1), then
