@@ -427,6 +427,22 @@ def q_substring_clean(spark, sf):  # the REBUILD path: md5 of the text with
     )
 
 
+def q_kmeans_centroids(spark, sf):  # pipeline: the IVF k-means TRAINER
+    # itself, cross-engine (previously certified only indirectly — the
+    # ivf_topk/semantic_dedup gates are deliberately centroid-independent).
+    # iters=2 so the oracle can unroll both Lloyd rounds; nlist=4 keeps
+    # the unrolled SQL bounded. Output long-form (list_id, pos, x) so each
+    # centroid component is value-compared, tie-nudged 6dp.
+    from eth2dgraph_spark.pipeline import similarity_search
+
+    cents = similarity_search.ivf_index(
+        _t(spark, sf, "embeddings"), nlist=4, iters=2
+    )
+    return cents.select(
+        "list_id", F.posexplode("c").alias("pos", "x")
+    ).select("list_id", "pos", _r6e("x").alias("x"))
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -1743,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         # --- NEW in round 7: lexical BM25 top-k retrieval ---
         "bm25_topk": q_bm25_topk,
+        # --- NEW in round 7: the IVF k-means trainer cross-engine ---
+        "kmeans_centroids": q_kmeans_centroids,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1792,9 +1810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "array_funcs": q_array_funcs,
         "map_funcs": q_map_funcs,
-        "lateral_topk": q_lateral_topk,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
@@ -2006,6 +2024,47 @@ def _ann_topk_oracle(dim: int = 64, num_planes: int = 6, k: int = 10) -> str:
                      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)::BIGINT AS rank
               FROM s)
         SELECT query_id, vec_id, round(c + 1e-9, 6) AS cosine, rank FROM r WHERE rank <= {k}"""
+
+
+def _kmeans_oracle(nlist: int = 4) -> str:
+    """DuckDB replica of similarity_search.ivf_index(nlist, iters=2):
+    init = the nlist lowest STRING-ordered vec_ids' vectors; per round,
+    assign by squared-L2 argmin (list_id tie-break) with the distance
+    accumulated left-to-right exactly like the Spark zip_with fold, then
+    per-dimension mean with empty lists keeping their previous centroid."""
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out}_rn AS (
+          SELECT e.id, e.v, c.list_id,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                   c.list_id) AS rn
+          FROM e CROSS JOIN {cent} c),
+        {out} AS (SELECT id, v, list_id FROM {out}_rn WHERE rn = 1)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""{out}_d AS (
+          SELECT list_id, i.i AS pos, avg(v[i.i]) AS x
+          FROM {assigned}, UNNEST(range(1, len(v) + 1)) AS i(i)
+          GROUP BY list_id, i.i),
+        {out}_a AS (SELECT list_id, array_agg(x ORDER BY pos) AS c
+                    FROM {out}_d GROUP BY list_id),
+        {out} AS (SELECT p.list_id, COALESCE(a.c, p.c) AS c
+                  FROM {prev} p LEFT JOIN {out}_a a USING (list_id))"""
+
+    return f"""
+        WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, v AS c
+                 FROM e ORDER BY id LIMIT {nlist}),
+        {assign('init', 'a1')},
+        {update('a1', 'init', 'c1')},
+        {assign('c1', 'a2')},
+        {update('a2', 'c1', 'c2')}
+        SELECT list_id, i.i - 1 AS pos, round(c[i.i] + 1e-9, 6) AS x
+        FROM c2, UNNEST(range(1, len(c) + 1)) AS i(i)"""
 
 
 def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
@@ -3108,6 +3167,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # IVF k-means trainer, 2 Lloyd rounds unrolled
+        "kmeans_centroids": _kmeans_oracle(),
         # trained quality classifier: 2 epochs of full-batch logistic GD
         # UNROLLED (zero init => epoch-1 errors are the constant 0.5 - y,
         # so w1 is closed-form; epoch 2 recomputes margins under w1), then
