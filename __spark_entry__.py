@@ -427,6 +427,13 @@ def q_substring_clean(spark, sf):  # the REBUILD path: md5 of the text with
     )
 
 
+def q_winnow_fp(spark, sf):  # pipeline: winnowing fingerprints (Schleimer
+    # et al. SIGMOD'03, the MOSS scheme) — rightmost-min-per-window k-gram
+    # sampling, all in-row chained zip_withs (zero shuffles before the
+    # explode). k=4/w=5 BIND on the synthetic docs (~66 grams/doc).
+    return text.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+
+
 def q_kmeans_centroids(spark, sf):  # pipeline: the IVF k-means TRAINER
     # itself, cross-engine (previously certified only indirectly — the
     # ivf_topk/semantic_dedup gates are deliberately centroid-independent).
@@ -1761,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         # --- NEW in round 7: the IVF k-means trainer cross-engine ---
         "kmeans_centroids": q_kmeans_centroids,
+        # --- NEW in round 7: winnowing fingerprints (MOSS) ---
+        "winnow_fp": q_winnow_fp,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1809,9 +1818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
         "array_funcs": q_array_funcs,
-        "map_funcs": q_map_funcs,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
@@ -3169,6 +3178,37 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         # IVF k-means trainer, 2 Lloyd rounds unrolled
         "kmeans_centroids": _kmeans_oracle(),
+        # winnowing: k-gram hashes, rightmost min per w-window (row_number
+        # ORDER BY h, p DESC), single global min for under-window docs
+        "winnow_fp": f"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
+                          FROM documents),
+            grams AS (SELECT doc_id, i.i - 1 AS p,
+                             ('0x'||substr(md5(array_to_string(w[i.i:i.i+3],
+                                                               ' ')),1,15))::BIGINT AS h
+                      FROM toks,
+                           UNNEST(range(1, greatest(len(w) - 3, 0) + 1)) AS i(i)),
+            n AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+            starts AS (SELECT n.doc_id, s.s
+                       FROM n, UNNEST(range(0, n.m - 4)) AS s(s)
+                       WHERE n.m >= 5),
+            winsel AS (SELECT doc_id, p, h FROM (
+                SELECT st.doc_id, st.s, g.p, g.h,
+                       row_number() OVER (PARTITION BY st.doc_id, st.s
+                                          ORDER BY g.h, g.p DESC) AS rn
+                FROM starts st JOIN grams g
+                  ON g.doc_id = st.doc_id AND g.p >= st.s AND g.p < st.s + 5)
+                WHERE rn = 1),
+            shortsel AS (SELECT doc_id, p, h FROM (
+                SELECT g.doc_id, g.p, g.h,
+                       row_number() OVER (PARTITION BY g.doc_id
+                                          ORDER BY g.h, g.p DESC) AS rn
+                FROM grams g JOIN n USING (doc_id) WHERE n.m < 5)
+                WHERE rn = 1)
+            SELECT DISTINCT doc_id, p AS pos, h AS fp
+            FROM (SELECT * FROM winsel UNION ALL SELECT * FROM shortsel)""",
         # trained quality classifier: 2 epochs of full-batch logistic GD
         # UNROLLED (zero init => epoch-1 errors are the constant 0.5 - y,
         # so w1 is closed-form; epoch 2 recomputes margins under w1), then

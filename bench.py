@@ -68,10 +68,12 @@ HEADLINE = [
     "lm_perplexity",
     "semantic_dedup",
     "bpe_tokens",
-    # round-7 additions: substring-level exact dedup + trained quality
-    # classifier — extras beyond the comparable subtotals, same policy
+    # round-7 additions: substring-level exact dedup, trained quality
+    # classifier, BM25 retrieval — extras beyond the comparable
+    # subtotals, same policy
     "substring_stats",
     "quality_clf",
+    "bm25_topk",
     "order_priority",
     "custdist",
     "nation_flows",

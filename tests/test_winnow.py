@@ -1,0 +1,100 @@
+"""Winnowing fingerprints (Schleimer et al. SIGMOD'03): pure-Python
+reference pin, the w+k-1 shared-run guarantee, density sanity, and the
+short-document branch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from eth2dgraph_spark.pipeline import text as T
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def _ref(doc: str, k: int, w: int) -> set[tuple[int, int]]:
+    toks = [t for t in " ".join(doc.lower().strip().split()).split(" ") if t]
+    hs = [
+        (_h(" ".join(toks[i : i + k])), i) for i in range(len(toks) - k + 1)
+    ]
+    if not hs:
+        return set()
+    sel = set()
+    if len(hs) < w:
+        best = min(hs, key=lambda e: (e[0], -e[1]))
+        sel.add(best)
+    else:
+        for s in range(len(hs) - w + 1):
+            best = min(hs[s : s + w], key=lambda e: (e[0], -e[1]))
+            sel.add(best)
+    return {(p, h) for h, p in sel}
+
+
+def test_matches_python_reference_randomized(spark):
+    import random
+
+    rng = random.Random(104729)
+    vocab = [f"tok{j}" for j in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((4, 5), (2, 3), (3, 1)):
+        got = {}
+        for r in T.winnow_fingerprints(df, k=k, w=w).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        for i, doc in rows:
+            assert got.get(i, set()) == _ref(doc, k, w), (k, w, i, doc)
+
+
+def test_shared_run_guarantee(spark):
+    """Any shared token run of length >= w + k - 1 must share at least one
+    selected fingerprint HASH between the two documents."""
+    import random
+
+    rng = random.Random(31337)
+    k, w = 4, 5
+    shared = " ".join(rng.choice("abcdefgh") for _ in range(k + w - 1))
+    rows = []
+    for i in range(20):
+        pre = " ".join(rng.choice("qrstuv") + str(i) for _ in range(rng.randint(0, 12)))
+        post = " ".join(rng.choice("wxyz") + str(i) for _ in range(rng.randint(0, 12)))
+        rows.append((i, f"{pre} {shared} {post}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in T.winnow_fingerprints(df, k=k, w=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    base = fps[0]
+    for i in range(1, 20):
+        assert fps[i] & base, i
+
+
+def test_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, ""), (4, None), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    # k=4: doc 1 has 2 grams (< w=5) -> exactly one global-min fingerprint;
+    # doc 5 has exactly 1 gram -> one fingerprint; 2/3/4 have none
+    got = {}
+    for r in T.winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert set(got) == {1, 5}
+    assert len(got[1]) == 1 and len(got[5]) == 1
+    assert got[5][0][0] == 0
+
+
+def test_density(spark):
+    """Expected selected density is ~2/(w+1); allow a loose band."""
+    import random
+
+    rng = random.Random(7)
+    doc = " ".join(rng.choice("abcdefghijklmnop") + str(rng.randint(0, 99)) for _ in range(2000))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    n = T.winnow_fingerprints(df, k=4, w=8).count()
+    frac = n / (2000 - 4 + 1)
+    assert 0.1 < frac < 0.4, frac
