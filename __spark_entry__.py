@@ -434,6 +434,16 @@ def q_winnow_fp(spark, sf):  # pipeline: winnowing fingerprints (Schleimer
     return text.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
 
 
+def q_tfidf_terms(spark, sf):  # pipeline: tf-idf top-k keyword extraction
+    # (smoothed idf, rank ties by term) — the per-doc dual of bm25_topk.
+    # score_dp=6: libm ln() may differ in the last ulp across engines.
+    from eth2dgraph_spark.pipeline import retrieval
+
+    return retrieval.tfidf_topk_terms(
+        _t(spark, sf, "documents"), k=5, score_dp=6
+    )
+
+
 def q_kmeans_centroids(spark, sf):  # pipeline: the IVF k-means TRAINER
     # itself, cross-engine (previously certified only indirectly — the
     # ivf_topk/semantic_dedup gates are deliberately centroid-independent).
@@ -1770,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         # --- NEW in round 7: winnowing fingerprints (MOSS) ---
         "winnow_fp": q_winnow_fp,
+        # --- NEW in round 7: tf-idf keyword extraction ---
+        "tfidf_terms": q_tfidf_terms,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1817,9 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
-        "array_funcs": q_array_funcs,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # --- r5-certified spills; re-verified locally at sf0.01 ---
+        "array_funcs": q_array_funcs,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
@@ -3176,6 +3188,26 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # tf-idf top-5 keywords per doc (smoothed idf, term tie-break,
+        # rank on the tie-nudged 6dp score)
+        "tfidf_terms": f"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
+                          FROM documents),
+            tf AS (SELECT doc_id, x.term, count(*)::DOUBLE AS tf
+                   FROM toks, UNNEST(w) AS x(term) GROUP BY doc_id, x.term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scored AS (SELECT tf.doc_id, tf.term,
+                              round(tf.tf * (ln((n.n + 1.0) / (d.df + 1.0))
+                                             + 1.0) + 1e-9, 6) AS score
+                       FROM tf JOIN dft d USING (term) CROSS JOIN n),
+            ranked AS (SELECT doc_id, term, score,
+                              row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+                       FROM scored)
+            SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5""",
         # IVF k-means trainer, 2 Lloyd rounds unrolled
         "kmeans_centroids": _kmeans_oracle(),
         # winnowing: k-gram hashes, rightmost min per w-window (row_number

@@ -132,3 +132,52 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_dp: int | None = None,
+) -> DataFrame:
+    """(id_col, term, score, rank): each document's top-k terms by
+    tf-idf — keyword extraction / corpus characterization, the per-doc
+    dual of bm25_topk's per-query view. idf is the smoothed form
+    ln((N + 1) / (df + 1)) + 1 (never negative, never divides by zero),
+    score = tf * idf, rank ties broken by ascending term.
+
+    Scale shape: one corpus explode feeding BOTH stats — tf =
+    groupBy(id, term), df = countDistinct docs per term off the same
+    frame; df is vocabulary-sized and broadcast back. `score_dp` as in
+    bm25_topk: libm ln() can differ in the last ulp across engines, so
+    rank on rounded scores when comparing cross-engine."""
+    toks = _tokens(text_col)
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    df_t = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    if score_dp is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score") + F.lit(1e-9), score_dp)
+        )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score", "rank")
+    )

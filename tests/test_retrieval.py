@@ -120,3 +120,36 @@ def test_matches_reference_randomized(spark):
         assert set(got[qid]) == set(want[qid]), qid
         for d in want[qid]:
             assert got[qid][d] == pytest.approx(want[qid][d], rel=1e-12), (qid, d)
+
+
+def test_tfidf_topk_terms(spark):
+    """Known values vs a from-scratch reference; rank ties by term."""
+    docs = {
+        1: "apple apple banana cherry",
+        2: "banana banana banana date",
+        3: "cherry date elder elder elder",
+        4: "",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    want = {}
+    for i, t in toks.items():
+        scores = {
+            term: t.count(term) * (math.log((n + 1) / (dfreq[term] + 1)) + 1)
+            for term in set(t)
+        }
+        want[i] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = {}
+    for r in retrieval.tfidf_topk_terms(df, k=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    assert set(got) == {1, 2, 3}  # empty doc absent
+    for i in got:
+        ordered = [(t, s) for _, t, s in sorted(got[i])]
+        assert [t for t, _ in ordered] == [t for t, _ in want[i]], i
+        for (gt, gs), (wt, ws) in zip(ordered, want[i]):
+            assert gs == pytest.approx(ws, rel=1e-12), (i, gt)
