@@ -434,6 +434,19 @@ def q_winnow_fp(spark, sf):  # pipeline: winnowing fingerprints (Schleimer
     return text.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
 
 
+def q_rrf_hybrid(spark, sf):  # pipeline: reciprocal-rank fusion (Cormack
+    # SIGIR'09) of two BM25 configurations over the same query workload —
+    # the hybrid-retrieval combiner, rank-based so no score calibration.
+    # Exactly deterministic: each fused score is a sum of <= 2 doubles.
+    from eth2dgraph_spark.pipeline import retrieval
+
+    d = _t(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    a = retrieval.bm25_topk(d, qdf, k=20, score_dp=6)
+    b = retrieval.bm25_topk(d, qdf, k=20, k1=0.4, b=0.2, score_dp=6)
+    return retrieval.rrf_fuse(a, b, k=60.0, topk=10)
+
+
 def q_tfidf_terms(spark, sf):  # pipeline: tf-idf top-k keyword extraction
     # (smoothed idf, rank ties by term) — the per-doc dual of bm25_topk.
     # score_dp=6: libm ln() may differ in the last ulp across engines.
@@ -1782,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         # --- NEW in round 7: tf-idf keyword extraction ---
         "tfidf_terms": q_tfidf_terms,
+        # --- NEW in round 7: reciprocal-rank fusion (hybrid retrieval) ---
+        "rrf_hybrid": q_rrf_hybrid,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1828,8 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "sliding_window": q_sliding_window,
         "tumbling_window": q_tumbling_window,
-        "running_sum": q_running_sum,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "running_sum": q_running_sum,
         # --- r5-certified spills; re-verified locally at sf0.01 ---
         "array_funcs": q_array_funcs,
         "map_funcs": q_map_funcs,
@@ -3188,6 +3203,22 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # reciprocal-rank fusion of two BM25 configurations: each arm is
+        # the full bm25 oracle as a CTE; fused score = sum of 1/(60+rank)
+        "rrf_hybrid": f"""
+            WITH A AS ({_bm25_oracle(k=20)}),
+            B AS ({_bm25_oracle(k=20, k1=0.4, b=0.2)}),
+            u AS (SELECT query_id, doc_id, 1.0/(60.0 + rank) AS r FROM A
+                  UNION ALL
+                  SELECT query_id, doc_id, 1.0/(60.0 + rank) AS r FROM B),
+            s AS (SELECT query_id, doc_id, sum(r) AS score
+                  FROM u GROUP BY query_id, doc_id),
+            ranked AS (SELECT query_id, doc_id, score,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+                       FROM s)
+            SELECT query_id, doc_id, score, rank FROM ranked
+            WHERE rank <= 10""",
         # tf-idf top-5 keywords per doc (smoothed idf, term tie-break,
         # rank on the tie-nudged 6dp score)
         "tfidf_terms": f"""

@@ -181,3 +181,46 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "score", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: float = 60.0,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    two ranked result lists: score(q, d) = sum over lists containing d of
+    1 / (k + rank). The standard combiner for hybrid retrieval (lexical
+    BM25 + embedding ANN) — rank-based, so the two retrievers' score
+    scales never need calibrating. Returns (query_id, item, score, rank)
+    with ties broken by ascending item id.
+
+    Exactly deterministic cross-engine with NO rounding hook needed:
+    every score is a sum of at most two machine-representable 1/(k+r)
+    terms, and IEEE addition of two doubles is commutative — no
+    accumulation-order sensitivity, unlike the retrievers themselves.
+
+    Scale shape: input lists are per-query top-k (bounded by queries x
+    k); one groupBy(query, item) + one per-query window over <= 2k rows."""
+    cols = [
+        F.col(query_id_col).alias("qid"),
+        F.col(item_col).alias("item"),
+        (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("_r"),
+    ]
+    both = ranked_a.select(*cols).unionByName(ranked_b.select(*cols))
+    scored = both.groupBy("qid", "item").agg(F.sum("_r").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("item"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("item").alias(item_col),
+            "score",
+            "rank",
+        )
+    )

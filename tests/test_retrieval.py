@@ -153,3 +153,28 @@ def test_tfidf_topk_terms(spark):
         assert [t for t, _ in ordered] == [t for t, _ in want[i]], i
         for (gt, gs), (wt, ws) in zip(ordered, want[i]):
             assert gs == pytest.approx(ws, rel=1e-12), (i, gt)
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-computable fusion: overlap sums both reciprocal ranks,
+    single-list items keep one term, ties break by item id."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "query_id long, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.rrf_fuse(a, b, k=60.0, topk=10).collect()
+    }
+    want = {
+        10: 1 / 61 + 1 / 63,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    for d, s in want.items():
+        assert got[d][0] == pytest.approx(s, rel=0, abs=0), d  # exact doubles
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [11, 10, 13, 12]  # 13 beats 12 (1/62 > 1/63)
