@@ -434,6 +434,17 @@ def q_winnow_fp(spark, sf):  # pipeline: winnowing fingerprints (Schleimer
     return text.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
 
 
+def q_pmi_phrases(spark, sf):  # pipeline: PMI + word2vec phrase-score
+    # collocation mining (Church&Hanks CL'90; Mikolov NeurIPS'13) — the
+    # promote-collocations-to-phrases pass before tokenizer training.
+    out = text.pmi_collocations(_t(spark, sf, "documents"), min_count=5)
+    return out.select(
+        "w1", "w2", "n_pair",
+        _r6e("pmi").alias("pmi"),
+        _r6e("phrase_score").alias("phrase_score"),
+    )
+
+
 def q_rrf_hybrid(spark, sf):  # pipeline: reciprocal-rank fusion (Cormack
     # SIGIR'09) of two BM25 configurations over the same query workload —
     # the hybrid-retrieval combiner, rank-based so no score calibration.
@@ -1797,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         # --- NEW in round 7: reciprocal-rank fusion (hybrid retrieval) ---
         "rrf_hybrid": q_rrf_hybrid,
+        # --- NEW in round 7: PMI collocation / phrase mining ---
+        "pmi_phrases": q_pmi_phrases,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1842,8 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_funcs": q_rank_funcs,
         "rep_stats": q_rep_stats,
         "sliding_window": q_sliding_window,
-        "tumbling_window": q_tumbling_window,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
         # --- r5-certified spills; re-verified locally at sf0.01 ---
         "array_funcs": q_array_funcs,
@@ -3203,6 +3216,30 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # PMI + word2vec phrase score over adjacent bigrams; totals from
+        # one narrow agg, unigram/bigram counts mirrored
+        "pmi_phrases": f"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
+                          FROM documents),
+            tot AS (SELECT sum(len(w))::DOUBLE AS n_tokens,
+                           sum(greatest(len(w) - 1, 0))::DOUBLE AS n_bigrams
+                    FROM toks),
+            uni AS (SELECT u.u AS w, count(*) AS n_w
+                    FROM toks, UNNEST(w) AS u(u) GROUP BY u.u),
+            pair AS (SELECT w[i.i] AS w1, w[i.i + 1] AS w2,
+                            count(*) AS n_pair
+                     FROM toks, UNNEST(range(1, len(w))) AS i(i)
+                     GROUP BY w1, w2 HAVING count(*) >= 5)
+            SELECT p.w1, p.w2, p.n_pair,
+                   round(ln((p.n_pair / t.n_bigrams)
+                            / ((a.n_w / t.n_tokens) * (b.n_w / t.n_tokens)))
+                         + 1e-9, 6) AS pmi,
+                   round(p.n_pair * t.n_tokens / (a.n_w * b.n_w)
+                         + 1e-9, 6) AS phrase_score
+            FROM pair p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2
+            CROSS JOIN tot t""",
         # reciprocal-rank fusion of two BM25 configurations: each arm is
         # the full bm25 oracle as a CTE; fused score = sum of 1/(60+rank)
         "rrf_hybrid": f"""

@@ -429,3 +429,74 @@ def winnow_fingerprints(
     return df.select(F.col(id_col), F.explode(out).alias("_w")).select(
         id_col, F.col("_w.pos").alias("pos"), F.col("_w.fp").alias("fp")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    delta: float = 0.0,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi, phrase_score): adjacent-bigram collocation
+    statistics over the corpus — PMI (Church & Hanks, CL 1990) plus the
+    word2vec phrase score (Mikolov et al., NeurIPS 2013: score =
+    (n_pair - delta) * N_tokens / (n_w1 * n_w2)), the standard pass for
+    promoting frequent collocations to vocabulary phrases before
+    tokenizer training. Pairs below `min_count` are cut (both papers'
+    discounting rationale: rare pairs have unreliable statistics).
+
+    pmi = ln( (n_pair / N_pairs) / ((n_w1 / N_tokens) * (n_w2 / N_tokens)) )
+
+    Scale shape: one corpus explode for unigram counts (vocabulary-sized
+    result, broadcast back twice), one in-row bigram build (the chained
+    zip_with window builder — no second explode pass over positions) +
+    groupBy(w1, w2); the two corpus totals ride a broadcast 1-row agg."""
+    toks = F.filter(F.split(norm_ws(text_col), " "), lambda x: F.length(x) > 0)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    size = F.size(toks)
+    # both corpus totals from ONE narrow agg — no explode needed
+    totals = F.broadcast(
+        df.agg(
+            F.sum(size).cast("double").alias("n_tokens"),
+            F.sum(F.greatest(size - F.lit(1), F.lit(0))).cast("double").alias("n_bigrams"),
+        )
+    )
+    n_bi = F.greatest(size - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n_bi),
+        F.slice(toks, F.lit(2), n_bi),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pair = (
+        df.select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")))
+    return (
+        pair.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                (F.col("n_pair") / F.col("n_bigrams"))
+                / ((F.col("n_w1") / F.col("n_tokens")) * (F.col("n_w2") / F.col("n_tokens")))
+            ).alias("pmi"),
+            (
+                (F.col("n_pair") - F.lit(float(delta)))
+                * F.col("n_tokens")
+                / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("phrase_score"),
+        )
+    )

@@ -98,3 +98,39 @@ def test_density(spark):
     n = T.winnow_fingerprints(df, k=4, w=8).count()
     frac = n / (2000 - 4 + 1)
     assert 0.1 < frac < 0.4, frac
+
+
+def test_pmi_collocations_known_values(spark):
+    """Reference comparison on a hand-sized corpus; min_count cut; NULL
+    and empty docs contribute nothing."""
+    import math
+
+    docs = {
+        1: "a b a b a b",
+        2: "a b c",
+        3: "c c c c",
+        4: "",
+        5: None,
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = {i: (t or "").split() for i, t in docs.items()}
+    uni, pairs, n_tok, n_bi = {}, {}, 0, 0
+    for t in toks.values():
+        n_tok += len(t)
+        n_bi += max(len(t) - 1, 0)
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            pairs[(x, y)] = pairs.get((x, y), 0) + 1
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"], r["phrase_score"])
+        for r in T.pmi_collocations(df, min_count=3).collect()
+    }
+    want = {k: c for k, c in pairs.items() if c >= 3}
+    assert set(got) == set(want)
+    for (x, y), c in want.items():
+        pmi = math.log((c / n_bi) / ((uni[x] / n_tok) * (uni[y] / n_tok)))
+        ps = c * n_tok / (uni[x] * uni[y])
+        assert got[(x, y)][0] == c
+        assert got[(x, y)][1] == pytest.approx(pmi, rel=1e-12)
+        assert got[(x, y)][2] == pytest.approx(ps, rel=1e-12)
