@@ -434,6 +434,25 @@ def q_winnow_fp(spark, sf):  # pipeline: winnowing fingerprints (Schleimer
     return text.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
 
 
+def q_lpa_communities(spark, sf):  # graph: synchronous label propagation
+    # (Raghavan PRE'07), 2 rounds on the customer-supplier bipartite
+    # graph — deterministic argmax (count desc, label asc), oracled by
+    # unrolling both rounds (the pagerank_ranks pattern).
+    from eth2dgraph_spark.graph import label_propagation
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, num_iter=2)
+
+
 def q_pmi_phrases(spark, sf):  # pipeline: PMI + word2vec phrase-score
     # collocation mining (Church&Hanks CL'90; Mikolov NeurIPS'13) — the
     # promote-collocations-to-phrases pass before tokenizer training.
@@ -1810,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         # --- NEW in round 7: PMI collocation / phrase mining ---
         "pmi_phrases": q_pmi_phrases,
+        # --- NEW in round 7: label-propagation community detection ---
+        "lpa_communities": q_lpa_communities,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1854,8 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "rank_funcs": q_rank_funcs,
         "rep_stats": q_rep_stats,
-        "sliding_window": q_sliding_window,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "sliding_window": q_sliding_window,
         "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
         # --- r5-certified spills; re-verified locally at sf0.01 ---
@@ -3216,6 +3237,30 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # synchronous LPA, 2 rounds unrolled: undirected neighbor list,
+        # per-round count-per-(node,label) + argmax (count desc, label asc)
+        "lpa_communities": """
+            WITH e AS (SELECT DISTINCT 'c' || o.o_custkey AS u,
+                                       's' || l.l_suppkey AS v
+                       FROM orders o JOIN lineitem l
+                         ON o.o_orderkey = l.l_orderkey),
+            nb AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM nb),
+            c1 AS (SELECT nb.u, l.label, count(*) AS c
+                   FROM nb JOIN l0 l ON l.node = nb.v GROUP BY nb.u, l.label),
+            l1 AS (SELECT u AS node, label FROM (
+                     SELECT u, label,
+                            row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, label) AS rn FROM c1)
+                   WHERE rn = 1),
+            c2 AS (SELECT nb.u, l.label, count(*) AS c
+                   FROM nb JOIN l1 l ON l.node = nb.v GROUP BY nb.u, l.label),
+            l2 AS (SELECT u AS node, label FROM (
+                     SELECT u, label,
+                            row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, label) AS rn FROM c2)
+                   WHERE rn = 1)
+            SELECT node, label FROM l2""",
         # PMI + word2vec phrase score over adjacent bigrams; totals from
         # one narrow agg, unigram/bigram counts mirrored
         "pmi_phrases": f"""

@@ -332,3 +332,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     out = tri.agg(F.count(F.lit(1)).alias("n_triangles")).localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame, num_iter: int = 5, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation for community detection (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007): every node starts with its own
+    id as label; each round, every node adopts the most frequent label
+    among its neighbors, ties broken by the lexicographically smallest
+    label. Deterministic by construction (no random visit order — the
+    synchronous variant), so a FIXED num_iter is cross-engine oracle-able
+    by unrolling rounds (`lpa_communities` in __spark_entry__.py);
+    convergence detection is deliberately not built in because synchronous
+    LPA can 2-cycle on bipartite structures — pick num_iter, inspect, and
+    rerun, the standard practice.
+
+    Edges are canonicalized to UNORDERED distinct pairs first: an input
+    containing both (u, v) and (v, u) must count v as ONE neighbor of u,
+    not two — connected_components is insensitive to that duplication,
+    label counts are not.
+
+    Per round: one join of the neighbor list against the label frame
+    (both keyed on node id), one groupBy(node, label) count, one
+    argmax-by-(count, label) struct-min — two shuffles — and ONE action
+    (eager localCheckpoint) so lineage stays O(1), the
+    connected_components discipline. The neighbor list is persisted once
+    across rounds."""
+    e = (
+        _canonical_undirected(edges, src, dst)
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    nbrs = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nbrs.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    try:
+        for _ in range(num_iter):
+            joined = nbrs.join(
+                labels, nbrs["v"] == labels["node"]
+            ).select(nbrs["u"].alias("u"), "label")
+            counts = joined.groupBy("u", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            labels = (
+                counts.groupBy("u")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("m"))
+                .select(F.col("u").alias("node"), F.col("m.l").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        nbrs.unpersist()
+    return labels

@@ -137,3 +137,50 @@ def test_triangle_count_known_graphs(spark):
     assert tri([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]) == 1
     assert tri([("h", x) for x in "abcde"]) == 0
     assert tri([("a", "b"), ("b", "c"), ("c", "d")]) == 0
+
+
+def test_label_propagation_known_and_reference(spark):
+    """Two triangles joined by one bridge edge: after enough rounds each
+    triangle converges to its min label; plus a randomized synchronous-LPA
+    reference comparison (same argmax/tie rule)."""
+    import random
+
+    from eth2dgraph_spark.graph import label_propagation
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    e = spark.createDataFrame(tri, "src string, dst string")
+    out = {r["node"]: r["label"] for r in label_propagation(e, num_iter=4).collect()}
+
+    def ref(pairs, iters):
+        nbrs = {}
+        for u, v in pairs:
+            if u != v:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+        lab = {n: n for n in nbrs}
+        for _ in range(iters):
+            new = {}
+            for n, ns in nbrs.items():
+                cnt = {}
+                for m in ns:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                new[n] = min(cnt, key=lambda L: (-cnt[L], L))
+            lab = new
+        return lab
+
+    assert out == ref(tri, 4)
+    rng = random.Random(4099)
+    pairs = list(
+        {
+            (f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}")
+            for _ in range(80)
+        }
+    )
+    pairs = [(u, v) for u, v in pairs if u != v]
+    e2 = spark.createDataFrame(pairs, "src string, dst string")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(e2, num_iter=iters).collect()
+        }
+        assert got == ref(pairs, iters), iters
