@@ -1654,6 +1654,17 @@ def q_decontam(spark, sf):  # benchmark decontamination: corpus docs sharing
     )
 
 
+def q_contam_stats(spark, sf):  # per-doc contamination fraction vs the
+    # same 3-doc eval set as decontam (GPT-3 Appx C "dirty document"
+    # statistic) — every corpus doc gets a row; bench side broadcast.
+    d = _t(spark, sf, "documents")
+    out = dedup.contamination_stats(d, d.filter(F.col("doc_id") < 3), k=3)
+    return out.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        _r6e("contaminated_frac").alias("contaminated_frac"),
+    )
+
+
 def q_corpus_pipeline(spark, sf):  # the composed training-data curation DAG:
     # exact-dedup -> quality floor -> lang ID -> token counts -> hash split,
     # reported per (lang, split). One dedup shuffle (16-byte digests), then
@@ -1834,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_phrases": q_pmi_phrases,
         # --- NEW in round 7: label-propagation community detection ---
         "lpa_communities": q_lpa_communities,
+        # --- NEW in round 7: per-doc contamination fraction ---
+        "contam_stats": q_contam_stats,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1877,8 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "event_gaps": q_event_gaps,
         "rank_funcs": q_rank_funcs,
-        "rep_stats": q_rep_stats,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "rep_stats": q_rep_stats,
         "sliding_window": q_sliding_window,
         "tumbling_window": q_tumbling_window,
         "running_sum": q_running_sum,
@@ -3240,6 +3253,20 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # per-doc contamination fraction vs the 3-doc eval set: distinct
+        # shingles per doc, contaminated = those appearing in the bench set
+        "contam_stats": f"""
+            WITH {_SHINGLES_CTE},
+            sz AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+            b AS (SELECT DISTINCT shingle FROM sh WHERE id < 3),
+            ct AS (SELECT s.id, count(*) AS n_cont
+                   FROM sh s JOIN b USING (shingle) GROUP BY s.id)
+            SELECT sz.id AS doc_id, sz.n_shingles::BIGINT AS n_shingles,
+                   COALESCE(ct.n_cont, 0)::BIGINT AS n_contaminated,
+                   round(COALESCE(ct.n_cont, 0) * 1.0
+                         / greatest(sz.n_shingles, 1) + 1e-9, 6)
+                     AS contaminated_frac
+            FROM sz LEFT JOIN ct USING (id)""",
         # synchronous LPA, 2 rounds unrolled: undirected neighbor list,
         # per-round count-per-(node,label) + argmax (count desc, label asc)
         "lpa_communities": """

@@ -325,6 +325,57 @@ def contamination_pairs(
     )
 
 
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-document contamination fraction vs an eval set: (id_col,
+    n_shingles, n_contaminated, contaminated_frac) for EVERY corpus
+    document — the GPT-3 Appendix-C style "dirty document" statistic
+    (fraction of a doc's distinct k-shingles that appear anywhere in the
+    benchmark), where `contamination_pairs` above gives the per-(doc,
+    bench-doc) attribution. Callers cut on contaminated_frac (e.g. drop
+    > 0.7, review > 0.2).
+
+    Same scale shape as contamination_pairs: benchmark shingles broadcast
+    (eval sets are small by construction); the corpus side is one explode
+    + per-doc distinct + two groupBy(id)s — every shuffle keyed on doc id
+    or a 60-bit hash, never shingle text."""
+    corpus = (
+        _exploded_shingles(df, id_col, text_col, k)
+        .select("id", _shingle_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = corpus.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    bench = (
+        _exploded_shingles(benchmark, bench_id_col, bench_text_col, k)
+        .select(_shingle_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    cont = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(cont, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest("n_shingles", F.lit(1))
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 def _shingle_hash64(col):
     """Deterministic 60-bit shingle hash — delegates to the shared
     `text.md5_60bit` (one definition for every md5-prefix long in the

@@ -1070,3 +1070,27 @@ def test_star_cap_cc_composition_randomized(spark):
             )
             got[cap] = clusters(pairs)
         assert got[2] == got[None], (trial, got)
+
+
+def test_contamination_stats_known_values(spark):
+    """Per-doc contaminated fraction vs a benchmark: distinct-shingle
+    counting, zero rows for clean docs, the under-k fallback shingle."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shares shingles with bench doc
+            (2, "p q r s"),        # clean
+            (3, "a b c"),          # exactly one shingle, contaminated
+            (4, "x"),              # under-k fallback shingle, clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"], r["contaminated_frac"])
+        for r in dedup.contamination_stats(corpus, bench, k=3).collect()
+    }
+    # doc 1 shingles: 'a b c','b c d','c d e' -> 2 of 3 in bench ('a b c','b c d')
+    assert got[1] == (3, 2, pytest.approx(2 / 3))
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (1, 0, 0.0)
