@@ -1654,6 +1654,39 @@ def q_decontam(spark, sf):  # benchmark decontamination: corpus docs sharing
     )
 
 
+def q_temperature_mix(spark, sf):  # pipeline: temperature-scaled source
+    # mixing (XLM-R q_i ∝ p_i^alpha) solved into per-source sample rates.
+    # lang is the skewed grouping on this testdata (en ~4x fr), so the
+    # upweighting actually binds; budget=300 leaves some rates < 1.
+    from eth2dgraph_spark.pipeline import split as split_mod
+
+    out = split_mod.temperature_mix_rates(
+        _t(spark, sf, "documents"), "lang", alpha=0.3, budget=300
+    )
+    return out.select(
+        "lang", "n_docs", _r6e("p").alias("p"),
+        _r6e("mix_weight").alias("mix_weight"),
+        _r6e("sample_rate").alias("sample_rate"),
+    )
+
+
+def q_ohlc_bars(spark, sf):  # time-series OHLC downsampling: 5-minute
+    # epoch-aligned bars per event_type; open/close deterministic via the
+    # (ts, event_id, value) struct-extremum.
+    from eth2dgraph_spark.operators.asof import ohlc_bars
+
+    ev = _t(spark, sf, "events")
+    out = ohlc_bars(
+        ev, "5 minutes", key_cols=["event_type"], tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "open", "high", "low", "close", "n_events",
+        _r6e("v_sum").alias("v_sum"),
+    )
+
+
 def q_contam_stats(spark, sf):  # per-doc contamination fraction vs the
     # same 3-doc eval set as decontam (GPT-3 Appx C "dirty document"
     # statistic) — every corpus doc gets a row; bench side broadcast.
@@ -1847,6 +1880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         # --- NEW in round 7: per-doc contamination fraction ---
         "contam_stats": q_contam_stats,
+        # --- NEW in round 7: temperature source mixing + OHLC bars ---
+        "temperature_mix": q_temperature_mix,
+        "ohlc_bars": q_ohlc_bars,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1888,9 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embedding_cosine": q_embedding_cosine,
         "embedding_topk": q_embedding_topk,
+        # ================= 50-gate window boundary (entry 50 ends) =======
         "event_gaps": q_event_gaps,
         "rank_funcs": q_rank_funcs,
-        # ================= 50-gate window boundary (entry 50 ends) =======
         "rep_stats": q_rep_stats,
         "sliding_window": q_sliding_window,
         "tumbling_window": q_tumbling_window,
@@ -3253,6 +3289,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # temperature mixing: per-source counts -> p^alpha normalized ->
+        # budget-solved sample rates (two bounded aggregates)
+        "temperature_mix": """
+            WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_docs)::DOUBLE AS N FROM c),
+            w AS (SELECT lang, n_docs, n_docs / t.N AS p,
+                         pow(n_docs / t.N, 0.3) AS pa
+                  FROM c CROSS JOIN t),
+            z AS (SELECT sum(pa) AS Z FROM w)
+            SELECT lang, n_docs, round(p + 1e-9, 6) AS p,
+                   round(pa / z.Z + 1e-9, 6) AS mix_weight,
+                   round(least(1.0, 300.0 * (pa / z.Z) / n_docs) + 1e-9, 6)
+                     AS sample_rate
+            FROM w CROSS JOIN z""",
+        # OHLC bars: 5-minute epoch-aligned buckets (time_bucket's default
+        # 2000-01-01 origin is :00-aligned, matching Spark's epoch-aligned
+        # window); open/close via row_number over (ts, event_id)
+        "ohlc_bars": """
+            WITH b AS (SELECT event_type,
+                              time_bucket(INTERVAL '5 minutes', ts) AS bar,
+                              ts, event_id, value FROM events),
+            oc AS (SELECT event_type, bar, value,
+                          row_number() OVER (PARTITION BY event_type, bar
+                                             ORDER BY ts, event_id) AS rn_a,
+                          row_number() OVER (PARTITION BY event_type, bar
+                                             ORDER BY ts DESC, event_id DESC) AS rn_d
+                   FROM b),
+            agg AS (SELECT event_type, bar, max(value) AS high,
+                           min(value) AS low, count(*)::BIGINT AS n_events,
+                           sum(value) AS v_sum
+                    FROM b GROUP BY event_type, bar)
+            SELECT a.event_type,
+                   strftime(a.bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+                   o.value AS open, a.high, a.low, c.value AS close,
+                   a.n_events, round(a.v_sum + 1e-9, 6) AS v_sum
+            FROM agg a
+            JOIN oc o ON o.event_type = a.event_type AND o.bar = a.bar
+                      AND o.rn_a = 1
+            JOIN oc c ON c.event_type = a.event_type AND c.bar = a.bar
+                      AND c.rn_d = 1""",
         # per-doc contamination fraction vs the 3-doc eval set: distinct
         # shingles per doc, contaminated = those appearing in the bench set
         "contam_stats": f"""

@@ -126,3 +126,53 @@ def interval_join(
     )
     joined = p.join(iv, cond, how)
     return joined.drop("_pb", "_ib")
+
+
+def ohlc_bars(
+    events: DataFrame,
+    duration: str = "5 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-bucket downsampling to OHLC bars — (key?, bar_start, open,
+    high, low, close, n_events, v_sum): the standard first step of
+    time-series rollup (financial bars, metrics downsampling). open/close
+    are the earliest/latest event's value INSIDE each bar, resolved by
+    struct-extremum — always deterministic: timestamp first, then
+    `tiebreak_col` (e.g. an event id) when given, then the value itself
+    (so equal-ts ties without a tiebreak column fall to the smallest
+    value for open / largest for close).
+
+    One groupBy per bar (+ keys) over epoch-aligned tumbling windows —
+    a single shuffle keyed on (keys, bar); open/close ride min/max of a
+    (ts, tiebreak, value) struct, so no window-function second pass."""
+    keys = list(key_cols or [])
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.lit(0).alias("_tb")
+    )
+    tagged = F.struct(F.col(ts_col).alias("t"), tb.alias("tb"), F.col(value_col).alias("v"))
+    return (
+        events.groupBy(F.window(ts_col, duration).alias("_w"), *keys)
+        .agg(
+            F.min(tagged).alias("_open"),
+            F.max(tagged).alias("_close"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("v_sum"),
+        )
+        .select(
+            *keys,
+            F.col("_w.start").alias("bar_start"),
+            F.col("_open.v").alias("open"),
+            F.col("high"),
+            F.col("low"),
+            F.col("_close.v").alias("close"),
+            F.col("n_events"),
+            F.col("v_sum"),
+        )
+    )

@@ -147,3 +147,58 @@ def stratified_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.3,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """(source_col, n_docs, p, mix_weight, sample_rate): temperature-scaled
+    multinomial source mixing (the multilingual-pretraining standard —
+    Conneau & Lample NeurIPS'19, XLM-R: q_i ∝ p_i^alpha with alpha < 1
+    upweighting low-resource sources), solved into per-source sampling
+    rates for a `budget`-document corpus: rate_i = min(1, budget * q_i /
+    n_i). Feed the collected rates to `sample_by_source` (bounded by the
+    source count) — `temperature_sample` composes the two.
+
+    Two bounded aggregates (per-source counts, then the normalizer), each
+    broadcast back — nothing row-scale leaves the first groupBy."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = F.broadcast(counts.agg(F.sum("n_docs").alias("_N")))
+    w = counts.crossJoin(tot).withColumn(
+        "p", F.col("n_docs") / F.col("_N")
+    ).withColumn("_pa", F.pow(F.col("p"), F.lit(float(alpha))))
+    z = F.broadcast(w.agg(F.sum("_pa").alias("_Z")))
+    return w.crossJoin(z).select(
+        source_col,
+        "n_docs",
+        "p",
+        (F.col("_pa") / F.col("_Z")).alias("mix_weight"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * (F.col("_pa") / F.col("_Z")) / F.col("n_docs"),
+        ).alias("sample_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.3,
+    budget: int = 1_000_000,
+    id_col: str = "doc_id",
+    salt: str = "temp-mix-v1",
+) -> DataFrame:
+    """Temperature mixing end to end: compute rates (bounded collect —
+    one row per source) and apply them with sample_by_source's nested
+    deterministic thresholds, so re-running with a larger budget only
+    ADDS rows per source."""
+    rates = {
+        r[source_col]: float(r["sample_rate"])
+        for r in temperature_mix_rates(df, source_col, alpha, budget).collect()
+    }
+    return sample_by_source(df, source_col, rates, id_col, salt, default_rate=0.0)

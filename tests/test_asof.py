@@ -101,3 +101,37 @@ def test_interval_join_rejects_outer_on_interval_side(spark):
     for how in ("right", "full"):
         with pytest.raises(ValueError):
             interval_join(points, intervals, "ts", "lo", "hi", bucket=10, how=how)
+
+
+def test_ohlc_bars_known_values(spark):
+    """Hand-built 5-minute bars: open/close by time with tiebreak, high/
+    low/count/sum; epoch alignment."""
+    from datetime import datetime
+
+    from eth2dgraph_spark.operators.asof import ohlc_bars
+
+    rows = [
+        # bar 00:00-00:05
+        (1, datetime(2024, 1, 1, 0, 0, 30), "a", 10.0),
+        (2, datetime(2024, 1, 1, 0, 2, 0), "a", 5.0),
+        (3, datetime(2024, 1, 1, 0, 4, 59), "a", 8.0),
+        # same-ts tie inside one bar: event_id decides open/close
+        (4, datetime(2024, 1, 1, 0, 7, 0), "a", 3.0),
+        (5, datetime(2024, 1, 1, 0, 7, 0), "a", 9.0),
+        # other key
+        (6, datetime(2024, 1, 1, 0, 1, 0), "b", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], str(r["bar_start"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"], r["v_sum"]
+        )
+        for r in ohlc_bars(
+            ev, "5 minutes", key_cols=["event_type"], tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[("a", "2024-01-01 00:00:00")] == (10.0, 10.0, 5.0, 8.0, 3, 23.0)
+    assert out[("a", "2024-01-01 00:05:00")] == (3.0, 9.0, 3.0, 9.0, 2, 12.0)
+    assert out[("b", "2024-01-01 00:00:00")] == (7.0, 7.0, 7.0, 7.0, 1, 7.0)

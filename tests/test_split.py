@@ -124,3 +124,45 @@ def test_split_null_id_fails_loud(spark):
         hash_split(d).collect()
     with pytest.raises(Exception, match="null doc_id"):
         sample_fraction(d, 0.5).collect()
+
+
+def test_temperature_mix_rates_reference_and_sample(spark):
+    """alpha<1 upweights rare sources; budget solves rates; the composed
+    sample respects per-source nested thresholds."""
+    import pytest
+
+    from eth2dgraph_spark.pipeline.split import temperature_mix_rates, temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(80)]
+        + [(i + 100, "mid") for i in range(15)]
+        + [(i + 200, "small") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    alpha, budget = 0.5, 40
+    got = {
+        r["source"]: (r["n_docs"], r["p"], r["mix_weight"], r["sample_rate"])
+        for r in temperature_mix_rates(df, "source", alpha, budget).collect()
+    }
+    n = {"big": 80, "mid": 15, "small": 5}
+    N = 100
+    Z = sum((c / N) ** alpha for c in n.values())
+    for s, c in n.items():
+        q = (c / N) ** alpha / Z
+        assert got[s][0] == c
+        assert got[s][1] == pytest.approx(c / N, rel=1e-12)
+        assert got[s][2] == pytest.approx(q, rel=1e-12)
+        assert got[s][3] == pytest.approx(min(1.0, budget * q / c), rel=1e-12)
+    # rare sources get a HIGHER sampling rate than common ones
+    assert got["small"][3] > got["mid"][3] > got["big"][3]
+    kept = temperature_sample(df, "source", alpha, budget).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # nested: doubling the budget only ADDS rows per source
+    kept2 = temperature_sample(df, "source", alpha, budget * 2).collect()
+    by_src2 = {}
+    for r in kept2:
+        by_src2.setdefault(r["source"], set()).add(r["doc_id"])
+    for s in by_src:
+        assert by_src[s] <= by_src2.get(s, set()), s
