@@ -299,8 +299,19 @@ def q_event_gaps(spark, sf):  # lag window (engine surface beyond reference)
     )
 
 
-def q_dedup_exact(spark, sf):  # pipeline: exact dedup groups
-    d = dedup.exact_duplicates(_t(spark, sf, "documents"))
+def q_dedup_exact(spark, sf):  # pipeline: exact dedup groups. The raw
+    # testdata has NO exact duplicates, so the original form certified on
+    # 0 rows — vacuous (the anti_join lesson). The gate input is the
+    # corpus UNIONed with an UPPERCASED shifted copy (doc_id + 100000):
+    # both engines build the identical frame, every document gains one
+    # duplicate, and the normalization (lower/trim) + grouping + windowed
+    # member-list logic all bind.
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    shifted = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    d = dedup.exact_duplicates(base.unionByName(shifted))
     return d.select(
         "fingerprint",
         "dup_count",
@@ -2503,10 +2514,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(avg((us-prev)/1000000.0) + 1e-9, 6) AS avg_gap_secs, count(prev)::BIGINT AS n_gaps
             FROM x GROUP BY user_id""",
         "dedup_exact": f"""
+            WITH dd AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+              FROM documents)
             SELECT fingerprint, dup_count, min_doc, max_doc FROM (
               SELECT md5({_NORM}) AS fingerprint, count(*)::BIGINT AS dup_count,
                      min(doc_id) AS min_doc, max(doc_id) AS max_doc
-              FROM documents GROUP BY 1) WHERE dup_count > 1""",
+              FROM dd GROUP BY 1) WHERE dup_count > 1""",
         "ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
