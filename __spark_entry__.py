@@ -488,6 +488,16 @@ def q_rrf_hybrid(spark, sf):  # pipeline: reciprocal-rank fusion (Cormack
     return retrieval.rrf_fuse(a, b, k=60.0, topk=10)
 
 
+def q_winnow_overlap(spark, sf):  # pipeline: MOSS partial-overlap pairs —
+    # docs sharing >= 2 winnowing fingerprints. k=3/w=4 on this corpus
+    # surfaces a real pair set (the 31-word vocab repeats trigrams across
+    # docs); cap far above any posting size here so it can't bind away
+    # rows (its own unit test covers the capped branch).
+    return text.winnow_overlap_pairs(
+        _t(spark, sf, "documents"), k=3, w=4, min_shared=2
+    )
+
+
 def q_tfidf_terms(spark, sf):  # pipeline: tf-idf top-k keyword extraction
     # (smoothed idf, rank ties by term) — the per-doc dual of bm25_topk.
     # score_dp=6: libm ln() may differ in the last ulp across engines.
@@ -1880,8 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         # --- NEW in round 7: the IVF k-means trainer cross-engine ---
         "kmeans_centroids": q_kmeans_centroids,
-        # --- NEW in round 7: winnowing fingerprints (MOSS) ---
+        # --- NEW in round 7: winnowing fingerprints (MOSS) + overlap pairs ---
         "winnow_fp": q_winnow_fp,
+        "winnow_overlap": q_winnow_overlap,
         # --- NEW in round 7: tf-idf keyword extraction ---
         "tfidf_terms": q_tfidf_terms,
         # --- NEW in round 7: reciprocal-rank fusion (hybrid retrieval) ---
@@ -1935,8 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "dedup_exact": q_dedup_exact,
         "embedding_cosine": q_embedding_cosine,
-        "embedding_topk": q_embedding_topk,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "embedding_topk": q_embedding_topk,
         "event_gaps": q_event_gaps,
         "rank_funcs": q_rank_funcs,
         "rep_stats": q_rep_stats,
@@ -3306,6 +3317,42 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
+        # MOSS partial-overlap pairs: the winnow_fp CTE machinery at
+        # k=3/w=4, distinct (doc, fp) postings, triangular self-join,
+        # pairs sharing >= 2 fingerprints
+        "winnow_overlap": f"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split({_NORM}, ' '),
+                                             x -> len(x) > 0) AS w
+                          FROM documents),
+            grams AS (SELECT doc_id, i.i - 1 AS p,
+                             ('0x'||substr(md5(array_to_string(w[i.i:i.i+2],
+                                                               ' ')),1,15))::BIGINT AS h
+                      FROM toks,
+                           UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS i(i)),
+            n AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+            starts AS (SELECT n.doc_id, s.s
+                       FROM n, UNNEST(range(0, n.m - 3)) AS s(s)
+                       WHERE n.m >= 4),
+            winsel AS (SELECT doc_id, h FROM (
+                SELECT st.doc_id, st.s, g.h,
+                       row_number() OVER (PARTITION BY st.doc_id, st.s
+                                          ORDER BY g.h, g.p DESC) AS rn
+                FROM starts st JOIN grams g
+                  ON g.doc_id = st.doc_id AND g.p >= st.s AND g.p < st.s + 4)
+                WHERE rn = 1),
+            shortsel AS (SELECT doc_id, h FROM (
+                SELECT g.doc_id, g.h,
+                       row_number() OVER (PARTITION BY g.doc_id
+                                          ORDER BY g.h, g.p DESC) AS rn
+                FROM grams g JOIN n USING (doc_id) WHERE n.m < 4)
+                WHERE rn = 1),
+            post AS (SELECT DISTINCT doc_id, h
+                     FROM (SELECT * FROM winsel UNION ALL SELECT * FROM shortsel))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""",
         # temperature mixing: per-source counts -> p^alpha normalized ->
         # budget-solved sample rates (two bounded aggregates)
         "temperature_mix": """

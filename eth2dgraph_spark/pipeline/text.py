@@ -500,3 +500,45 @@ def pmi_collocations(
             ).alias("phrase_score"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared
+    winnowing fingerprints — the MOSS partial-overlap detector. This is
+    the sampled counterpart of dedup.ngram_jaccard_pairs: candidate
+    volume scales with the ~2/(w+1)-density fingerprint sample instead of
+    the full shingle set, which is the whole reason to winnow at 100 TB.
+
+    Scale shape: one shuffle of the (id, fp) frame keyed on fp with a
+    spillable count-over-window enforcing `max_posting` BEFORE the pair
+    join (hot fingerprints — boilerplate spans every document shares —
+    would otherwise emit O(f^2) pair rows on single keys; dropped
+    postings only UNDERCOUNT n_shared, the similarity.DEFAULT_MAX_POSTING
+    contract), then the triangular self-join on the surviving postings."""
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    capped = (
+        fps.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_posting))
+        .drop("_n")
+    )
+    a = capped.select(F.col("id").alias("id_a"), "fp")
+    b = capped.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -134,3 +134,39 @@ def test_pmi_collocations_known_values(spark):
         assert got[(x, y)][0] == c
         assert got[(x, y)][1] == pytest.approx(pmi, rel=1e-12)
         assert got[(x, y)][2] == pytest.approx(ps, rel=1e-12)
+
+
+def test_winnow_overlap_pairs_reference_and_cap(spark):
+    """Pairs sharing >= m fingerprints vs a reference built on the
+    _ref() sets; a universal fingerprint over the cap contributes
+    nothing (undercount-only contract)."""
+    import random
+
+    rng = random.Random(271828)
+    shared = " ".join(rng.choice("abcdef") for _ in range(10))
+    rows = []
+    for i in range(12):
+        noise = " ".join(rng.choice("uvwxyz") + str(i) for _ in range(8))
+        rows.append((i, f"{shared} {noise}"))
+    rows.append((50, " ".join(rng.choice("mnopqr") + "x" for _ in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 3, 4
+    fps = {i: {h for _, h in _ref(t, k, w)} for i, t in rows}
+    want = {}
+    ids = sorted(fps)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                m = len(fps[a] & fps[b])
+                if m >= 2:
+                    want[(a, b)] = m
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in T.winnow_overlap_pairs(df, k=k, w=w, min_shared=2).collect()
+    }
+    assert got == want
+    # every fingerprint here is shared by all 12 near-dup docs; a cap of
+    # 8 postings drops those hot fingerprints entirely -> no pairs, never
+    # an error (underreport, the similarity cap contract)
+    capped = T.winnow_overlap_pairs(df, k=k, w=w, min_shared=2, max_posting=8).collect()
+    assert capped == []
