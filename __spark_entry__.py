@@ -1708,6 +1708,27 @@ def q_ohlc_bars(spark, sf):  # time-series OHLC downsampling: 5-minute
     )
 
 
+def q_ohlc_stream(spark, sf):  # the SAME OHLC bar aggregation PHYSICALLY
+    # EXECUTED as a Structured Streaming query (file source -> tumbling
+    # window -> availableNow -> complete-mode memory sink): struct-extremum
+    # open/close and the whole bar shape are stream-safe declarative aggs,
+    # so stream==batch against the identical ohlc_bars oracle.
+    from eth2dgraph_spark.operators.asof import ohlc_bars
+    from eth2dgraph_spark.sources.testdata import read_table_stream
+    from eth2dgraph_spark.streaming.windows import execute_stream_to_batch
+
+    ev = read_table_stream(spark, sf, "events")
+    out = ohlc_bars(
+        ev, "5 minutes", key_cols=["event_type"], tiebreak_col="event_id"
+    ).select(
+        "event_type",
+        F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "open", "high", "low", "close", "n_events",
+        _r6e("v_sum").alias("v_sum"),
+    )
+    return execute_stream_to_batch(out)
+
+
 def q_contam_stats(spark, sf):  # per-doc contamination fraction vs the
     # same 3-doc eval set as decontam (GPT-3 Appx C "dirty document"
     # statistic) — every corpus doc gets a row; bench side broadcast.
@@ -1903,9 +1924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         # --- NEW in round 7: per-doc contamination fraction ---
         "contam_stats": q_contam_stats,
-        # --- NEW in round 7: temperature source mixing + OHLC bars ---
+        # --- NEW in round 7: temperature source mixing + OHLC bars
+        # (batch AND physically-executed streaming form) ---
         "temperature_mix": q_temperature_mix,
         "ohlc_bars": q_ohlc_bars,
+        "ohlc_stream": q_ohlc_stream,
         # --- changed since their r6 driver row: posting cap -> window
         # form (850e1f4); DSIR/LM empty-token + empty-target fixes
         # (030f9e0) ---
@@ -1945,8 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "windowed_stream": q_windowed_stream,
         "dedup_exact": q_dedup_exact,
-        "embedding_cosine": q_embedding_cosine,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        "embedding_cosine": q_embedding_cosine,
         "embedding_topk": q_embedding_topk,
         "event_gaps": q_event_gaps,
         "rank_funcs": q_rank_funcs,
@@ -2417,6 +2440,31 @@ def _pagerank_oracle(num_iter: int = 5, damping: float = 0.85) -> str:
         )
     parts.append(f"\n        SELECT node, round(rank, 9) AS rank FROM r{num_iter}")
     return "".join(parts)
+
+
+_OHLC_ORACLE = """
+            WITH b AS (SELECT event_type,
+                              time_bucket(INTERVAL '5 minutes', ts) AS bar,
+                              ts, event_id, value FROM events),
+            oc AS (SELECT event_type, bar, value,
+                          row_number() OVER (PARTITION BY event_type, bar
+                                             ORDER BY ts, event_id) AS rn_a,
+                          row_number() OVER (PARTITION BY event_type, bar
+                                             ORDER BY ts DESC, event_id DESC) AS rn_d
+                   FROM b),
+            agg AS (SELECT event_type, bar, max(value) AS high,
+                           min(value) AS low, count(*)::BIGINT AS n_events,
+                           sum(value) AS v_sum
+                    FROM b GROUP BY event_type, bar)
+            SELECT a.event_type,
+                   strftime(a.bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+                   o.value AS open, a.high, a.low, c.value AS close,
+                   a.n_events, round(a.v_sum + 1e-9, 6) AS v_sum
+            FROM agg a
+            JOIN oc o ON o.event_type = a.event_type AND o.bar = a.bar
+                      AND o.rn_a = 1
+            JOIN oc c ON c.event_type = a.event_type AND c.bar = a.bar
+                      AND c.rn_d = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3370,30 +3418,11 @@ def oracle_sql() -> dict[str, str]:
             FROM w CROSS JOIN z""",
         # OHLC bars: 5-minute epoch-aligned buckets (time_bucket's default
         # 2000-01-01 origin is :00-aligned, matching Spark's epoch-aligned
-        # window); open/close via row_number over (ts, event_id)
-        "ohlc_bars": """
-            WITH b AS (SELECT event_type,
-                              time_bucket(INTERVAL '5 minutes', ts) AS bar,
-                              ts, event_id, value FROM events),
-            oc AS (SELECT event_type, bar, value,
-                          row_number() OVER (PARTITION BY event_type, bar
-                                             ORDER BY ts, event_id) AS rn_a,
-                          row_number() OVER (PARTITION BY event_type, bar
-                                             ORDER BY ts DESC, event_id DESC) AS rn_d
-                   FROM b),
-            agg AS (SELECT event_type, bar, max(value) AS high,
-                           min(value) AS low, count(*)::BIGINT AS n_events,
-                           sum(value) AS v_sum
-                    FROM b GROUP BY event_type, bar)
-            SELECT a.event_type,
-                   strftime(a.bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
-                   o.value AS open, a.high, a.low, c.value AS close,
-                   a.n_events, round(a.v_sum + 1e-9, 6) AS v_sum
-            FROM agg a
-            JOIN oc o ON o.event_type = a.event_type AND o.bar = a.bar
-                      AND o.rn_a = 1
-            JOIN oc c ON c.event_type = a.event_type AND c.bar = a.bar
-                      AND c.rn_d = 1""",
+        # window); open/close via row_number over (ts, event_id). The
+        # physically-executed streaming form shares the identical oracle
+        # (stream==batch is exactly the property being certified).
+        "ohlc_stream": _OHLC_ORACLE,
+        "ohlc_bars": _OHLC_ORACLE,
         # per-doc contamination fraction vs the 3-doc eval set: distinct
         # shingles per doc, contaminated = those appearing in the bench set
         "contam_stats": f"""

@@ -252,7 +252,7 @@ def test_no_antipatterns_in_any_gate_plan(spark):
 
     # stream/eager gates execute work at plan-build time; they have their
     # own tests and gates — keep this sweep cheap and lazy-only
-    skip = {"windowed_stream", "cms_topk"}
+    skip = {"windowed_stream", "cms_topk", "ohlc_stream"}
     failures = []
     for name, fn in E.queries().items():
         if name in skip:
