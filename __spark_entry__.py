@@ -1883,19 +1883,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (the driver samples a 50-row cap, in order).
     # Round-7 window policy (VERDICT r6 item 1 + the r6 ADVICE boundary
-    # note): (a) the 16 queries NEW this round (substring x3, quality_clf,
+    # note): (a) the 17 queries NEW this round (substring x3, quality_clf,
     # bpe_encode, bm25_topk, kmeans_centroids, winnow_fp, winnow_overlap,
     # tfidf_terms, rrf_hybrid, pmi_phrases, lpa_communities, contam_stats,
-    # temperature_mix, ohlc_bars) and the 6 whose code CHANGED since their
-    # last driver row (ngram_jaccard + capped: posting cap moved to the
+    # temperature_mix, ohlc_bars, ohlc_stream) and the 6 whose code
+    # CHANGED since their last driver row (ngram_jaccard + capped:
+    # posting cap moved to the
     # window form, 850e1f4; the four DSIR/LM gates: phantom-''-unigram
     # fix, 030f9e0) lead; (b) then every gate whose last driver row is r2
     # (10) or r4 (14); (c) the window closes with the stalest r5 cohort
-    # (4 fit). Everything past the boundary marker spills: 35
-    # r5-certified + all 45 unchanged r6-certified rows, each re-verified
-    # locally this round via tools/check_oracle.py — full final sweep
-    # 130/130 at sf0.01 AND 130/130 under SPARK_SHUFFLE_PARTITIONS=7
-    # (BASELINE.md round-7 notes).
+    # (3 fit: cms_topk, windowed_stream, dedup_exact — the latter's gate
+    # input also changed this round). Everything past the boundary marker
+    # spills: 36 r5-certified + all 45 unchanged r6-certified rows, each
+    # re-verified locally this round via tools/check_oracle.py — full
+    # final sweep 131/131 at sf0.01 AND 131/131 under
+    # SPARK_SHUFFLE_PARTITIONS=7 (BASELINE.md round-7 notes).
     return {
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
