@@ -123,9 +123,12 @@ def train_quality_classifier(
     # steady-state at sf0.1: modest, the fused job's own cost dominates;
     # kept because the win scales with per-action overhead on a real
     # cluster, BASELINE.md round-7). The per-bucket gradient is collected
-    # as the RAW sum and divided by N on the driver: same single division
-    # after the same Spark aggregate, so weights stay bit-identical to
-    # the in-plan `/ N` form and to the pure-Python reference.
+    # as the RAW sum and divided by N on the driver: identical to the
+    # in-plan `/ N` form and to the pure-Python reference UP TO float
+    # summation order (Spark sums x*e across partitions then divides
+    # once; the local reference accumulates x*e/n per term) — which is
+    # why the cross-engine gate ranks on 6dp-rounded scores and the unit
+    # tests pin weights at 1e-12 tolerance, not exact equality.
     n_docs: int | None = None
     weights: dict[int, float] = {}
     for _ in range(epochs):

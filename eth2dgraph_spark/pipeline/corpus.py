@@ -102,16 +102,30 @@ def curate_corpus(
             train_quality_classifier,
         )
 
-        nb = clf_num_buckets or DEFAULT_NUM_BUCKETS
+        from pyspark.sql import Window
+
+        nb = clf_num_buckets if clf_num_buckets is not None else DEFAULT_NUM_BUCKETS
         # re-id the references so pos/neg doc_id collisions can't merge
-        # two documents' features in the training groupBy; the ids carry
-        # no information (full-batch sums are id-invariant)
+        # two documents' features in the training groupBy. The id must be
+        # CONTENT-derived, not monotonically_increasing_id(): training
+        # persists only the feature frame while the label frame re-derives
+        # its ids on every epoch's action, so a nondeterministic id would
+        # silently pair cached features with the wrong labels. Duplicate
+        # (label, text) rows get a row_number suffix — identical rows are
+        # interchangeable, so any numbering of them yields the same
+        # (id -> label, id -> features) multiset on every re-evaluation.
+        dup_w = Window.partitionBy("_clf_fp").orderBy("_clf_fp")
         labeled = (
             clf_positive.select(F.col(text_col), F.lit(1.0).alias("label"))
             .unionByName(
                 clf_negative.select(F.col(text_col), F.lit(0.0).alias("label"))
             )
-            .withColumn("_clf_id", F.monotonically_increasing_id())
+            .withColumn("_clf_fp", F.xxhash64(F.col("label"), F.col(text_col)))
+            .withColumn(
+                "_clf_id",
+                F.concat_ws("#", F.col("_clf_fp"), F.row_number().over(dup_w)),
+            )
+            .drop("_clf_fp")
         )
         w = train_quality_classifier(
             labeled,
@@ -119,8 +133,8 @@ def curate_corpus(
             text_col=text_col,
             id_col="_clf_id",
             num_buckets=nb,
-            epochs=clf_epochs or DEFAULT_EPOCHS,
-            lr=clf_lr or DEFAULT_LR,
+            epochs=clf_epochs if clf_epochs is not None else DEFAULT_EPOCHS,
+            lr=clf_lr if clf_lr is not None else DEFAULT_LR,
         )
         cs = quality_classifier_scores(scored, w, text_col, id_col, nb).select(
             F.col("id").alias(id_col), "clf_score"

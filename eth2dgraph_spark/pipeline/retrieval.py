@@ -149,9 +149,12 @@ def tfidf_topk_terms(
 
     Scale shape: one corpus explode feeding BOTH stats — tf =
     groupBy(id, term), df = countDistinct docs per term off the same
-    frame; df is vocabulary-sized and broadcast back. `score_dp` as in
-    bm25_topk: libm ln() can differ in the last ulp across engines, so
-    rank on rounded scores when comparing cross-engine."""
+    frame; df is vocabulary-sized and joined back WITHOUT a forced
+    broadcast hint (an open web-text vocabulary is not broadcast-sized
+    at 100 TB — AQE picks broadcast vs shuffle from the measured table
+    size). `score_dp` as in bm25_topk: libm ln() can differ in the last
+    ulp across engines, so rank on rounded scores when comparing
+    cross-engine."""
     toks = _tokens(text_col)
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
@@ -159,9 +162,7 @@ def tfidf_topk_terms(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    df_t = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         tf.join(df_t, "term")
         .crossJoin(n_docs)

@@ -449,9 +449,12 @@ def pmi_collocations(
     pmi = ln( (n_pair / N_pairs) / ((n_w1 / N_tokens) * (n_w2 / N_tokens)) )
 
     Scale shape: one corpus explode for unigram counts (vocabulary-sized
-    result, broadcast back twice), one in-row bigram build (the chained
-    zip_with window builder — no second explode pass over positions) +
-    groupBy(w1, w2); the two corpus totals ride a broadcast 1-row agg."""
+    result, joined back twice — no forced broadcast: an open web-text
+    vocabulary is not broadcast-sized at 100 TB, so AQE picks the join
+    strategy from the measured unigram-table size), one in-row bigram
+    build (the chained zip_with window builder — no second explode pass
+    over positions) + groupBy(w1, w2); the two corpus totals ride a
+    broadcast 1-row agg."""
     toks = F.filter(F.split(norm_ws(text_col), " "), lambda x: F.length(x) > 0)
     uni = (
         df.select(F.explode(toks).alias("w"))
@@ -479,8 +482,8 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_count)
     )
-    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")))
-    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
     return (
         pair.join(u1, "w1")
         .join(u2, "w2")
