@@ -524,6 +524,26 @@ def q_kmeans_centroids(spark, sf):  # pipeline: the IVF k-means TRAINER
     ).select("list_id", "pos", _r6e("x").alias("x"))
 
 
+def q_pq_topk(spark, sf):  # product-quantized ANN (Jégou TPAMI'11): ADC
+    # top-k under the PINNED iters=0 codebook (first-ksub init — no Lloyd
+    # rounds, so the oracle rebuilds the identical codebook and replays
+    # encode + ADC; the trainer's Lloyd math is separately certified by
+    # kmeans_centroids and the pure-Python pin in tests/test_pq.py).
+    # score_dp=6: the ADC sum's accumulation order differs across engines
+    # (in-row fold vs GROUP BY), so ranking is on tie-nudged 6dp scores.
+    from eth2dgraph_spark.pipeline import pq
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq.pq_train(e, dim=64, m=8, ksub=8, iters=0)
+    out = pq.pq_topk(e, q, cb, k=10, dim=64, m=8, score_dp=6)
+    return out.select(
+        "query_id", "vec_id", "adc_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -1899,6 +1919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # final sweep 131/131 at sf0.01 AND 131/131 under
     # SPARK_SHUFFLE_PARTITIONS=7 (BASELINE.md round-7 notes).
     return {
+        # --- NEW in round 8: product-quantized ANN (ADC under pinned
+        # codebook) ---
+        "pq_topk": q_pq_topk,
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
@@ -2237,6 +2260,51 @@ def _kmeans_oracle(nlist: int = 4) -> str:
         FROM c2, UNNEST(range(1, len(c) + 1)) AS i(i)"""
 
 
+def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:
+    """DuckDB replica of pq.pq_topk under the pinned iters=0 codebook:
+    init = first-ksub STRING-ordered vec_ids' vectors sliced per subspace
+    (the _kmeans_oracle init rule), encode = per-(vec, sub) squared-L2
+    argmin with code tie-break and the distance accumulated left-to-right
+    like the Spark zip_with fold, ADC = sum of the per-subspace LUT
+    entries, ranked on the tie-nudged 6dp score with ascending-id ties."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        init AS (SELECT row_number() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1
+                        AS code, v
+                 FROM e ORDER BY CAST(vec_id AS VARCHAR) LIMIT {ksub}),
+        subs AS (SELECT unnest(range({m})) AS sub),
+        cb AS (SELECT s.sub, i.code,
+                      i.v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS c
+               FROM init i CROSS JOIN subs s),
+        sv AS (SELECT e.vec_id, s.sub,
+                      e.v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+               FROM e CROSS JOIN subs s),
+        enc_rn AS (
+          SELECT sv.vec_id, sv.sub, cb.code,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                   list_sum(list_transform(range(1, {dsub} + 1),
+                            i -> (sv.sv[i] - cb.c[i]) * (sv.sv[i] - cb.c[i]))),
+                   cb.code) AS rn
+          FROM sv JOIN cb ON sv.sub = cb.sub),
+        enc AS (SELECT vec_id, sub, code FROM enc_rn WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+        lut AS (SELECT q.qid, cb.sub, cb.code,
+                       list_sum(list_transform(range(1, {dsub} + 1),
+                         i -> (q.qv[cb.sub * {dsub} + i] - cb.c[i])
+                            * (q.qv[cb.sub * {dsub} + i] - cb.c[i]))) AS d2
+                FROM q CROSS JOIN cb),
+        scored AS (SELECT l.qid, enc.vec_id, sum(l.d2) AS s
+                   FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+                   GROUP BY l.qid, enc.vec_id),
+        ranked AS (SELECT qid, vec_id, round(s + 1e-9, 6) AS adc_d2,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY round(s + 1e-9, 6), vec_id) AS rank
+                   FROM scored)
+        SELECT qid AS query_id, vec_id, adc_d2, rank
+        FROM ranked WHERE rank <= {k}"""
+
+
 def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB replica of retrieval.bm25_topk over the literal query
     workload: distinct query terms, tf per (doc, term) restricted to
@@ -2471,6 +2539,7 @@ _OHLC_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pq_topk": _pq_topk_oracle(),
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,

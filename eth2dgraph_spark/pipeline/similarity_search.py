@@ -160,6 +160,9 @@ def lsh_topk(
     )
 
 
+DEFAULT_MAX_COLLECT_CENTROID_VALUES = 1 << 16
+
+
 def ivf_index(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -168,6 +171,7 @@ def ivf_index(
     iters: int = 3,
     train_fraction: float | None = None,
     max_train_rows: int = 1_000_000,
+    max_collect_centroid_values: int = DEFAULT_MAX_COLLECT_CENTROID_VALUES,
 ) -> DataFrame:
     """IVF coarse quantizer: k-means centroids trained with `iters` Lloyd
     rounds, entirely in DataFrame ops (assign = argmin over broadcast
@@ -186,7 +190,18 @@ def ivf_index(
     centroid matrix, nothing row-scale.
 
     Deterministic: initial centroids are the `nlist` lowest-id training
-    vectors. Returns (list_id, centroid array<double>)."""
+    vectors. Returns (list_id, centroid array<double>).
+
+    Driver traffic is capped: while nlist * dim <=
+    `max_collect_centroid_values` (default 2^16 doubles = 512 KB) each
+    round collects the centroid matrix and rebroadcasts it — the fastest
+    local shape. Above the cap (a 100 TB-realistic nlist >= 2^16 at dim
+    1k would push ~0.5 GB/round through the driver) the loop goes
+    COLLECT-FREE: centroids live as a persisted DataFrame end to end,
+    the update is a left join on list_id (empty lists keep their prior
+    centroid, same semantics), and the driver never materializes a
+    centroid until the caller acts on the returned frame. Both paths run
+    the identical assign/update algebra — tests pin their equality."""
     from pyspark.storagelevel import StorageLevel
 
     from .split import sample_fraction
@@ -201,46 +216,71 @@ def ivf_index(
     if train_fraction < 1.0:
         train = sample_fraction(base, train_fraction, id_col="id", salt="ivf-train-v1")
     train = train.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        cents = (
-            train.orderBy("id")
-            .limit(nlist)
-            .select(F.col("v").alias("c"))
-            .collect()
+    spark = embeddings.sparkSession
+    # assign: nearest centroid by squared L2 (argmin via struct-min)
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(cdf: DataFrame) -> DataFrame:
+        return (
+            train.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .groupBy("id", "v")
+            .agg(F.min(F.struct("d2", "list_id")).alias("m"))
+            .select("v", F.col("m.list_id").alias("list_id"))
         )
-        cent_rows = [(i, r["c"]) for i, r in enumerate(cents)]
-        spark = embeddings.sparkSession
+
+    def _mean_update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+            .select("list_id", F.transform("px", lambda e: e["x"]).alias("c"))
+        )
+
+    init = train.orderBy("id").limit(nlist)
+    try:
+        # peek one vector for the dim of the collect-cap test (cheap: the
+        # init frame is nlist rows and is needed either way)
+        first = init.select(F.size("v").alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+        if nlist * max(dim, 1) <= max_collect_centroid_values:
+            cents = init.select(F.col("v").alias("c")).collect()
+            cent_rows = [(i, r["c"]) for i, r in enumerate(cents)]
+            for _ in range(iters):
+                cdf = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+                # update: element-wise mean per list (bounded collect/round)
+                upd = _mean_update(_assign(cdf)).collect()
+                # empty lists keep their previous centroid, not vanish
+                new = {r["list_id"]: r["c"] for r in upd}
+                cent_rows = [(lid, new.get(lid, c)) for lid, c in cent_rows]
+            return spark.createDataFrame(cent_rows, "list_id long, c array<double>")
+        # collect-free path: centroids never leave the cluster
+        w_init = Window.orderBy("id")
+        cdf = (
+            init.withColumn("list_id", F.row_number().over(w_init) - 1)
+            .select(F.col("list_id").cast("long"), F.col("v").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cdf.count()  # materialize so each round reads a settled frame
         for _ in range(iters):
-            cdf = spark.createDataFrame(cent_rows, "list_id long, c array<double>")
-            # assign: nearest centroid by squared L2 (argmin via struct-min)
-            d2 = F.aggregate(
-                F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            upd = _mean_update(_assign(cdf))
+            nxt = (
+                cdf.join(upd.withColumnRenamed("c", "_c"), "list_id", "left")
+                .select("list_id", F.coalesce("_c", "c").alias("c"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            assigned = (
-                train.crossJoin(F.broadcast(cdf))
-                .withColumn("d2", d2)
-                .groupBy("id", "v")
-                .agg(F.min(F.struct("d2", "list_id")).alias("m"))
-                .select("v", F.col("m.list_id").alias("list_id"))
-            )
-            # update: element-wise mean per list (one bounded collect/round)
-            upd = (
-                assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-                .groupBy("list_id", "pos")
-                .agg(F.avg("x").alias("x"))
-                .groupBy("list_id")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-                .select("list_id", F.transform("px", lambda e: e["x"]).alias("c"))
-                .collect()
-            )
-            # empty lists keep their previous centroid instead of vanishing
-            new = {r["list_id"]: r["c"] for r in upd}
-            cent_rows = [(lid, new.get(lid, c)) for lid, c in cent_rows]
+            nxt.count()
+            cdf.unpersist()
+            cdf = nxt
+        return cdf
     finally:
         train.unpersist()
-    return spark.createDataFrame(cent_rows, "list_id long, c array<double>")
 
 
 def ivf_topk(
