@@ -1788,6 +1788,23 @@ def q_incr_curate(spark, sf):  # incremental curation: the new batch
     return curate_increment(newb, seen).select("doc_id", "lang_pred", "n_tokens_ws", "split")
 
 
+def q_incr_curate_bloom(spark, sf):  # the SAME increment as incr_curate but
+    # routed through the Dolma-style Bloom screen (pipeline/bloom.py):
+    # bloom-negative rows skip the history anti-join, positives fall back
+    # to it. The oracle is incr_curate's verbatim — hash-matching it IS the
+    # zero-false-drop proof, cross-engine. 2^16 bits/4 hashes over ~250
+    # history fingerprints keeps a real (but tiny) positive sliver.
+    from eth2dgraph_spark.pipeline.corpus import curate_increment
+    from eth2dgraph_spark.pipeline.text import fingerprint as fp
+
+    d = _t(spark, sf, "documents")
+    seen = fp(d.filter(F.col("doc_id") < 250)).select("fingerprint")
+    newb = d.filter(F.col("doc_id") >= 250)
+    return curate_increment(
+        newb, seen, bloom_num_bits=1 << 16, bloom_num_hashes=4
+    ).select("doc_id", "lang_pred", "n_tokens_ws", "split")
+
+
 def q_cms_topk(spark, sf):  # count-min + Misra-Gries sketch heavy hitters,
     # gated against the exact baseline (the approx_sketches pattern: sketch
     # internals differ across engines, so the deterministic output is the
@@ -1920,8 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SPARK_SHUFFLE_PARTITIONS=7 (BASELINE.md round-7 notes).
     return {
         # --- NEW in round 8: product-quantized ANN (ADC under pinned
-        # codebook) ---
+        # codebook) + Bloom-screened incremental curation ---
         "pq_topk": q_pq_topk,
+        "incr_curate_bloom": q_incr_curate_bloom,
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
@@ -2538,7 +2556,7 @@ _OHLC_ORACLE = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pq_topk": _pq_topk_oracle(),
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
@@ -3819,6 +3837,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.n, 0) = 0 AS kept
             FROM e LEFT JOIN c ON c.ib = e.vec_id""",
     }
+    # the Bloom-screened increment is CONTRACTED to produce byte-identical
+    # output to the plain anti-join (no false negatives => zero false
+    # drops), so its gate reuses the unscreened oracle verbatim — the
+    # whole point of the gate is proving that equality cross-engine
+    out["incr_curate_bloom"] = out["incr_curate"]
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+"""Mergeable Bloom filter screen for incremental exact dedup.
+
+The Dolma pipeline (Soldaini et al., ACL 2024 — a Bloom filter over
+document/paragraph hashes drives its cross-batch exact dedup) screens
+each new batch against the ACCUMULATED corpus with one bit-array probe
+instead of a join. This module is that screen, Spark-shaped:
+
+- **build** is one `mapInPandas` pass over the history's fingerprints:
+  each partition sets bits in a local numpy array (k cells per
+  fingerprint by double hashing — `sketch._cell_indices`, the Kirsch-
+  Mitzenmacher construction), emits the array as packed int64 words, and
+  the partials OR-merge distributively (posexplode + groupBy(pos) +
+  bit_or — mergeable partials, the `sketch.countmin_partials`
+  discipline). The driver collects exactly num_bits/64 longs, history-
+  size-independent.
+- **probe** broadcasts the merged words (a real
+  `SparkContext.broadcast`, not a closure literal — GB-sized filters
+  ship once per executor) and tests each new fingerprint's k bits in a
+  vectorized Arrow-batched kernel.
+- **screen** = probe + exact fallback: bloom-NEGATIVE rows are
+  definitely unseen (no false negatives) and skip the join entirely;
+  only bloom-POSITIVE rows anti-join the full history. The output is
+  IDENTICAL to the plain anti-join — zero false drops by construction;
+  the false-positive rate only controls how much of the batch still
+  pays for the join (expected fpr·|fresh| extra join rows).
+
+At 100 TB of history the anti-join's right side is the full fingerprint
+table every batch; the screen reduces the join's LEFT side to the
+duplicate rows plus an fpr-sized sliver, and the filter itself is
+O(num_bits) — independent of history size — built once and reusable
+across batches (OR-merge new batches' partials in).
+
+Sizing: fpr ≈ (1 - e^(-k·n/m))^k for n fingerprints in m bits; the
+default k=6 is optimal near m/n = 8.7 (fpr ≈ 1.3% at m/n = 8, 0.2% at
+m/n = 16). Pick num_bits ≈ 16 × expected history size, rounded up to a
+power of two (the modulo stays well-distributed either way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sketch import _cell_indices, _with_hash_cols
+
+DEFAULT_NUM_BITS = 1 << 23
+DEFAULT_NUM_HASHES = 6
+
+
+def bloom_partials(
+    df: DataFrame,
+    col: str = "fingerprint",
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """One row per input partition: the partition's bit array as
+    num_bits/64 packed int64 words (`words array<long>`). Hashing is
+    JVM-side (xxhash64 twice); the kernel only does numpy index math."""
+    if num_bits % 64:
+        raise ValueError(f"bloom_partials: num_bits {num_bits} not a multiple of 64")
+    n_words = num_bits // 64
+
+    def kernel(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[col])
+            if pdf.empty:
+                continue
+            idx = _cell_indices(
+                pdf["_h1"].to_numpy(np.int64),
+                pdf["_h2"].to_numpy(np.int64),
+                num_hashes,
+                num_bits,
+            ).reshape(-1)
+            np.bitwise_or.at(
+                words, idx >> 6, np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63))
+            )
+        yield pd.DataFrame({"words": [words.view(np.int64).tolist()]})
+
+    return _with_hash_cols(df.select(col), col).mapInPandas(
+        kernel, schema="words array<long>"
+    )
+
+
+def bloom_merge(partials: DataFrame, num_bits: int = DEFAULT_NUM_BITS) -> np.ndarray:
+    """OR-merge the per-partition word arrays distributively; the driver
+    collects exactly num_bits/64 (pos, word) rows."""
+    rows = (
+        partials.select(F.posexplode("words").alias("pos", "w"))
+        .groupBy("pos")
+        .agg(F.bit_or("w").alias("w"))
+        .collect()
+    )
+    words = np.zeros(num_bits // 64, dtype=np.int64)
+    for r in rows:
+        words[r["pos"]] = r["w"]
+    return words.view(np.uint64)
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str = "fingerprint",
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> np.ndarray:
+    """The merged filter for `df`'s `col` values: a num_bits/64 uint64
+    array. Reusable across batches — OR in new partials to extend."""
+    return bloom_merge(bloom_partials(df, col, num_bits, num_hashes), num_bits)
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    words: np.ndarray,
+    col: str = "fingerprint",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    out_col: str = "bloom_maybe_seen",
+) -> DataFrame:
+    """Append `out_col`: True iff all k probed bits are set (value may be
+    in the filter — or a false positive); False is DEFINITIVE absence.
+    NULL values probe NULL (unknown — callers route them to the exact
+    path). The filter ships once per executor via a real broadcast."""
+    num_bits = int(words.size) * 64
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(words, np.uint64))
+
+    def kernel(batches):
+        w = bc.value
+        for pdf in batches:
+            out = pd.Series(pd.NA, index=pdf.index, dtype="boolean")
+            mask = pdf["_h1"].notna() & pdf["_h2"].notna()
+            if mask.any():
+                idx = _cell_indices(
+                    pdf.loc[mask, "_h1"].to_numpy(np.int64),
+                    pdf.loc[mask, "_h2"].to_numpy(np.int64),
+                    num_hashes,
+                    num_bits,
+                )
+                bits = (
+                    w[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))
+                ) & np.uint64(1)
+                out[mask] = bits.all(axis=1)
+            yield pdf.drop(columns=["_h1", "_h2"]).assign(**{out_col: out})
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # a FRESH StructType: StructType.add mutates in place, and df.schema
+    # returns the DataFrame's cached schema object — adding to it directly
+    # would permanently append the column to df's own reported schema
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
+    return _with_hash_cols(df, col).mapInPandas(kernel, schema=schema)
+
+
+def bloom_screened_anti_join(
+    new_df: DataFrame,
+    seen: DataFrame,
+    col: str = "fingerprint",
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Rows of `new_df` whose `col` does NOT appear in `seen` — the exact
+    anti-join's output (zero false drops), with the join's left side cut
+    to the bloom-positive sliver. NULL fingerprints take the exact path
+    (a NULL never matches in an anti-join, so they always survive —
+    identical to the plain anti-join's NULL semantics)."""
+    filt = bloom_build(seen, col, num_bits, num_hashes)
+    probed = bloom_maybe_contains(new_df, filt, col, num_hashes)
+    fresh = probed.filter(~F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))
+    maybe = probed.filter(F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))
+    survived = maybe.join(seen.select(col), col, "left_anti")
+    return fresh.unionByName(survived).drop("bloom_maybe_seen")

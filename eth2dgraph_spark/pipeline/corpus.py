@@ -157,6 +157,8 @@ def curate_increment(
     text_col: str = "text",
     min_quality: float = 0.5,
     fractions: dict[str, float] | None = None,
+    bloom_num_bits: int | None = None,
+    bloom_num_hashes: int | None = None,
     **filters,
 ) -> DataFrame:
     """Incremental curation: curate ONLY the new batch, dropping documents
@@ -170,17 +172,35 @@ def curate_increment(
     every stage is hash- or min-id-based, so no rerun ever reshuffles
     earlier decisions. The anti-join is the only interaction with corpus
     history; at 100 TB that is a join against a fingerprint-only table
-    (16 bytes/doc), not against the corpus text."""
+    (16 bytes/doc), not against the corpus text.
+
+    `bloom_num_bits` turns on the Dolma-style Bloom screen
+    (pipeline/bloom.py): bloom-negative rows skip the history join
+    entirely and only the positive sliver anti-joins — the OUTPUT is
+    identical (no false negatives ⇒ zero false drops; the screened gate
+    reuses the unscreened oracle to prove it cross-engine), but the
+    per-batch join cost stops scaling with how much of the batch is
+    fresh. Size it ~16 bits per history row."""
     from .text import fingerprint
 
     # keep the fingerprint column: the dedup stage inside curate_corpus
     # reuses it instead of re-normalizing + re-hashing every document's
     # text a second time (the dominant column work of the increment)
-    fresh = (
-        fingerprint(new_df, text_col)
-        .join(seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti")
-        .drop("fingerprint64")
-    )
+    printed = fingerprint(new_df, text_col)
+    if bloom_num_bits is not None:
+        from . import bloom
+
+        fresh = bloom.bloom_screened_anti_join(
+            printed,
+            seen_fingerprints.select("fingerprint"),
+            "fingerprint",
+            bloom_num_bits,
+            bloom_num_hashes if bloom_num_hashes is not None else bloom.DEFAULT_NUM_HASHES,
+        ).drop("fingerprint64")
+    else:
+        fresh = printed.join(
+            seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+        ).drop("fingerprint64")
     return curate_corpus(
         fresh, id_col, text_col, min_quality, fractions,
         fingerprint_col="fingerprint", **filters,
