@@ -524,6 +524,44 @@ def q_kmeans_centroids(spark, sf):  # pipeline: the IVF k-means TRAINER
     ).select("list_id", "pos", _r6e("x").alias("x"))
 
 
+# Pinned unigram-LM piece table for the unigram_encode gate: vocab_size=48
+# pieces unigram_train() fits on sf0.01 documents (deterministic hard-EM —
+# re-derivable with the training snippet in BASELINE.md round-8). Pinning
+# lets the ORACLE replay the identical Viterbi DP as a recursive CTE, the
+# _BPE_MERGES_PIN discipline; training itself is reference-pinned in
+# tests/test_unigram.py (local == distributed, exact).
+_UNIGRAM_PIECES_PIN = [
+    ("a", -2.681223), ("b", -4.299752), ("batc", -4.232435), ("c", -11.768265),
+    ("co", -4.235641), ("cust", -4.235641), ("d", -4.259478), ("data", -4.263874),
+    ("e", -2.674459), ("er", -4.236713), ("f", -4.325187), ("filt", -4.236713),
+    ("g", -2.898726), ("h", -3.592436), ("hash", -4.221819), ("i", -3.600913),
+    ("j", -11.768265), ("join", -4.204027), ("k", -3.592999), ("l", -4.276062),
+    ("line", -4.261673), ("lumn", -4.235641), ("m", -4.286146), ("mall", -4.242086),
+    ("merg", -4.252921), ("n", -4.288401), ("o", -3.599779), ("omer", -4.235641),
+    ("or", -3.588505), ("orde", -4.259478), ("p", -11.768265), ("par", -3.603186),
+    ("q", -4.305476), ("r", -2.900697), ("row", -4.226052), ("s", -3.181546),
+    ("scan", -4.233502), ("slow", -4.252921), ("st", -3.612329), ("t", -3.215705),
+    ("tabl", -4.263874), ("u", -11.768265), ("ue", -3.597514), ("up", -4.268289),
+    ("v", -4.276062), ("vect", -4.259478), ("w", -3.595254), ("y", -3.598079),
+]
+
+
+def q_unigram_encode(spark, sf):  # unigram-LM (SentencePiece-family) Viterbi
+    # encoding under the pinned piece table: per-doc word/piece counts +
+    # the summed best-segmentation log-prob. The (score, n_pieces) pair
+    # per word is engine-portable (deterministic DP tie-break: score
+    # desc, n asc); logp_sum is a per-doc float sum -> _r6e rounding.
+    from eth2dgraph_spark.pipeline import unigram
+
+    d = _t(spark, sf, "documents")
+    pieces = spark.createDataFrame(_UNIGRAM_PIECES_PIN, "piece string, logp double")
+    out = unigram.unigram_token_counts(d, pieces)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "n_pieces",
+        _r6e("logp_sum").alias("logp_sum"),
+    )
+
+
 def q_pq_topk(spark, sf):  # product-quantized ANN (Jégou TPAMI'11): ADC
     # top-k under the PINNED iters=0 codebook (first-ksub init — no Lloyd
     # rounds, so the oracle rebuilds the identical codebook and replays
@@ -1940,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codebook) + Bloom-screened incremental curation ---
         "pq_topk": q_pq_topk,
         "incr_curate_bloom": q_incr_curate_bloom,
+        "unigram_encode": q_unigram_encode,
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
@@ -2278,6 +2317,73 @@ def _kmeans_oracle(nlist: int = 4) -> str:
         FROM c2, UNNEST(range(1, len(c) + 1)) AS i(i)"""
 
 
+def _unigram_encode_oracle(max_len: int = 4) -> str:
+    """DuckDB replica of unigram.unigram_token_counts under the pinned
+    piece table: per distinct word a recursive CTE runs the identical
+    Viterbi DP (carry the dp score/n_pieces prefix as LISTS, extend one
+    position per iteration; candidates compared by score desc then
+    n_pieces asc — the kernel's exact tie-break, with identical operand
+    order so the doubles agree bitwise), then the stats join back to the
+    exploded corpus and aggregate per doc. Unsegmentable words carry
+    (NULL score, 0 pieces), matching the kernel's OOV contract."""
+    ps = ", ".join("'{}'".format(p) for p, _ in _UNIGRAM_PIECES_PIN)
+    lps = ", ".join("CAST({!r} AS DOUBLE)".format(lp) for _, lp in _UNIGRAM_PIECES_PIN)
+    return f"""
+        WITH RECURSIVE
+        pieces AS (SELECT MAP([{ps}], [{lps}]) AS m),
+        toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '),
+                                            x -> len(x) > 0) AS ws
+                 FROM documents),
+        occ AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+        words AS (SELECT DISTINCT word FROM occ),
+        dp AS (
+          SELECT word, 0 AS k, [CAST(0.0 AS DOUBLE)] AS scores, [0] AS ns
+          FROM words
+          UNION ALL
+          SELECT word, k + 1,
+                 list_append(scores, best.s),
+                 list_append(ns, COALESCE(best.n, 0))
+          FROM (
+            SELECT word, k, scores, ns,
+                   CASE WHEN len(cands) = 0 THEN NULL
+                        ELSE list_reduce(cands,
+                          (a, b) -> CASE WHEN b.s > a.s
+                                          OR (b.s = a.s AND b.n < a.n)
+                                    THEN b ELSE a END)
+                   END AS best
+            FROM (
+              SELECT word, k, scores, ns,
+                     list_filter(
+                       list_transform(range(greatest(0, k + 1 - {max_len}), k + 1),
+                         j -> CASE WHEN scores[j + 1] IS NOT NULL
+                                    AND map_extract(m, substr(word, j + 1, k + 1 - j))[1]
+                                        IS NOT NULL
+                              THEN {{s: scores[j + 1]
+                                       + CAST(map_extract(m,
+                                           substr(word, j + 1, k + 1 - j))[1] AS DOUBLE),
+                                    n: ns[j + 1] + 1}}
+                              END),
+                       x -> x IS NOT NULL) AS cands
+              FROM dp, pieces
+              WHERE k < len(word)
+            )
+          )
+        ),
+        enc AS (SELECT word, scores[len(word) + 1] AS logp,
+                       CASE WHEN scores[len(word) + 1] IS NULL THEN 0
+                            ELSE ns[len(word) + 1] END AS n_pieces
+                FROM dp WHERE k = len(word)),
+        agg AS (SELECT o.doc_id, count(*) AS n_words,
+                       sum(e.n_pieces)::BIGINT AS n_pieces,
+                       sum(e.logp) AS logp_sum
+                FROM occ o JOIN enc e USING (word)
+                GROUP BY o.doc_id)
+        SELECT t.doc_id, COALESCE(a.n_words, 0)::BIGINT AS n_words,
+               COALESCE(a.n_pieces, 0)::BIGINT AS n_pieces,
+               round(a.logp_sum + 1e-9, 6) AS logp_sum
+        FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+
 def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:
     """DuckDB replica of pq.pq_topk under the pinned iters=0 codebook:
     init = first-ksub STRING-ordered vec_ids' vectors sliced per subspace
@@ -2558,6 +2664,7 @@ _OHLC_ORACLE = """
 def oracle_sql() -> dict[str, str]:
     out = {
         "pq_topk": _pq_topk_oracle(),
+        "unigram_encode": _unigram_encode_oracle(),
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,
