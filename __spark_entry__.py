@@ -562,6 +562,26 @@ def q_unigram_encode(spark, sf):  # unigram-LM (SentencePiece-family) Viterbi
     )
 
 
+def q_phash_bits(spark, sf):  # DCT perceptual hash (pHash) cross-engine:
+    # the embeddings table reinterpreted as 8x8 grayscale images (a
+    # deterministic pixel-array table both engines share), hash_size=4 /
+    # dct_size=8 so the oracle can replay the full pipeline — orthonormal
+    # DCT-II as literal basis constants, 6dp tie-nudged coefficient
+    # rounding BEFORE the median/compare (accumulation order differs:
+    # numpy matmul vs nested list_sum), 16-bit hash. The production
+    # 64-bit/32x32 path is covered by tests/test_phash.py invariance
+    # properties (shift/upscale collide, distinct don't).
+    from eth2dgraph_spark.pipeline import multimodal
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("px")
+    )
+    return multimodal.phash_from_arrays(
+        e, id_col="vec_id", vec_col="px",
+        height=8, width=8, hash_size=4, dct_size=8, coef_dp=6,
+    )
+
+
 def q_pq_topk(spark, sf):  # product-quantized ANN (Jégou TPAMI'11): ADC
     # top-k under the PINNED iters=0 codebook (first-ksub init — no Lloyd
     # rounds, so the oracle rebuilds the identical codebook and replays
@@ -1979,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "incr_curate_bloom": q_incr_curate_bloom,
         "unigram_encode": q_unigram_encode,
+        "phash_bits": q_phash_bits,
         # --- NEW in round 7: substring-level exact dedup (ExactSubstr) ---
         "substring_stats": q_substring_stats,
         "substring_keep_first": q_substring_keep_first,
@@ -2315,6 +2336,47 @@ def _kmeans_oracle(nlist: int = 4) -> str:
         {update('a2', 'c1', 'c2')}
         SELECT list_id, i.i - 1 AS pos, round(c[i.i] + 1e-9, 6) AS x
         FROM c2, UNNEST(range(1, len(c) + 1)) AS i(i)"""
+
+
+def _phash_oracle(hash_size: int = 4, dct_size: int = 8) -> str:
+    """DuckDB replica of multimodal.phash_from_arrays at the gate's pinned
+    shape: the identical orthonormal DCT-II basis (constants serialized at
+    17 significant digits so both engines parse the same doubles),
+    coefficients rounded 6dp tie-nudged before the median (average of the
+    two middle sorted values, numpy's even-count rule) and the strict >
+    compare; bit i (row-major u*hash_size+v) contributes 2^i."""
+    import numpy as np
+
+    from eth2dgraph_spark.pipeline.multimodal import _dct_matrix
+
+    m = _dct_matrix(dct_size)
+    mm = "[" + ", ".join(
+        "[" + ", ".join("CAST({:.17g} AS DOUBLE)".format(v) for v in row) + "]"
+        for row in m
+    ) + "]"
+    hs, n = hash_size, dct_size
+    nb = hs * hs
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (
+          SELECT vec_id,
+                 list_transform(range({nb}), uv ->
+                   round(list_sum(list_transform(range({n}), x ->
+                     {mm}[uv // {hs} + 1][x + 1]
+                     * list_sum(list_transform(range({n}), y ->
+                         v[x * {n} + y + 1] * {mm}[uv % {hs} + 1][y + 1]))))
+                   + 1e-9, 6)) AS coefs
+          FROM e),
+        md AS (SELECT vec_id, coefs,
+                      (list_sort(coefs)[{nb // 2}] + list_sort(coefs)[{nb // 2 + 1}])
+                        / 2.0 AS med
+               FROM c)
+        SELECT vec_id,
+               list_sum(list_transform(range({nb}),
+                 i -> CASE WHEN coefs[i + 1] > med
+                           THEN 1 << i ELSE 0 END))::BIGINT AS phash
+        FROM md"""
 
 
 def _unigram_encode_oracle(max_len: int = 4) -> str:
@@ -2665,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "pq_topk": _pq_topk_oracle(),
         "unigram_encode": _unigram_encode_oracle(),
+        "phash_bits": _phash_oracle(),
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,

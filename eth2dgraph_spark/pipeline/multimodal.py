@@ -203,6 +203,190 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- perceptual hash
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix: M[u, x] = a(u) cos(pi (2x+1) u / 2n),
+    a(0) = sqrt(1/n), a(u>0) = sqrt(2/n). Pure numpy — pHash needs no codec
+    and no scipy, so it runs TODAY against any pixel-array producer (the
+    injected-fake decoders included)."""
+    x = np.arange(n, dtype=np.float64)
+    u = x[:, None]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x[None, :] + 1) * u / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+def _pool_mean(pixels: np.ndarray, n: int) -> np.ndarray:
+    """Block-mean pool a 2D array to (n, n) with near-equal index bins
+    (reduceat) — deterministic area averaging, no interpolation kernels."""
+    p = np.asarray(pixels, dtype=np.float64)
+    if p.ndim != 2:
+        raise ValueError(f"phash: expected a 2D pixel array, got ndim={p.ndim}")
+    h, w = p.shape
+    if h < n or w < n:
+        raise ValueError(f"phash: image {h}x{w} smaller than dct_size {n}")
+    rb = (np.arange(n) * h) // n
+    cb = (np.arange(n) * w) // n
+    rows = np.add.reduceat(p, rb, axis=0)
+    pooled = np.add.reduceat(rows, cb, axis=1)
+    rcnt = np.diff(np.append(rb, h))
+    ccnt = np.diff(np.append(cb, w))
+    return pooled / (rcnt[:, None] * ccnt[None, :])
+
+
+def phash64(
+    pixels: np.ndarray,
+    hash_size: int = 8,
+    dct_size: int = 32,
+    coef_dp: int | None = None,
+) -> int:
+    """DCT perceptual hash of a grayscale pixel array (the classic pHash
+    construction the public imagehash library popularized): block-mean
+    pool to dct_size², 2D DCT-II, keep the low-frequency hash_size² block,
+    set bit (u*hash_size + v) iff coef[u, v] > median of the block. Robust
+    to small shifts/rescales because those perturb only high-frequency
+    coefficients. `coef_dp` rounds coefficients (tie-nudged) BEFORE the
+    median/compare — the cross-engine gate mode: float accumulation order
+    differs between numpy matmul and the SQL replica, and an unrounded
+    coefficient sitting one ulp from the median would flip a bit."""
+    m = _dct_matrix(dct_size)
+    coef = m @ _pool_mean(pixels, dct_size) @ m.T
+    low = coef[:hash_size, :hash_size].reshape(-1)
+    if coef_dp is not None:
+        low = np.round(low + 1e-9, coef_dp)
+    med = np.median(low)
+    bits = low > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def signed64(h: int | None) -> int | None:
+    """Two's-complement view of an unsigned 64-bit hash — the LongType
+    representation the Spark kernels emit (bit 63 set would otherwise
+    overflow Arrow int64). XOR/bit_count Hamming math is bit-identical
+    either way."""
+    if h is None:
+        return None
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_from_arrays(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    vec_col: str = "pixels",
+    height: int = 8,
+    width: int = 8,
+    hash_size: int = 4,
+    dct_size: int = 8,
+    coef_dp: int | None = None,
+    out_col: str = "phash",
+) -> DataFrame:
+    """(id_col, phash long) from a flat pixel ARRAY column (row-major
+    height x width) — the codec-free entry: any upstream producer (real
+    decoder, stub, or a numeric table reinterpreted as pixels) feeds it.
+    Arrow-batched; rows whose array is NULL or mis-sized get a NULL hash
+    (bad pixels are data, the decode_features 'error' convention)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != height * width:
+                    out.append(None)
+                    continue
+                px = np.asarray(v, dtype=np.float64).reshape(height, width)
+                out.append(signed64(phash64(px, hash_size, dct_size, coef_dp)))
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {out_col} long"
+    )
+
+
+def phash_features(
+    assets: DataFrame,
+    pixel_decoder: "Callable[[bytes | None], np.ndarray] | None" = None,
+    hash_size: int = 8,
+    dct_size: int = 32,
+) -> DataFrame:
+    """(asset_id, phash, decode_ok) for image assets: decode payload ->
+    grayscale pixel array -> phash64. The decoder contract returns a 2D
+    array; by default the Pillow path when available, else a deterministic
+    stub (payload bytes tiled into a dct_size² grid — NOT a perceptual
+    decode, but it keeps the full Spark-side plumbing executable and
+    'stubbed'-labeled in codec-free containers, the decode_features
+    discipline)."""
+    if pixel_decoder is None:
+        if HAS_PIL:
+            def pixel_decoder(payload):  # noqa: F811 — flag-resolved default
+                if not payload:
+                    return np.zeros((dct_size, dct_size), dtype=np.float64)
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(payload)).convert("L")
+                return np.asarray(img, dtype=np.float64)
+
+            ok_label, probe = "ok", _probe_pil
+        else:
+            def pixel_decoder(payload):  # noqa: F811
+                if not payload:
+                    return np.zeros((dct_size, dct_size), dtype=np.float64)
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                reps = -(-(dct_size * dct_size) // max(len(arr), 1))
+                return np.tile(arr, reps)[: dct_size * dct_size].reshape(
+                    dct_size, dct_size
+                )
+
+            ok_label, probe = "stubbed", None
+    else:
+        ok_label, probe = "ok", None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if probe is not None:
+            probe()
+        for pdf in batches:
+            hashes, status = [], []  # object dtype below: keeps int64 + None
+            for p in pdf["payload"]:
+                try:
+                    hashes.append(signed64(phash64(pixel_decoder(p), hash_size, dct_size)))
+                    status.append(ok_label)
+                except Exception:  # noqa: BLE001 — undecodable payload is data
+                    hashes.append(None)
+                    status.append("error")
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "phash": hashes, "decode_ok": status}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, schema="asset_id long, phash long, decode_ok string"
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+    num_chunks: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Hamming near-duplicate image pairs over pHash values, riding the
+    SimHash chunk-combination banding (`dedup.simhash_near_pairs` —
+    Manku WWW'07). The banding keys cover bits 0..59; a 64-bit pHash pair
+    within max_hamming differs in <= max_hamming of those chunks
+    regardless of where its differing bits fall (extra differences in the
+    un-banded top bits only ADD chunk agreement), so exact recall is
+    preserved, and verification popcounts the full 64-bit XOR."""
+    from .dedup import DEFAULT_MAX_BAND_BUCKET, simhash_near_pairs
+
+    sigs = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+    )
+    mb = DEFAULT_MAX_BAND_BUCKET if max_bucket is None else max_bucket
+    out = simhash_near_pairs(sigs, max_hamming, num_chunks, mb)
+    return out
+
+
 RESIZED_SCHEMA = StructType(
     [StructField("asset_id", LongType()), StructField("payload", BinaryType())]
 )
