@@ -26,6 +26,27 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _truncator(df: DataFrame, checkpoint_dir: "str | None"):
+    """Per-iteration lineage cut for the iterative kernels. Default:
+    localCheckpoint(eager) — executor-local blocks, the measured-fast
+    choice on a single machine, but NOT fault-tolerant: on a real
+    multi-executor cluster a lost executor kills the lineage-truncated
+    job. Pass `checkpoint_dir` (HDFS/S3/shared path) to switch every cut
+    to a RELIABLE checkpoint: same semantics, survives executor loss, at
+    the cost of writing each round's frame to the shared store. Results
+    are identical either way (pinned by test)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    cur = sc.getCheckpointDir()
+    # the resolved dir comes back scheme-qualified (file:/... or hdfs://...)
+    # so compare by containment; a spurious re-set is harmless (Spark nests
+    # a fresh UUID subdir), skipping it just avoids per-round dir churn
+    if not cur or checkpoint_dir not in cur:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Distinct undirected edge list as (u, v) with u != v."""
     e = edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
@@ -64,6 +85,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(node, component) where component = lexicographic min node id of the
     component. Isolated vertices don't appear (no edges → no rows); union a
@@ -79,7 +101,7 @@ def connected_components(
     e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     prev_fp = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _truncator(_small_star(_large_star(e)), checkpoint_dir)
         fp_row = e2.agg(
             F.count(F.lit(1)).alias("c"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
@@ -149,6 +171,7 @@ def pagerank(
     damping: float = 0.85,
     tol: "float | None" = None,
     stats: "dict | None" = None,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(node, rank) after at most `num_iter` power iterations, Σrank = 1.
 
@@ -222,13 +245,15 @@ def pagerank(
         ).alias("rank")
         base = nodes.join(contribs, "node", "left").join(F.broadcast(dangling_mass))
         if tol is None:
-            ranks = base.select("node", "dangling", rank_expr).localCheckpoint(eager=True)
+            ranks = _truncator(
+                base.select("node", "dangling", rank_expr), checkpoint_dir
+            )
             iterations += 1
         else:
-            nxt = (
+            nxt = _truncator(
                 base.join(ranks.select("node", F.col("rank").alias("_prev")), "node")
-                .select("node", "dangling", rank_expr, "_prev")
-                .localCheckpoint(eager=True)
+                .select("node", "dangling", rank_expr, "_prev"),
+                checkpoint_dir,
             )
             iterations += 1
             last_delta = nxt.agg(
@@ -246,7 +271,14 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+def k_hop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """Vertices reachable from `sources` (column `node`) in <= k directed
     hops, with min hop distance — BFS as k joins, frontier-only (visited set
     pruned each round with a left-anti join).
@@ -259,18 +291,21 @@ def k_hop(edges: DataFrame, sources: DataFrame, k: int, src: str = "src", dst: s
     union of already-materialized frontiers (shallow lineage, no
     re-materialization of the whole visited set each hop)."""
     e = edges.select(F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst"))
-    visited = sources.select(F.col("node").cast("string")).distinct().withColumn(
-        "hops", F.lit(0)
-    ).localCheckpoint(eager=True)
+    visited = _truncator(
+        sources.select(F.col("node").cast("string")).distinct().withColumn(
+            "hops", F.lit(0)
+        ),
+        checkpoint_dir,
+    )
     frontier = visited
     for i in range(1, k + 1):
-        nxt = (
+        nxt = _truncator(
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(i))
-            .localCheckpoint(eager=True)
+            .withColumn("hops", F.lit(i)),
+            checkpoint_dir,
         )
         if nxt.isEmpty():  # reads the checkpointed partitions — no recompute
             break
@@ -335,7 +370,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def label_propagation(
-    edges: DataFrame, num_iter: int = 5, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    num_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Synchronous label propagation for community detection (Raghavan,
     Albert & Kumara, Phys. Rev. E 2007): every node starts with its own
@@ -378,11 +417,11 @@ def label_propagation(
             counts = joined.groupBy("u", "label").agg(
                 F.count(F.lit(1)).alias("c")
             )
-            labels = (
+            labels = _truncator(
                 counts.groupBy("u")
                 .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("m"))
-                .select(F.col("u").alias("node"), F.col("m.l").alias("label"))
-                .localCheckpoint(eager=True)
+                .select(F.col("u").alias("node"), F.col("m.l").alias("label")),
+                checkpoint_dir,
             )
     finally:
         nbrs.unpersist()

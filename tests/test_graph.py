@@ -5,6 +5,7 @@ degrees, k-hop. Reference analogue: Dgraph's graph traversals
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth2dgraph_spark.graph import (
@@ -184,3 +185,47 @@ def test_label_propagation_known_and_reference(spark):
             for r in label_propagation(e2, num_iter=iters).collect()
         }
         assert got == ref(pairs, iters), iters
+
+
+def test_reliable_checkpoint_results_identical(spark, tmp_path):
+    """checkpoint_dir= switches every per-iteration lineage cut from
+    localCheckpoint to a reliable checkpoint (cluster fault-tolerance);
+    results must be identical for all four iterative kernels, and the
+    directory must actually receive checkpoint data."""
+    import random
+
+    from eth2dgraph_spark.graph import (
+        connected_components,
+        k_hop,
+        label_propagation,
+        pagerank,
+    )
+
+    rng = random.Random(77)
+    pairs = list({(f"n{rng.randint(0, 25)}", f"n{rng.randint(0, 25)}") for _ in range(60)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    ck = str(tmp_path / "ckpt")
+
+    a = {tuple(r) for r in connected_components(e).collect()}
+    b = {tuple(r) for r in connected_components(e, checkpoint_dir=ck).collect()}
+    assert a == b
+
+    pa = {r["node"]: r["rank"] for r in pagerank(e, num_iter=4).collect()}
+    pb = {r["node"]: r["rank"] for r in pagerank(e, num_iter=4, checkpoint_dir=ck).collect()}
+    assert set(pa) == set(pb)
+    for n in pa:
+        assert pa[n] == pytest.approx(pb[n], abs=1e-15)
+
+    la = {tuple(r) for r in label_propagation(e, num_iter=3).collect()}
+    lb = {tuple(r) for r in label_propagation(e, num_iter=3, checkpoint_dir=ck).collect()}
+    assert la == lb
+
+    src = spark.createDataFrame([("n1",)], "node string")
+    ka = {tuple(r) for r in k_hop(e, src, 3).collect()}
+    kb = {tuple(r) for r in k_hop(e, src, 3, checkpoint_dir=ck).collect()}
+    assert ka == kb
+
+    import os
+
+    assert any(os.scandir(ck))  # reliable checkpoints actually landed
