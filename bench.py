@@ -74,6 +74,12 @@ HEADLINE = [
     "substring_stats",
     "quality_clf",
     "bm25_topk",
+    # round-8 additions: product-quantized ANN, unigram-LM encoding,
+    # perceptual hashing, Bloom-screened incremental curation — extras
+    "pq_topk",
+    "unigram_encode",
+    "phash_bits",
+    "incr_curate_bloom",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -87,6 +93,18 @@ HEADLINE = [
     # its own plan
     "dedup_clusters",
     "pagerank_ranks",
+]
+
+# The 29 queries benched identically since round 1 — the cross-round /
+# cross-VM comparison basis (BASELINE.md bands are quoted on this
+# subtotal; the VM-variance discipline says compare bands, not draws).
+COMPARABLE_29 = [
+    q for q in HEADLINE
+    if q not in {
+        "dsir_weights", "lm_perplexity", "semantic_dedup", "bpe_tokens",
+        "substring_stats", "quality_clf", "bm25_topk",
+        "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
+    }
 ]
 
 
@@ -171,6 +189,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # the round-1-comparable basis, precomputed so cross-round reads
+        # need no arithmetic (total_sec grows every round by design as new
+        # operators join the headline set)
+        "comparable_subtotal_sec": round(
+            sum(t for q, t in timings.items() if q in COMPARABLE_29), 3
+        ),
     }
     if errors:
         out["errors"] = errors
