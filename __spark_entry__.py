@@ -602,6 +602,35 @@ def q_pq_topk(spark, sf):  # product-quantized ANN (Jégou TPAMI'11): ADC
     )
 
 
+def q_hll_distinct(spark, sf):  # HyperLogLog distinct-count sketch
+    # (Flajolet AofA'07) cross-engine: the oracle replays the md5-60bit
+    # hash, bin-length rho, register max, the EXACT-integer harmonic sum
+    # (HUGEINT in DuckDB vs DECIMAL(38,0) in Spark — no float summation
+    # order anywhere), and the one-division estimate. event_id per type
+    # (~2k distinct) exercises the raw-harmonic branch; user_id (~150)
+    # the linear-counting branch; exact distincts ride along so the gate
+    # also pins calibration. Only ln() in the LC branch touches libm —
+    # tie-nudged 6dp rounding, the repo's standard defense.
+    from eth2dgraph_spark.pipeline import hll
+
+    ev = _t(spark, sf, "events")
+    ids = hll.hll_count_distinct(ev, "event_id", p=8, key_cols=["event_type"]).select(
+        "event_type",
+        _r6e("est_distinct").alias("est_ids"),
+        F.col("hit_registers").alias("hit_ids"),
+    )
+    usr = hll.hll_count_distinct(ev, "user_id", p=8, key_cols=["event_type"]).select(
+        "event_type",
+        _r6e("est_distinct").alias("est_users"),
+        F.col("zero_registers").alias("zero_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_ids"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return ids.join(usr, "event_type").join(exact, "event_type")
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -1994,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_curate_bloom": q_incr_curate_bloom,
         "unigram_encode": q_unigram_encode,
         "phash_bits": q_phash_bits,
+        "hll_distinct": q_hll_distinct,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2422,6 +2452,56 @@ def _unigram_encode_oracle(max_len: int = 4) -> str:
         FROM toks t LEFT JOIN agg a USING (doc_id)"""
 
 
+def _hll_oracle(p: int = 8) -> str:
+    """DuckDB replica of hll.hll_count_distinct at 2^p registers: the same
+    md5-60bit hash, register = h mod m, rho via bin-string length (exact —
+    both engines strip leading zeros), per-register max, the EXACT-integer
+    scaled harmonic sum (HUGEINT here, DECIMAL(38,0) on the Spark side),
+    and the identical one-division estimate with the published linear-
+    counting small-range branch. The alpha*m^2*2^61 numerator is inlined
+    as the SAME Python float literal both engines parse to one double."""
+    m = 1 << p
+    wbits1 = 60 - p + 1  # rho for w=0; rho(w>0) = wbits1 - length(bin(w))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = repr(alpha * m * m * float(1 << 61))
+    est = (
+        f"CASE WHEN ({numer} / s) <= {2.5 * m!r} AND ({m} - hit) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - hit)::DOUBLE) "
+        f"ELSE {numer} / s END"
+    )
+
+    def arm(col: str, tag: str) -> str:
+        return f"""
+        h_{tag} AS (SELECT event_type,
+                    ('0x'||substr(md5({col}::VARCHAR),1,15))::BIGINT AS h
+             FROM events WHERE {col} IS NOT NULL),
+        r_{tag} AS (SELECT event_type, (h % {m}) AS register,
+                    CASE WHEN (h >> {p}) = 0 THEN {wbits1}
+                         ELSE {wbits1} - length(bin(h >> {p})) END AS rho
+             FROM h_{tag}),
+        m_{tag} AS (SELECT event_type, register, max(rho) AS rho
+             FROM r_{tag} GROUP BY 1, 2),
+        g_{tag} AS (SELECT event_type,
+                    (sum((1::BIGINT << (61 - rho))::HUGEINT)
+                     + ({m} - count(*))::HUGEINT
+                       * (1::BIGINT << 61)::HUGEINT)::DOUBLE AS s,
+                    count(*) AS hit
+             FROM m_{tag} GROUP BY 1),
+        e_{tag} AS (SELECT event_type, round(({est}) + 1e-9, 6) AS est,
+                    hit, ({m} - hit) AS zero
+             FROM g_{tag})"""
+
+    return f"""
+        WITH {arm("event_id", "i")}, {arm("user_id", "u")},
+        x AS (SELECT event_type, count(DISTINCT event_id)::BIGINT AS exact_ids,
+                     count(DISTINCT user_id)::BIGINT AS exact_users
+              FROM events GROUP BY 1)
+        SELECT e_i.event_type, e_i.est AS est_ids, e_i.hit::BIGINT AS hit_ids,
+               e_u.est AS est_users, e_u.zero::BIGINT AS zero_users,
+               exact_ids, exact_users
+        FROM e_i JOIN e_u USING (event_type) JOIN x USING (event_type)"""
+
+
 def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:
     """DuckDB replica of pq.pq_topk under the pinned iters=0 codebook:
     init = first-ksub STRING-ordered vec_ids' vectors sliced per subspace
@@ -2704,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle(),
         "unigram_encode": _unigram_encode_oracle(),
         "phash_bits": _phash_oracle(),
+        "hll_distinct": _hll_oracle(),
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,
