@@ -631,6 +631,20 @@ def q_hll_distinct(spark, sf):  # HyperLogLog distinct-count sketch
     return ids.join(usr, "event_type").join(exact, "event_type")
 
 
+def q_domain_cap(spark, sf):  # deterministic per-key cap (bottom-k by
+    # hash): the web-curation "at most k docs per domain" sampler as a
+    # pure function of row ids — reservoir-equivalent uniformity, stable
+    # under reruns/appends/partitioning. Oracle replays the identical
+    # md5-ranked window; hex-string ordering is byte-identical across
+    # engines, so no rounding hooks are needed.
+    from eth2dgraph_spark.pipeline.split import cap_per_key
+
+    d = _t(spark, sf, "documents")
+    return cap_per_key(d, ["lang"], k=30, id_col="doc_id").select(
+        "lang", "doc_id", "source"
+    )
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -2024,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "phash_bits": q_phash_bits,
         "hll_distinct": q_hll_distinct,
+        "domain_cap": q_domain_cap,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2785,6 +2800,14 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": _unigram_encode_oracle(),
         "phash_bits": _phash_oracle(),
         "hll_distinct": _hll_oracle(),
+        "domain_cap": """
+            WITH r AS (SELECT lang, doc_id, source,
+                              row_number() OVER (
+                                PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR || ':cap-v1'), doc_id
+                              ) AS rn
+                       FROM documents)
+            SELECT lang, doc_id, source FROM r WHERE rn <= 30""",
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,

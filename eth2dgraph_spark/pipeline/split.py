@@ -149,6 +149,44 @@ def stratified_split(
     return df.withColumn(out_col, expr)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic uniform k-per-key sample: keep the k rows with the
+    smallest md5(id || salt) within each key — the distributed equivalent
+    of per-key reservoir sampling (Broder-style bottom-k / consistent
+    sampling), but a pure function of row ids: independent of partitioning,
+    input order, and cluster size, and stable under appends (a new row
+    displaces the current max only if its hash is smaller — exactly the
+    reservoir update rule, replayed consistently on every rerun).
+
+    The standard web-curation cap: "at most k documents per domain /
+    license / language" without favoring crawl order. Uniformity comes
+    from md5 being a PRF of the id: ranking by hash is a uniformly random
+    permutation of each key's rows, so the kept set is a uniform
+    without-replacement sample of size k.
+
+    One shuffle (the window on key_cols); hot keys spill in WindowExec's
+    group buffer rather than OOM. At 100 TB with per-key populations far
+    above k, precede this with a cheap per-partition pre-prune if needed
+    (keep each partition's bottom-k before the shuffle — same result, k×
+    partitions rows shuffled instead of all; not applied by default since
+    the window's sort dominates only above ~10^4 rows per key)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(*key_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .where(F.col("_cap_rn") <= k)
+        .drop("_cap_rn")
+    )
+
+
 def temperature_mix_rates(
     df: DataFrame,
     source_col: str = "source",

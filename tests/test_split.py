@@ -166,3 +166,62 @@ def test_temperature_mix_rates_reference_and_sample(spark):
         by_src2.setdefault(r["source"], set()).add(r["doc_id"])
     for s in by_src:
         assert by_src[s] <= by_src2.get(s, set()), s
+
+
+def test_cap_per_key_reference_and_determinism(spark):
+    """cap_per_key keeps exactly the k smallest md5(id||salt) rows per key
+    (pure-Python pin), caps at population when the key is small, and is
+    invariant to partitioning and to appends of higher-hash rows."""
+    import hashlib
+
+    from eth2dgraph_spark.pipeline.split import cap_per_key
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(60)] + [(100, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    k = 5
+    got = {
+        (r["k"], r["doc_id"])
+        for r in cap_per_key(df, ["k"], k=k, id_col="doc_id").collect()
+    }
+
+    by_key: dict[str, list[tuple[str, int]]] = {}
+    for i, key in rows:
+        h = hashlib.md5(f"{i}:cap-v1".encode()).hexdigest()
+        by_key.setdefault(key, []).append((h, i))
+    want = {
+        (key, i)
+        for key, hs in by_key.items()
+        for _, i in sorted(hs)[:k]
+    }
+    assert got == want
+    assert sum(1 for key, _ in got if key == "d") == 1  # population < k: keep all
+
+    got7 = {
+        (r["k"], r["doc_id"])
+        for r in cap_per_key(df.repartition(7), ["k"], k=k, id_col="doc_id").collect()
+    }
+    assert got7 == got
+
+    # reservoir semantics: appending rows can only displace members whose
+    # hash is larger — recompute over the union and check prior members
+    # that survive are exactly the bottom-k of the union
+    extra = spark.createDataFrame([(i, ["a", "b", "c"][i % 3]) for i in range(60, 90)],
+                                  "doc_id long, k string")
+    got_u = {
+        (r["k"], r["doc_id"])
+        for r in cap_per_key(df.unionByName(extra), ["k"], k=k, id_col="doc_id").collect()
+    }
+    for i, key in [(i, key) for i in range(60, 90) for key in [["a", "b", "c"][i % 3]]]:
+        h = hashlib.md5(f"{i}:cap-v1".encode()).hexdigest()
+        by_key.setdefault(key, []).append((h, i))
+    want_u = {
+        (key, i)
+        for key, hs in by_key.items()
+        for _, i in sorted(hs)[:k]
+    }
+    assert got_u == want_u
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cap_per_key(df, ["k"], k=0)
