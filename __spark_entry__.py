@@ -645,6 +645,40 @@ def q_domain_cap(spark, sf):  # deterministic per-key cap (bottom-k by
     )
 
 
+def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
+    # Structured Streaming query: the (fingerprint -> min id, count)
+    # dedup state is a declarative stream-safe aggregation, so the final
+    # complete-mode table equals the batch group-by — the stream==batch
+    # property the ohlc_stream gate certifies, applied to the curation
+    # op a 100 TB incremental ingest actually runs. Same injected-dup
+    # union as dedup_exact (the raw corpus has no exact dups — the
+    # vacuous-gate lesson); both engines build the identical frame.
+    # Production note: this is the complete-mode state table; an
+    # append-mode emit-once variant is dropDuplicatesWithinWatermark,
+    # whose kept representative is arrival-order-dependent and therefore
+    # not gateable cross-engine.
+    from eth2dgraph_spark.pipeline.text import norm_ws
+    from eth2dgraph_spark.sources.testdata import read_table_stream
+    from eth2dgraph_spark.streaming.windows import execute_stream_to_batch
+
+    d = read_table_stream(spark, sf, "documents").select("doc_id", "text")
+    shifted = d.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    out = (
+        d.unionByName(shifted)
+        .select(F.md5(norm_ws("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    return execute_stream_to_batch(out)
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -2039,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_bits": q_phash_bits,
         "hll_distinct": q_hll_distinct,
         "domain_cap": q_domain_cap,
+        "dedup_stream": q_dedup_stream,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2808,6 +2843,15 @@ def oracle_sql() -> dict[str, str]:
                               ) AS rn
                        FROM documents)
             SELECT lang, doc_id, source FROM r WHERE rn <= 30""",
+        "dedup_stream": f"""
+            WITH dd AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+              FROM documents)
+            SELECT md5({_NORM}) AS fingerprint, count(*)::BIGINT AS dup_count,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM dd GROUP BY 1""",
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,
