@@ -679,6 +679,26 @@ def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     return execute_stream_to_batch(out)
 
 
+def q_source_kl(spark, sf):  # data-mixing diagnostic: per-source unigram
+    # KL divergence + cross-entropy vs the whole corpus, add-alpha
+    # smoothed over the full vocabulary WITHOUT a (source x vocab) grid
+    # (absent words fold into closed-form scalars — see
+    # importance.source_divergence). Oracle mirrors the identical
+    # decomposition; final sums are tie-nudged 6dp (summation order is
+    # the only cross-engine difference, ~1e-14 relative).
+    from eth2dgraph_spark.pipeline.importance import source_divergence
+
+    d = _t(spark, sf, "documents")
+    out = source_divergence(d, group_col="source", alpha=0.5)
+    return out.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        _r6e("kl_from_corpus").alias("kl_from_corpus"),
+        _r6e("cross_entropy").alias("cross_entropy"),
+    )
+
+
 # Fixed query workload for the BM25 gate: literal strings over the
 # corpus vocabulary ('dup' is the one rare term — high idf; the rest are
 # near-uniform, so tf and length normalization do the ranking work).
@@ -2074,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "domain_cap": q_domain_cap,
         "dedup_stream": q_dedup_stream,
+        "source_kl": q_source_kl,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2852,6 +2873,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fingerprint, count(*)::BIGINT AS dup_count,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM dd GROUP BY 1""",
+        # mirrors importance.source_divergence's grid-free decomposition:
+        # absent-word mass folds into closed-form scalars of (T_s, V_s, V,
+        # Lc); alpha = 0.5
+        "source_kl": f"""
+            WITH toks AS (SELECT source AS src,
+                                 unnest(list_filter(string_split({_NORM}, ' '),
+                                                    x -> len(x) > 0)) AS w
+                          FROM documents),
+            cw AS (SELECT w, count(*)::DOUBLE AS cw FROM toks GROUP BY w),
+            tot AS (SELECT sum(cw) AS t, count(*)::DOUBLE AS v FROM cw),
+            cl AS (SELECT w, ln((cw + 0.5) / (t + 0.5 * v)) AS ln_pc
+                   FROM cw, tot),
+            lcs AS (SELECT sum(ln_pc) AS lc FROM cl),
+            sw AS (SELECT src, w, count(*)::DOUBLE AS cs
+                   FROM toks GROUP BY 1, 2),
+            ps AS (SELECT src, sum(cs) AS t_s, count(*)::DOUBLE AS v_s,
+                          sum((cs + 0.5) * ln(cs + 0.5)) AS sa,
+                          sum((cs + 0.5) * ln_pc) AS sb,
+                          sum(ln_pc) AS sc
+                   FROM sw JOIN cl USING (w) GROUP BY src)
+            SELECT src AS source, t_s::BIGINT AS n_tokens,
+                   v_s::BIGINT AS n_types,
+                   round(((sa - (t_s + 0.5 * v_s) * ln(t_s + 0.5 * v))
+                            / (t_s + 0.5 * v)
+                          + (v - v_s) * (0.5 / (t_s + 0.5 * v))
+                            * ln(0.5 / (t_s + 0.5 * v))
+                          - sb / (t_s + 0.5 * v)
+                          - (0.5 / (t_s + 0.5 * v)) * (lc - sc))
+                         + 1e-9, 6) AS kl_from_corpus,
+                   round((-(sb / (t_s + 0.5 * v)
+                            + (0.5 / (t_s + 0.5 * v)) * (lc - sc)))
+                         + 1e-9, 6) AS cross_entropy
+            FROM ps, tot, lcs""",
         "gas_stats": """
             SELECT user_id AS block_number, count(*)::BIGINT AS tx_count,
                    round(min(value*1e9/1e9) + 1e-9, 6) AS gas_price_min,

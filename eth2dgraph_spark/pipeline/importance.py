@@ -334,3 +334,84 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """The n=2 instance of ngram_lm_scores (kept as the named default)."""
     return ngram_lm_scores(docs, reference, 2, text_col, id_col, alpha)
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source unigram KL divergence and cross-entropy vs the whole
+    corpus — the data-mixing diagnostic that pairs with
+    `split.temperature_mix_rates`: which sources are distributionally far
+    from the blend (high KL -> distinct vocabulary worth upweighting or a
+    contamination/quality smell worth inspecting; the same statistic DSIR
+    uses pairwise against a target, here source-vs-mixture).
+
+    Distributions are add-alpha smoothed over the corpus vocabulary V:
+      p_s(w) = (c_s(w) + a) / (T_s + aV),  p_c(w) = (c(w) + a) / (T + aV)
+
+    The sum over the FULL vocabulary is computed WITHOUT materializing the
+    (source x vocab) grid: for words absent from a source, p_s is the
+    constant p0_s = a/(T_s + aV), so
+      KL(p_s||p_c) = sum_{w in s} p_s ln(p_s/p_c)
+                   + (V - V_s) * p0_s * ln(p0_s)
+                   - p0_s * (Lc - sum_{w in s} ln p_c(w))
+    where Lc = sum over the vocab of ln p_c(w) is ONE corpus scalar. The
+    shuffles are: one explode -> groupBy(word), one groupBy(source, word),
+    one word-keyed join, one groupBy(source) — every key is a token or a
+    source, never a grid. Corpus scalars attach via the sanctioned
+    broadcast-1-row cross join.
+
+    Output per source: n_tokens (T_s), n_types (V_s), kl_from_corpus,
+    cross_entropy (both nats, full-precision doubles — gates apply the
+    repo's tie-nudged 6-dp round; the per-term doubles are identical
+    cross-engine, only the final summation order differs, ~1e-14
+    relative)."""
+    a = float(alpha)
+    toks = df.select(
+        F.col(group_col).alias("src"), F.explode(_norm_tokens(text_col)).alias("w")
+    )
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
+    tot = F.broadcast(
+        cw.agg(
+            F.sum("cw").alias("t"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+    )
+    # ln p_c(w) per vocab word, plus the corpus scalar Lc = sum ln p_c
+    cw = cw.crossJoin(tot).withColumn(
+        "ln_pc",
+        F.log((F.col("cw") + F.lit(a)) / (F.col("t") + F.lit(a) * F.col("v"))),
+    )
+    lc = F.broadcast(cw.agg(F.sum("ln_pc").alias("lc")))
+    sw = toks.groupBy("src", "w").agg(F.count(F.lit(1)).cast("double").alias("cs"))
+    # word-level pieces; with ln p_s(w) = ln(cs+a) - ln(T_s + aV), the
+    # per-source folds below need only these three sums + (T_s, V_s)
+    joined = sw.join(cw.select("w", "ln_pc"), "w")
+    per_src = joined.groupBy("src").agg(
+        F.sum("cs").alias("t_s"),
+        F.count(F.lit(1)).cast("double").alias("v_s"),
+        F.sum((F.col("cs") + F.lit(a)) * F.log(F.col("cs") + F.lit(a))).alias("_a"),
+        F.sum((F.col("cs") + F.lit(a)) * F.col("ln_pc")).alias("_b"),
+        F.sum("ln_pc").alias("_c"),
+    )
+    out = per_src.crossJoin(tot).crossJoin(lc)
+    denom = F.col("t_s") + F.lit(a) * F.col("v")
+    p0 = F.lit(a) / denom
+    # sum over words PRESENT in s of p_s ln p_s
+    h_pres = (
+        F.col("_a") - (F.col("t_s") + F.lit(a) * F.col("v_s")) * F.log(denom)
+    ) / denom
+    # the (V - V_s) absent words all contribute p0 ln p0
+    h_abs = (F.col("v") - F.col("v_s")) * p0 * F.log(p0)
+    x_pres = F.col("_b") / denom
+    x_abs = p0 * (F.col("lc") - F.col("_c"))
+    return out.select(
+        F.col("src").alias(group_col),
+        F.col("t_s").cast("long").alias("n_tokens"),
+        F.col("v_s").cast("long").alias("n_types"),
+        (h_pres + h_abs - x_pres - x_abs).alias("kl_from_corpus"),
+        (-(x_pres + x_abs)).alias("cross_entropy"),
+    )

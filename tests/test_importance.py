@@ -362,3 +362,51 @@ def test_semantic_dedup_cluster_cap_drops_mega_cluster(spark):
     assert all(r["kept"] for r in capped.collect())
     uncapped = similarity_search.semantic_dedup(vecs, cents, threshold=0.9)
     assert sum(1 for r in uncapped.collect() if r["kept"]) == 1
+
+
+def test_source_divergence_matches_full_grid_reference(spark):
+    """The grid-free decomposition equals a brute-force pure-Python KL over
+    the full (source x vocab) grid; KL >= 0 with equality iff the source
+    matches the corpus distribution; disjoint-vocabulary sources diverge
+    most."""
+    import math
+
+    from eth2dgraph_spark.pipeline.importance import source_divergence
+
+    rows = [
+        (1, "a", "red blue red green"),
+        (2, "a", "red red blue"),
+        (3, "b", "gamma delta gamma gamma epsilon"),
+        (4, "b", "delta delta gamma"),
+        (5, "c", "red blue green gamma delta epsilon"),
+        (6, "c", ""),  # empty doc: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = 0.5
+    got = {
+        r["source"]: r
+        for r in source_divergence(df, group_col="source", alpha=a).collect()
+    }
+
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for _, s, text in rows:
+        for w in text.split():
+            corpus[w] = corpus.get(w, 0) + 1
+            per_src.setdefault(s, {})[w] = per_src.setdefault(s, {}).get(w, 0) + 1
+    V = len(corpus)
+    T = sum(corpus.values())
+    for s, cs in per_src.items():
+        Ts = sum(cs.values())
+        kl = xent = 0.0
+        for w in corpus:  # FULL grid, including words absent from s
+            p_s = (cs.get(w, 0) + a) / (Ts + a * V)
+            p_c = (corpus[w] + a) / (T + a * V)
+            kl += p_s * math.log(p_s / p_c)
+            xent -= p_s * math.log(p_c)
+        assert got[s]["n_tokens"] == Ts
+        assert got[s]["n_types"] == len(cs)
+        assert got[s]["kl_from_corpus"] == pytest.approx(kl, abs=1e-10)
+        assert got[s]["cross_entropy"] == pytest.approx(xent, abs=1e-10)
+    assert got["b"]["kl_from_corpus"] > got["c"]["kl_from_corpus"] >= 0
+    assert all(r["kl_from_corpus"] >= -1e-12 for r in got.values())
