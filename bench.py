@@ -80,6 +80,11 @@ HEADLINE = [
     "unigram_encode",
     "phash_bits",
     "incr_curate_bloom",
+    # round-8 session-2 additions: HLL distinct sketch, per-key cap
+    # sampler, source-KL mixing diagnostic — extras, same policy
+    "hll_distinct",
+    "domain_cap",
+    "source_kl",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -104,6 +109,7 @@ COMPARABLE_29 = [
         "dsir_weights", "lm_perplexity", "semantic_dedup", "bpe_tokens",
         "substring_stats", "quality_clf", "bm25_topk",
         "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
+        "hll_distinct", "domain_cap", "source_kl",
     }
 ]
 
