@@ -645,6 +645,50 @@ def q_domain_cap(spark, sf):  # deterministic per-key cap (bottom-k by
     )
 
 
+# WordPiece piece table pinned for the wordpiece_encode gate: what
+# wordpiece_train learns on the sf0.01 documents at num_merges=24,
+# min_pair_freq=2 (rank -1 = seed alphabet, 0..23 = merges). Pinning
+# makes greedy longest-match encoding a pure function both engines
+# replay exactly; the trainer itself is covered by the hand-computed and
+# local==distributed tests in tests/test_wordpiece.py.
+_WORDPIECE_PIECES_PIN = [
+    ("##a", -1), ("##b", -1), ("##bl", 15), ("##c", -1), ("##ch", 14),
+    ("##d", -1), ("##e", -1), ("##g", -1), ("##h", -1), ("##i", -1),
+    ("##in", 8), ("##k", -1), ("##l", -1), ("##lu", 20), ("##lum", 22),
+    ("##lumn", 23), ("##m", -1), ("##n", -1), ("##o", -1), ("##p", -1),
+    ("##r", -1), ("##s", -1), ("##sh", 13), ("##t", -1), ("##u", -1),
+    ("##up", 19), ("##us", 17), ("##w", -1), ("##y", -1), ("a", -1),
+    ("ag", 10), ("agg", 11), ("b", -1), ("bi", 7), ("big", 9), ("c", -1),
+    ("cus", 18), ("d", -1), ("f", -1), ("fi", 6), ("fil", 16), ("g", -1),
+    ("h", -1), ("j", -1), ("k", -1), ("l", -1), ("li", 1), ("lin", 3),
+    ("m", -1), ("o", -1), ("p", -1), ("q", -1), ("qu", 0), ("r", -1),
+    ("s", -1), ("sp", 21), ("t", -1), ("th", 12), ("v", -1), ("w", -1),
+    ("wi", 2), ("win", 4), ("wind", 5),
+]
+
+
+def q_wordpiece_encode(spark, sf):  # WordPiece greedy longest-match-first
+    # encoding (Schuster & Nakajima ICASSP'12 / the BERT tokenizer) under
+    # the pinned piece table — completes the subword-family triad's
+    # cross-engine rows (bpe_encode: rank-sequential merges;
+    # unigram_encode: Viterbi DP; here: longest-match recursion). The
+    # oracle replays the greedy scan as a recursive CTE over the inline
+    # piece list (argmax by raw length via list ops — ties impossible:
+    # one piece per (position-kind, length)). pieces_md5 pins each
+    # document's FULL piece sequence in token order.
+    from eth2dgraph_spark.pipeline import wordpiece as wp
+
+    pieces = spark.createDataFrame(_WORDPIECE_PIECES_PIN, "piece string, rank long")
+    out = wp.wordpiece_token_counts(_t(spark, sf, "documents"), pieces)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_pieces",
+        "n_unk_words",
+        F.md5("pieces_text").alias("pieces_md5"),
+    )
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2098,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "dedup_stream": q_dedup_stream,
         "source_kl": q_source_kl,
+        "wordpiece_encode": q_wordpiece_encode,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2576,6 +2621,72 @@ def _hll_oracle(p: int = 8) -> str:
         FROM e_i JOIN e_u USING (event_type) JOIN x USING (event_type)"""
 
 
+def _wordpiece_encode_oracle() -> str:
+    """DuckDB replica of wordpiece_token_counts under the pinned piece
+    table: greedy longest-match-first per distinct word as a recursive CTE
+    — at each position, candidates = pinned pieces whose continuation flag
+    matches (pos > 0) and whose raw content prefixes the remainder; take
+    the longest (exactly one exists per length, so list_filter to the max
+    length and take [1]); no candidate anywhere -> the whole word is
+    [UNK]. Per-doc reassembly via string_agg ORDER BY token position,
+    md5-compared — the same rebuilt-sequence discipline as pack_texts."""
+    vl = ", ".join(
+        "{{'p': '{p}', 'raw': '{r}', 'cont': {c}}}".format(
+            p=p,
+            r=p[2:] if p.startswith("##") else p,
+            c="true" if p.startswith("##") else "false",
+        )
+        for p, _ in _WORDPIECE_PIECES_PIN
+    )
+    return f"""
+        WITH RECURSIVE
+        v AS (SELECT [{vl}] AS vl),
+        toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '),
+                                            x -> len(x) > 0) AS ws
+                 FROM documents),
+        occ AS (SELECT doc_id, unnest(ws) AS word,
+                       generate_subscripts(ws, 1) AS pos
+                FROM toks),
+        words AS (SELECT DISTINCT word FROM occ),
+        steps AS (
+          SELECT word, 0 AS wpos, CAST([] AS VARCHAR[]) AS pieces,
+                 false AS failed
+          FROM words
+          UNION ALL
+          SELECT word,
+                 CASE WHEN ml IS NULL THEN length(word)
+                      ELSE wpos + ml END AS wpos,
+                 CASE WHEN ml IS NULL THEN ['[UNK]']
+                      ELSE list_append(pieces,
+                             list_filter(c0,
+                               x -> length(x.raw) = ml)[1].p) END AS pieces,
+                 failed OR ml IS NULL AS failed
+          FROM (
+            SELECT word, wpos, pieces, failed, c0,
+                   list_max(list_transform(c0, y -> length(y.raw))) AS ml
+            FROM (
+              SELECT s.word, s.wpos, s.pieces, s.failed,
+                     list_filter(v.vl, x -> x.cont = (s.wpos > 0)
+                       AND substr(s.word, s.wpos + 1,
+                                  length(x.raw)) = x.raw) AS c0
+              FROM steps s, v
+              WHERE s.wpos < length(s.word) AND NOT s.failed
+            )
+          )
+        ),
+        enc AS (SELECT word, array_to_string(pieces, ' ') AS ptxt,
+                       len(pieces)::BIGINT AS n_tokens,
+                       failed AS is_unk
+                FROM steps WHERE wpos >= length(word))
+        SELECT o.doc_id, count(*)::BIGINT AS n_words,
+               sum(e.n_tokens)::BIGINT AS n_pieces,
+               sum(CASE WHEN e.is_unk THEN 1 ELSE 0 END)::BIGINT
+                 AS n_unk_words,
+               md5(string_agg(e.ptxt, ' ' ORDER BY o.pos)) AS pieces_md5
+        FROM occ o JOIN enc e USING (word)
+        GROUP BY o.doc_id"""
+
+
 def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:
     """DuckDB replica of pq.pq_topk under the pinned iters=0 codebook:
     init = first-ksub STRING-ordered vec_ids' vectors sliced per subspace
@@ -2859,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": _unigram_encode_oracle(),
         "phash_bits": _phash_oracle(),
         "hll_distinct": _hll_oracle(),
+        "wordpiece_encode": _wordpiece_encode_oracle(),
         "domain_cap": """
             WITH r AS (SELECT lang, doc_id, source,
                               row_number() OVER (

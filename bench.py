@@ -85,6 +85,7 @@ HEADLINE = [
     "hll_distinct",
     "domain_cap",
     "source_kl",
+    "wordpiece_encode",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -109,7 +110,7 @@ COMPARABLE_29 = [
         "dsir_weights", "lm_perplexity", "semantic_dedup", "bpe_tokens",
         "substring_stats", "quality_clf", "bm25_topk",
         "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
-        "hll_distinct", "domain_cap", "source_kl",
+        "hll_distinct", "domain_cap", "source_kl", "wordpiece_encode",
     }
 ]
 
