@@ -689,6 +689,30 @@ def q_wordpiece_encode(spark, sf):  # WordPiece greedy longest-match-first
     )
 
 
+def q_int8_quant(spark, sf):  # int8 affine embedding quantization (the
+    # 4x storage pass before ANN): codes via floor(x+0.5) — NOT round(),
+    # whose half-up (Spark) vs half-even (DuckDB) semantics would break
+    # integer equality — plus the scale and the in-row max reconstruction
+    # error (order-independent fold). Codes md5-compared as a sequence.
+    from eth2dgraph_spark.pipeline import quantize as qz
+
+    e = _t(spark, sf, "embeddings")
+    q = qz.int8_quantize(e)
+    err = qz.int8_reconstruction_error(e).select(
+        "id", _r6e("max_abs_err").alias("max_abs_err")
+    )
+    return (
+        q.join(err, "id")
+        .select(
+            F.col("id").alias("vec_id"),
+            _r6e("scale").alias("scale"),
+            _r6e("zero").alias("zero"),
+            F.md5(F.array_join("codes", ",")).alias("codes_md5"),
+            "max_abs_err",
+        )
+    )
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2143,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "source_kl": q_source_kl,
         "wordpiece_encode": q_wordpiece_encode,
+        "int8_quant": q_int8_quant,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2971,6 +2996,35 @@ def oracle_sql() -> dict[str, str]:
         "phash_bits": _phash_oracle(),
         "hll_distinct": _hll_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
+        # floor(x+0.5) mirrors quantize.int8_quantize exactly (round()
+        # would diverge: Spark half-up vs DuckDB half-even); FLOAT[] ->
+        # DOUBLE[] widening is exact in both engines
+        "int8_quant": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v, list_min(v) AS lo,
+                         (list_max(v) - list_min(v)) / 255.0 AS sc
+                  FROM e),
+            q AS (SELECT vec_id, v, lo, sc,
+                         CASE WHEN sc = 0
+                              THEN list_transform(v, x -> 0)
+                              ELSE list_transform(v, x ->
+                                least(255, greatest(0,
+                                  floor((x - lo) / sc + 0.5)::INT)))
+                         END AS codes
+                  FROM s),
+            x AS (SELECT vec_id, sc, lo, codes,
+                         unnest(v) AS val,
+                         generate_subscripts(v, 1) AS i
+                  FROM q),
+            err AS (SELECT vec_id,
+                           max(abs(val - (lo + codes[i] * sc))) AS me
+                    FROM x GROUP BY vec_id)
+            SELECT q.vec_id, round(sc + 1e-9, 6) AS scale,
+                   round(lo + 1e-9, 6) AS zero,
+                   md5(array_to_string(codes, ',')) AS codes_md5,
+                   round(me + 1e-9, 6) AS max_abs_err
+            FROM q JOIN err USING (vec_id)""",
         "domain_cap": """
             WITH r AS (SELECT lang, doc_id, source,
                               row_number() OVER (

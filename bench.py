@@ -86,6 +86,7 @@ HEADLINE = [
     "domain_cap",
     "source_kl",
     "wordpiece_encode",
+    "int8_quant",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -111,6 +112,7 @@ COMPARABLE_29 = [
         "substring_stats", "quality_clf", "bm25_topk",
         "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
         "hll_distinct", "domain_cap", "source_kl", "wordpiece_encode",
+        "int8_quant",
     }
 ]
 
