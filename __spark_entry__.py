@@ -713,6 +713,26 @@ def q_int8_quant(spark, sf):  # int8 affine embedding quantization (the
     )
 
 
+def q_gopher_rep(spark, sf):  # Gopher/RedPajama word-n-gram repetition
+    # filters: top-{2,3,4}-gram character fraction (deterministic
+    # lexicographic tie-break on the argmax — load-bearing) and
+    # duplicated-{5,6}-gram character fraction (per-occurrence, the
+    # RedPajama convention). Set-based explode + (id, gram) hash agg —
+    # the shingle-pipeline shuffle discipline, not O(m^2) in-row scans.
+    from eth2dgraph_spark.pipeline.text import ngram_repetition_fractions
+
+    out = ngram_repetition_fractions(_t(spark, sf, "documents"))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chars",
+        _r6e("top2_frac").alias("top2_frac"),
+        _r6e("top3_frac").alias("top3_frac"),
+        _r6e("top4_frac").alias("top4_frac"),
+        _r6e("dup5_frac").alias("dup5_frac"),
+        _r6e("dup6_frac").alias("dup6_frac"),
+    )
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2170,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "wordpiece_encode": q_wordpiece_encode,
         "int8_quant": q_int8_quant,
+        "gopher_rep": q_gopher_rep,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2648,6 +2669,58 @@ def _hll_oracle(p: int = 8) -> str:
         FROM e_i JOIN e_u USING (event_type) JOIN x USING (event_type)"""
 
 
+def _gopher_rep_oracle(top_ns=(2, 3, 4), dup_ns=(5, 6)) -> str:
+    """DuckDB replica of text.ngram_repetition_fractions: per n, windows
+    from UNNEST(range) (empty below n words — matching _with_ngrams' []),
+    an (id, gram) count, then the struct-min argmax for the top fraction
+    (lexicographic tie-break mirrored) and the per-occurrence duplicated-
+    chars sum. Non-space gram length == summed word lengths."""
+    ctes = [
+        f"""toks AS (SELECT doc_id AS id,
+                 list_filter(string_split({_NORM}, ' '),
+                             x -> len(x) > 0) AS ws
+          FROM documents)""",
+        """base AS (SELECT id,
+                 length(array_to_string(ws, ''))::DOUBLE AS total
+          FROM toks)""",
+    ]
+    joins, cols = [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"""g{n} AS (SELECT id, array_to_string(ws[i.i:i.i+{n - 1}], ' ') AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(ws)-{n}+1, 0)+1)) AS i(i)),
+        c{n} AS (SELECT id, g, count(*)::DOUBLE AS cnt,
+                        length(replace(g, ' ', ''))::DOUBLE AS gc
+                 FROM g{n} GROUP BY id, g),
+        a{n} AS (SELECT id,
+                        (min({{'nc': -cnt, 'g': g,
+                               'chars': cnt*gc}})).chars AS topchars,
+                        sum(CASE WHEN cnt >= 2 THEN cnt*gc
+                                 ELSE 0.0 END) AS dupchars
+                 FROM c{n} GROUP BY id)"""
+        )
+        joins.append(f"LEFT JOIN a{n} USING (id)")
+        if n in top_ns:
+            cols.append(
+                f"round(coalesce(a{n}.topchars, 0.0)"
+                f" / greatest(total, 1.0) + 1e-9, 6) AS top{n}_frac"
+            )
+    for n in sorted(dup_ns):
+        cols.append(
+            f"round(coalesce(a{n}.dupchars, 0.0)"
+            f" / greatest(total, 1.0) + 1e-9, 6) AS dup{n}_frac"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT id AS doc_id, total::BIGINT AS n_chars, "
+        + ", ".join(cols)
+        + " FROM base "
+        + " ".join(joins)
+    )
+
+
 def _wordpiece_encode_oracle() -> str:
     """DuckDB replica of wordpiece_token_counts under the pinned piece
     table: greedy longest-match-first per distinct word as a recursive CTE
@@ -2998,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_bits": _phash_oracle(),
         "hll_distinct": _hll_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
+        "gopher_rep": _gopher_rep_oracle(),
         # floor(x+0.5) mirrors quantize.int8_quantize exactly (round()
         # would diverge: Spark half-up vs DuckDB half-even); FLOAT[] ->
         # DOUBLE[] widening is exact in both engines

@@ -87,6 +87,7 @@ HEADLINE = [
     "source_kl",
     "wordpiece_encode",
     "int8_quant",
+    "gopher_rep",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -113,6 +114,7 @@ COMPARABLE_29 = [
         "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
         "hll_distinct", "domain_cap", "source_kl", "wordpiece_encode",
         "int8_quant",
+    "gopher_rep",
     }
 ]
 

@@ -545,3 +545,105 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_repetition_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6),
+) -> DataFrame:
+    """Gopher/RedPajama word-n-gram repetition signals, per document:
+
+    - top{n}_frac (n in top_ns): fraction of the document's characters
+      attributable to the single most frequent word n-gram — Gopher A1.1's
+      "fraction of characters contained within the most frequently-
+      occurring n-gram", computed as count * gram_chars / total_chars with
+      gram_chars the gram's non-space length and total_chars the summed
+      word lengths. The most frequent gram ties break to the
+      lexicographically smallest (Gopher leaves ties unspecified; a
+      deterministic rule is load-bearing for the cross-engine gate).
+    - dup{n}_frac (n in dup_ns): fraction of characters in word n-grams
+      that occur more than once in the document, each OCCURRENCE counted
+      (the RedPajama-Data quality-signal convention, which may exceed 1
+      on degenerate documents — downstream filters threshold well below).
+
+    Documents with fewer than n words get fraction 0 for that n. These are
+    the repetition filters from Gopher's quality pipeline that
+    `repetition_stats` (word-level duplication + top-word coverage) does
+    not cover; line-based variants are omitted because the fraction
+    definitions degenerate on single-line documents (the corpus here) —
+    split upstream and treat lines as documents for those.
+
+    Scale shape: set-based, not in-row — per n, one explode keyed by the
+    document and one (id, gram) hash aggregation, then per-doc folds; at
+    petabyte scale this is the same shuffle discipline as the shingle
+    pipeline (dedup.py), and it avoids the O(m^2) in-row counting a
+    transform-over-distinct form would cost on a 100k-word document (the
+    repetition_stats lesson)."""
+    from .importance import _norm_tokens, _with_ngrams
+
+    words = df.select(
+        F.col(id_col).alias("id"), _norm_tokens(text_col).alias("ws")
+    )
+    base = words.select(
+        "id",
+        F.length(F.array_join("ws", "")).cast("double").alias("total_chars"),
+    )
+    out = base
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = words.select(
+            "id", F.explode(_with_ngrams(F.col("ws"), n)).alias("g")
+        )
+        per_gram = grams.groupBy("id", "g").agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        )
+        per_gram = per_gram.withColumn(
+            "gchars",
+            F.length(F.regexp_replace("g", " ", "")).cast("double"),
+        )
+        aggs = []
+        if n in top_ns:
+            # struct-extremum argmax: (cnt desc, gram asc) via max of
+            # (cnt, negated-ordering-proxy) — use min over struct of
+            # (-cnt, g) to get the deterministic winner
+            aggs.append(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("g").alias("g"),
+                        (F.col("cnt") * F.col("gchars")).alias("chars"),
+                    )
+                ).alias("_top")
+            )
+        if n in dup_ns:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.col("gchars")
+                    ).otherwise(0.0)
+                ).alias("_dup")
+            )
+        per_doc = per_gram.groupBy("id").agg(*aggs)
+        cols = [F.col("id")]
+        if n in top_ns:
+            cols.append(F.col("_top.chars").alias(f"_topchars{n}"))
+        if n in dup_ns:
+            cols.append(F.col("_dup").alias(f"_dupchars{n}"))
+        out = out.join(per_doc.select(*cols), "id", "left")
+    sel = [F.col("id"), F.col("total_chars").cast("long").alias("n_chars")]
+    denom = F.greatest(F.col("total_chars"), F.lit(1.0))
+    for n in sorted(top_ns):
+        sel.append(
+            (F.coalesce(F.col(f"_topchars{n}"), F.lit(0.0)) / denom).alias(
+                f"top{n}_frac"
+            )
+        )
+    for n in sorted(dup_ns):
+        sel.append(
+            (F.coalesce(F.col(f"_dupchars{n}"), F.lit(0.0)) / denom).alias(
+                f"dup{n}_frac"
+            )
+        )
+    return out.select(*sel)

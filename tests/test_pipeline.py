@@ -1094,3 +1094,54 @@ def test_contamination_stats_known_values(spark):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (1, 1, 1.0)
     assert got[4] == (1, 0, 0.0)
+
+
+def test_ngram_repetition_fractions_reference(spark):
+    """Pure-Python pin of the Gopher top-n-gram / duplicated-n-gram
+    character fractions, including the lexicographic argmax tie-break,
+    under-n documents (fraction 0), and the per-occurrence duplicated
+    counting convention."""
+    from eth2dgraph_spark.pipeline.text import ngram_repetition_fractions
+
+    rows = [
+        (1, "a b a b a b c"),          # heavy 2-gram repetition
+        (2, "x y z x y z x y z w w"),  # repeated 3-grams + a tie candidate
+        (3, "one two"),                # fewer than 5 words: dup5/6 = 0
+        (4, "q"),                      # 1 word: every n-gram fraction 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in ngram_repetition_fractions(
+            df, top_ns=(2, 3), dup_ns=(2, 5)
+        ).collect()
+    }
+
+    def ref(text, n):
+        ws = text.split()
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        total = sum(len(w) for w in ws)
+        if not grams:
+            return 0.0, 0.0, total
+        cnt = {}
+        for g in grams:
+            cnt[g] = cnt.get(g, 0) + 1
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        topchars = best[1] * len(best[0].replace(" ", ""))
+        dupchars = sum(
+            c * len(g.replace(" ", "")) for g, c in cnt.items() if c >= 2
+        )
+        return topchars / max(total, 1), dupchars / max(total, 1), total
+
+    for doc_id, text in rows:
+        t2, d2, total = ref(text, 2)
+        t3, _, _ = ref(text, 3)
+        _, d5, _ = ref(text, 5)
+        r = got[doc_id]
+        assert r["n_chars"] == total
+        assert r["top2_frac"] == pytest.approx(t2, abs=1e-12)
+        assert r["top3_frac"] == pytest.approx(t3, abs=1e-12)
+        assert r["dup2_frac"] == pytest.approx(d2, abs=1e-12)
+        assert r["dup5_frac"] == pytest.approx(d5, abs=1e-12)
+    assert got[4]["top2_frac"] == 0.0 and got[4]["dup5_frac"] == 0.0
+    assert got[1]["top2_frac"] > 0.4  # 'a b' dominates doc 1
