@@ -41,6 +41,8 @@ def curate_corpus(
     clf_epochs: int | None = None,
     clf_lr: float | None = None,
     clf_num_buckets: int | None = None,
+    max_top_ngram_fracs: dict[int, float] | None = None,
+    max_dup_ngram_fracs: dict[int, float] | None = None,
 ) -> DataFrame:
     """Per-document curated frame: exact-dedup representatives that pass the
     quality floor (and, when the thresholds are set, the Gopher-style
@@ -72,6 +74,33 @@ def curate_corpus(
             scored = scored.filter(F.col("dup_word_ratio") <= max_dup_word_ratio)
         if max_top_word_ratio is not None:
             scored = scored.filter(F.col("top_word_ratio") <= max_top_word_ratio)
+    if max_top_ngram_fracs or max_dup_ngram_fracs:
+        # Gopher A1.1's n-gram repetition cuts (e.g. {2: 0.20, 3: 0.18,
+        # 4: 0.16} / {5: 0.15, 6: 0.14}): per-doc pure functions of the
+        # text, so append-equivalence is preserved; the fraction columns
+        # are dropped after filtering to keep the output schema stable.
+        from .text import ngram_repetition_fractions
+
+        top_ns = tuple(sorted((max_top_ngram_fracs or {}).keys()))
+        dup_ns = tuple(sorted((max_dup_ngram_fracs or {}).keys()))
+        fr = ngram_repetition_fractions(
+            scored, text_col=text_col, id_col=id_col, top_ns=top_ns, dup_ns=dup_ns
+        )
+        frac_cols = [f"top{n}_frac" for n in top_ns] + [
+            f"dup{n}_frac" for n in dup_ns
+        ]
+        scored = scored.join(
+            fr.select(F.col("id").alias(id_col), *frac_cols), id_col, "left"
+        )
+        for n, cut in (max_top_ngram_fracs or {}).items():
+            scored = scored.filter(
+                F.coalesce(F.col(f"top{n}_frac"), F.lit(0.0)) <= cut
+            )
+        for n, cut in (max_dup_ngram_fracs or {}).items():
+            scored = scored.filter(
+                F.coalesce(F.col(f"dup{n}_frac"), F.lit(0.0)) <= cut
+            )
+        scored = scored.drop(*frac_cols)
     if max_ppl is not None:
         if lm_reference is None:
             raise ValueError(

@@ -1145,3 +1145,41 @@ def test_ngram_repetition_fractions_reference(spark):
         assert r["dup5_frac"] == pytest.approx(d5, abs=1e-12)
     assert got[4]["top2_frac"] == 0.0 and got[4]["dup5_frac"] == 0.0
     assert got[1]["top2_frac"] > 0.4  # 'a b' dominates doc 1
+
+
+def test_curate_corpus_gopher_ngram_cuts(spark):
+    """max_top_ngram_fracs / max_dup_ngram_fracs drop the degenerate
+    repetitive document, keep clean ones, preserve the output schema, and
+    stay append-equivalent through curate_increment's **filters path."""
+    from eth2dgraph_spark.pipeline import corpus as cp
+
+    clean = "the quick brown fox jumps over a lazy dog and keeps running far away today"
+    rows = [
+        (1, clean),
+        (2, "spam ham " * 12 + "spam ham"),  # top-2-gram dominates
+        (3, clean.replace("quick", "rapid")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cuts = {"max_top_ngram_fracs": {2: 0.5}, "max_dup_ngram_fracs": {5: 2.0}}
+    base = cp.curate_corpus(df, min_quality=0.0)
+    cut = cp.curate_corpus(df, min_quality=0.0, **cuts)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in cut.collect()} == {1, 3}
+    assert base.columns == cut.columns  # frac columns dropped after filtering
+
+    # append-equivalence with the cuts active: one-shot == increments
+    first = df.where(F.col("doc_id") <= 1)
+    rest = df.where(F.col("doc_id") > 1)
+    one_shot = {tuple(r) for r in cut.collect()}
+    import pyspark.sql.functions as _F
+
+    seen0 = spark.createDataFrame([], "fingerprint string")
+    inc1 = cp.curate_increment(first, seen0, min_quality=0.0, **cuts)
+    from eth2dgraph_spark.pipeline.text import norm_ws
+
+    seen1 = seen0.unionByName(
+        first.select(_F.md5(norm_ws("text")).alias("fingerprint"))
+    )
+    inc2 = cp.curate_increment(rest, seen1, min_quality=0.0, **cuts)
+    incremental = {tuple(r) for r in inc1.unionByName(inc2).collect()}
+    assert incremental == one_shot
