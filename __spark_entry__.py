@@ -738,6 +738,19 @@ def q_gopher_rep(spark, sf):  # Gopher/RedPajama word-n-gram repetition
     )
 
 
+def q_ppl_buckets(spark, sf):  # CCNet head/middle/tail perplexity
+    # partitioning (Wenzek LREC'20): discrete-percentile cuts over the
+    # 6dp-rounded self-scored bigram perplexity (one bounded aggregate
+    # broadcast back — NOT a global ntile sort), bucket by comparison.
+    # Oracle composes over the lm_perplexity oracle verbatim (its ppl is
+    # already the rounded value) + quantile_disc, whose equivalence to
+    # Spark's percentile_disc the percentile_disc gate already certifies.
+    from eth2dgraph_spark.pipeline.importance import ppl_buckets
+
+    out = ppl_buckets(_t(spark, sf, "documents"))
+    return out.select("id", "n_grams", "ppl", "bucket")
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2196,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "int8_quant": q_int8_quant,
         "gopher_rep": q_gopher_rep,
+        "ppl_buckets": q_ppl_buckets,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -4440,6 +4454,24 @@ def oracle_sql() -> dict[str, str]:
     # drops), so its gate reuses the unscreened oracle verbatim — the
     # whole point of the gate is proving that equality cross-engine
     out["incr_curate_bloom"] = out["incr_curate"]
+    # ppl_buckets composes over the lm_perplexity oracle verbatim (its ppl
+    # is already the tie-nudged 6dp value the Spark side buckets on); the
+    # percentile_disc semantics (smallest value with cume_dist >= p) are
+    # emulated portably, same as the percentile_disc oracle — DuckDB's
+    # quantile_disc uses floor((n-1)p) indexing, a different tie rule.
+    out["ppl_buckets"] = f"""
+        WITH s AS ({out["lm_perplexity"]}),
+        cd AS (SELECT ppl, cume_dist() OVER (ORDER BY ppl) AS cd
+               FROM s WHERE ppl IS NOT NULL),
+        c AS (SELECT min(CASE WHEN cd >= {1.0 / 3.0!r} THEN ppl END) AS c1,
+                     min(CASE WHEN cd >= {2.0 / 3.0!r} THEN ppl END) AS c2
+              FROM cd)
+        SELECT s.id, s.n_bigrams AS n_grams, s.ppl,
+               CASE WHEN s.ppl IS NULL THEN 'unscored'
+                    WHEN s.ppl <= c.c1 THEN 'head'
+                    WHEN s.ppl <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, c"""
     return out
 
 

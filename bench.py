@@ -88,6 +88,7 @@ HEADLINE = [
     "wordpiece_encode",
     "int8_quant",
     "gopher_rep",
+    "ppl_buckets",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -115,6 +116,7 @@ COMPARABLE_29 = [
         "hll_distinct", "domain_cap", "source_kl", "wordpiece_encode",
         "int8_quant",
     "gopher_rep",
+    "ppl_buckets",
     }
 ]
 

@@ -415,3 +415,61 @@ def source_divergence(
         (h_pres + h_abs - x_pres - x_abs).alias("kl_from_corpus"),
         (-(x_pres + x_abs)).alias("cross_entropy"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    score_dp: int = 6,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioning (Wenzek et al.
+    LREC 2020): score each document under the reference n-gram LM
+    (self-scored when reference is None, CCNet trains on Wikipedia), then
+    label equal-ish thirds of the perplexity distribution — 'head' is the
+    lowest-perplexity (most reference-like) cut, the slice CCNet keeps
+    outright; 'tail' is the candidate-drop slice.
+
+    The cut points are DISCRETE percentiles of the rounded perplexity
+    (one bounded two-value aggregate, broadcast back) — NOT a global
+    ntile, whose single-partition window sort is exactly the
+    full-corpus-through-one-task shape this repo bans. Bucketing compares
+    score_dp-rounded perplexities (the rank-on-rounded discipline), so
+    the decision is engine-portable; documents too short to score keep
+    bucket 'unscored' (the max_ppl convention: unscorable is not
+    evidence of low quality)."""
+    scores = ngram_lm_scores(docs, reference, n, text_col, id_col, alpha)
+    r = scores.select(
+        "id",
+        F.col("n_bigrams").alias("n_grams"),  # ngram_lm_scores' fixed name
+        F.round(F.col("ppl") + F.lit(10.0 ** -(score_dp + 3)), score_dp).alias(
+            "rppl"
+        ),
+    )
+    lo, hi = cuts
+    cut_row = F.broadcast(
+        r.where(F.col("rppl").isNotNull()).agg(
+            F.expr(
+                f"percentile_disc({lo!r}) WITHIN GROUP (ORDER BY rppl)"
+            ).alias("_c1"),
+            F.expr(
+                f"percentile_disc({hi!r}) WITHIN GROUP (ORDER BY rppl)"
+            ).alias("_c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("rppl").isNull(), F.lit("unscored"))
+        .when(F.col("rppl") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("rppl") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return r.crossJoin(cut_row).select(
+        "id",
+        "n_grams",
+        F.col("rppl").alias("ppl"),
+        bucket.alias("bucket"),
+    )

@@ -410,3 +410,34 @@ def test_source_divergence_matches_full_grid_reference(spark):
         assert got[s]["cross_entropy"] == pytest.approx(xent, abs=1e-10)
     assert got["b"]["kl_from_corpus"] > got["c"]["kl_from_corpus"] >= 0
     assert all(r["kl_from_corpus"] >= -1e-12 for r in got.values())
+
+
+def test_ppl_buckets_thirds_and_ordering(spark):
+    """Buckets partition the scored docs into near-thirds; every head ppl
+    <= every middle ppl <= every tail ppl; an unscorable doc (no bigrams)
+    gets 'unscored'."""
+    from eth2dgraph_spark.pipeline.importance import ppl_buckets
+
+    texts = [
+        "red blue red blue red blue",      # very reference-like under self-LM
+        "red blue red blue green",
+        "red green blue red",
+        "gamma delta epsilon zeta eta",
+        "gamma delta gamma delta",
+        "one two three four five six",
+        "red gamma one blue delta two",
+        "blue red blue red blue",
+        "zeta eta gamma",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(99, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ppl_buckets(df).collect()
+    by_bucket: dict[str, list[float]] = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert [r["bucket"] for r in got if r["id"] == 99] == ["unscored"]
+    n_scored = len(texts)
+    assert abs(len(by_bucket["head"]) - n_scored / 3) <= 1
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    assert len(by_bucket["head"]) + len(by_bucket["middle"]) + len(by_bucket["tail"]) == n_scored

@@ -110,6 +110,29 @@ def main() -> None:
         ),
     }
 
+    # session-2 additions: the Gopher n-gram fractions (5 explodes + 5
+    # keyed aggs), WordPiece encoding under a FIXED vocabulary trained on
+    # the small corpus (the realistic shape: the tokenizer doesn't retrain
+    # per shard), and the HLL sketch over the exploded token stream
+    from eth2dgraph_spark.pipeline import hll as hllmod
+    from eth2dgraph_spark.pipeline import wordpiece as wp
+
+    wp_pieces = wp.wordpiece_train(base, num_merges=24, min_pair_freq=2)
+    wp_pieces = wp_pieces.persist()
+    wp_pieces.count()
+    OPS["gopher_rep"] = lambda d: text.ngram_repetition_fractions(d)
+    OPS["wordpiece_encode"] = lambda d: wp.wordpiece_token_counts(d, wp_pieces)
+    OPS["hll_distinct"] = lambda d: hllmod.hll_count_distinct(
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")),
+        "w",
+        p=8,
+    )
+
+    only = os.environ.get("SOAK_OPS")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        OPS = {k: v for k, v in OPS.items() if k in keep}
+
     out: dict = {"n_docs_small": base.count(), "n_docs_big": N_DOCS, "ops": {}}
     for name, op in OPS.items():
         rec: dict = {}
