@@ -751,6 +751,18 @@ def q_ppl_buckets(spark, sf):  # CCNet head/middle/tail perplexity
     return out.select("id", "n_grams", "ppl", "bucket")
 
 
+def q_shard_assign(spark, sf):  # deterministic training-shard layout
+    # (WebDataset/MDS): shard = md5-hash mod n, in-shard order by a second
+    # independent hash — 'shuffle once at materialization', rerun-stable.
+    # Hex-string ordering is byte-identical cross-engine; no rounding.
+    from eth2dgraph_spark.pipeline.split import shard_assign
+
+    d = _t(spark, sf, "documents")
+    return shard_assign(d, n_shards=8).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2180,22 +2192,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-8 window policy (VERDICT
-    # r7 item 1): (a) the 10 gates NEW this round lead (session 1:
+    # r7 item 1): (a) the 13 gates NEW this round lead (session 1:
     # pq_topk, incr_curate_bloom, unigram_encode, phash_bits; session 2:
     # hll_distinct, domain_cap, dedup_stream, source_kl,
-    # wordpiece_encode, int8_quant — first-ever driver rows beat
-    # staleness refresh); (b) then the 11 whose code changed since their
-    # last driver row (ivf_index collect-free path -> kmeans_centroids/
-    # ivf_topk/semantic_dedup; tfidf/pmi forced-broadcast drop;
-    # curate_increment bloom wiring + deterministic _clf_id ->
-    # corpus_pipeline/incr_curate; graph _truncator -> the 4 iterative
-    # graph gates); (c) the r5-stale cohort fills the window — 29 of its
-    # 37 fit; the overflow (unpivot_metrics, try_funcs, regexp_funcs,
-    # date_funcs, null_funcs, explode_outer, rep_stats, segment_stats)
-    # spills below the boundary and is the leading rotation target for
-    # round 9. Every spilled gate is re-verified locally this round via
-    # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
-    # round-8 notes).
+    # wordpiece_encode, int8_quant, gopher_rep, ppl_buckets,
+    # shard_assign — first-ever driver rows beat staleness refresh);
+    # (b) then the 11 whose code changed since their last driver row
+    # (ivf_index collect-free path -> kmeans_centroids/ivf_topk/
+    # semantic_dedup; tfidf/pmi forced-broadcast drop; curate_increment
+    # bloom wiring + deterministic _clf_id -> corpus_pipeline/incr_curate;
+    # graph _truncator -> the 4 iterative graph gates); (c) the r5-stale
+    # cohort fills the window — 26 of its 37 fit; the overflow
+    # (window_ignore_nulls, min_cost_lineitem, waiting_supplier,
+    # unpivot_metrics, try_funcs, regexp_funcs, date_funcs, null_funcs,
+    # explode_outer, rep_stats, segment_stats) spills below the boundary
+    # and is the leading rotation target for round 9. Every spilled gate
+    # is re-verified locally this round via tools/check_oracle.py at
+    # sf0.01 (full 144/144 sweep recorded in BASELINE.md round-8 notes).
     return {
         # --- round-8 window (entries 1-50): new gates first ---
         "pq_topk": q_pq_topk,
@@ -2210,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quant": q_int8_quant,
         "gopher_rep": q_gopher_rep,
         "ppl_buckets": q_ppl_buckets,
+        "shard_assign": q_shard_assign,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2252,11 +2266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r5-stale overflow (did not fit; round-9 rotation leads with these):
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r5-stale overflow (did not fit; round-9 rotation leads with these):
         "unpivot_metrics": q_unpivot_metrics,
         "try_funcs": q_try_funcs,
         "regexp_funcs": q_regexp_funcs,
@@ -3091,6 +3105,15 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
         "gopher_rep": _gopher_rep_oracle(),
+        "shard_assign": """
+            SELECT doc_id,
+                   (('0x'||substr(md5(doc_id::VARCHAR || ':shard-v1'),1,8))::BIGINT
+                    % 8)::INT AS shard,
+                   row_number() OVER (
+                     PARTITION BY (('0x'||substr(md5(doc_id::VARCHAR || ':shard-v1'),1,8))::BIGINT % 8)
+                     ORDER BY md5(doc_id::VARCHAR || ':shard-v1:pos'), doc_id
+                   )::BIGINT AS pos_in_shard
+            FROM documents""",
         # floor(x+0.5) mirrors quantize.int8_quantize exactly (round()
         # would diverge: Spark half-up vs DuckDB half-even); FLOAT[] ->
         # DOUBLE[] widening is exact in both engines

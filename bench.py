@@ -89,6 +89,7 @@ HEADLINE = [
     "int8_quant",
     "gopher_rep",
     "ppl_buckets",
+    "shard_assign",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -117,6 +118,7 @@ COMPARABLE_29 = [
         "int8_quant",
     "gopher_rep",
     "ppl_buckets",
+    "shard_assign",
     }
 ]
 

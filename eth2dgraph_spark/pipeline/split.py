@@ -187,6 +187,39 @@ def cap_per_key(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic training-shard assignment (the WebDataset/MDS layout
+    step): shard = hash(id) mod n_shards, position-in-shard = rank by a
+    SECOND independent hash — so the global order is a hash shuffle (the
+    standard 'shuffle once at materialization' for training), every rerun
+    produces byte-identical shards, and appends never reorder existing
+    shards' relative positions among surviving rows.
+
+    One window shuffle keyed by the shard id (n_shards partitions of
+    ~equal size by the PRF property); there is deliberately NO global
+    position — cross-shard order is the reader's interleave, which is the
+    point of sharding. Adds (shard, pos_in_shard)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ids = F.col(id_col).cast("string")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(ids, F.lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    order = F.md5(F.concat(ids, F.lit(":" + salt + ":pos")))
+    w = Window.partitionBy("shard").orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    )
+
+
 def temperature_mix_rates(
     df: DataFrame,
     source_col: str = "source",

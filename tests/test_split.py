@@ -225,3 +225,60 @@ def test_cap_per_key_reference_and_determinism(spark):
 
     with _pt.raises(ValueError):
         cap_per_key(df, ["k"], k=0)
+
+
+def test_shard_assign_reference_and_stability(spark):
+    """Shard/pos match a pure-Python replay of the double-hash layout;
+    partitioning-invariant; appending rows never reorders the relative
+    positions of surviving earlier rows within a shard."""
+    import hashlib
+
+    from eth2dgraph_spark.pipeline.split import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in shard_assign(df, n_shards=4).collect()
+    }
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    by_shard: dict[int, list[tuple[str, int]]] = {}
+    for i in range(120):
+        sh = h8(f"{i}:shard-v1") % 4
+        by_shard.setdefault(sh, []).append(
+            (hashlib.md5(f"{i}:shard-v1:pos".encode()).hexdigest(), i)
+        )
+    want = {}
+    for sh, lst in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(lst), start=1):
+            want[i] = (sh, pos)
+    assert got == want
+
+    got7 = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in shard_assign(df.repartition(7), n_shards=4).collect()
+    }
+    assert got7 == got
+
+    bigger = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got_b = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in shard_assign(bigger, n_shards=4).collect()
+    }
+    for sh in range(4):
+        old_order = [
+            i for i, (s, p) in sorted(got.items(), key=lambda kv: kv[1][1]) if s == sh
+        ]
+        new_order = [
+            i
+            for i, (s, p) in sorted(got_b.items(), key=lambda kv: kv[1][1])
+            if s == sh and i < 120
+        ]
+        assert old_order == new_order, sh
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shard_assign(df, n_shards=0)
