@@ -230,8 +230,18 @@ def wordpiece_train(
                 _merge_fold_to(F.col("syms"), a, b, _merged_symbol(a, b)).alias("syms"),
                 "cnt",
             ).localCheckpoint(eager=True)
-    pieces = [(p, -1) for p in alphabet] + [(m[3], m[0]) for m in merges]
-    return spark.createDataFrame(pieces, "piece string, rank long")
+    # the same surface string can be merged twice via different pairs
+    # (e.g. 'a'+'##bc' and 'ab'+'##c' both yield 'abc' once both parents
+    # exist) — keep the first rank so `piece` is unique in the table
+    # (encoding is set-based and wouldn't care, but a keyed table should
+    # not carry duplicate keys)
+    seen: dict[str, int] = {p: -1 for p in alphabet}
+    for m in merges:
+        seen.setdefault(m[3], m[0])
+    return spark.createDataFrame(
+        sorted(seen.items(), key=lambda kv: (kv[1], kv[0])),
+        "piece string, rank long",
+    )
 
 
 def _encode_word(word: str, pieces: frozenset, max_raw: int) -> list[str]:
