@@ -161,3 +161,106 @@ def test_u256_python_sum_identity(vals):
     total = sum(vals)
     assert sum(int(str(v)) for v in vals) == total
     assert total < 2**261  # 30 values of < 2^256 stay exact in python int
+
+
+# ---- WordPiece pure-Python kernels (pipeline/wordpiece.py) ----
+
+from eth2dgraph_spark.pipeline.wordpiece import (  # noqa: E402
+    CONT,
+    UNK,
+    _encode_word,
+    _merge_word_local,
+    _seg_local,
+    _train_local,
+)
+
+words_strategy = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=8), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(words_strategy)
+def test_wordpiece_training_words_never_unk(ws):
+    """The seed alphabet stays in the vocabulary, so every TRAINING word
+    must encode without [UNK], and its pieces must concatenate back to the
+    word with the '##' shape invariant (first raw, rest continuations)."""
+    counts: dict[str, int] = {}
+    for w in ws:
+        counts[w] = counts.get(w, 0) + 1
+    merges = _train_local(list(counts.items()), num_merges=6, min_pair_freq=1)
+    pieces = frozenset(
+        {s for w in counts for s in _seg_local(w)} | {m[3] for m in merges}
+    )
+    max_raw = max(len(p) - len(CONT) if p.startswith(CONT) else len(p) for p in pieces)
+    for w in counts:
+        toks = _encode_word(w, pieces, max_raw)
+        assert toks != [UNK], (w, sorted(pieces))
+        assert not toks[0].startswith(CONT)
+        assert all(t.startswith(CONT) for t in toks[1:])
+        rebuilt = toks[0] + "".join(t[len(CONT):] for t in toks[1:])
+        assert rebuilt == w
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(["a", "##a", "##b", "c"]), min_size=0, max_size=12))
+def test_wordpiece_merge_fold_nonoverlap_and_lossless(syms):
+    """_merge_word_local merges left-to-right without overlap: un-merging
+    the output reproduces the input, and no adjacent (left, right) pair
+    survives unmerged unless its left was itself consumed by the previous
+    merge (the 'aaa' -> [aa, a] rule)."""
+    left, right = "##a", "##b"
+    merged = left + right[len(CONT):]
+    out = _merge_word_local(tuple(syms), left, right)
+    # lossless: splitting every merged symbol back gives the input
+    unfolded: list[str] = []
+    for s in out:
+        if s == merged:
+            unfolded.extend([left, right])
+        else:
+            unfolded.append(s)
+    assert unfolded == list(syms)
+    # non-overlap + completeness on an isolated scan
+    i, expect = 0, []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            expect.append(merged)
+            i += 2
+        else:
+            expect.append(syms[i])
+            i += 1
+    assert list(out) == expect
+
+
+# ---- HLL register math (pipeline/hll.py) ----
+
+import hashlib  # noqa: E402
+import math  # noqa: E402
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="xyz019", min_size=1, max_size=12),
+                min_size=1, max_size=300), st.sampled_from([4, 6, 8]))
+def test_hll_reference_estimate_error_bound(vals, p):
+    """The pure-Python mirror of the Spark/SQL HLL construction stays
+    within 6 sigma (sigma = 1.04/sqrt(m)) of the true distinct count on
+    arbitrary inputs — a sanity envelope for the shared math (the exact
+    cross-engine equality is the hll_distinct gate's job)."""
+    m = 1 << p
+    wbits = 60 - p
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        w = h >> p
+        rho = (wbits + 1) - w.bit_length() if w > 0 else wbits + 1
+        j = h % m
+        regs[j] = max(regs.get(j, 0), rho)
+    s = sum(2 ** (61 - r) for r in regs.values()) + (m - len(regs)) * 2**61
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m * float(2**61) / float(s)
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    true_n = len(set(vals))
+    sigma = 1.04 / math.sqrt(m)
+    assert abs(est - true_n) <= max(6 * sigma * true_n, 3.0), (true_n, est, p)
