@@ -763,6 +763,28 @@ def q_shard_assign(spark, sf):  # deterministic training-shard layout
     )
 
 
+def q_kcore_2rounds(spark, sf):  # k-core decomposition (Seidman'83
+    # iterative peeling), 2 fixed rounds on the customer-supplier
+    # bipartite graph at k=12 (which genuinely peels ~20 vertices at
+    # sf0.01) — oracled by unrolling both peels, the lpa_communities
+    # pattern. An extra round after convergence is the identity, so the
+    # fixed-round gate equals the fixpoint whenever the graph settles
+    # early.
+    from eth2dgraph_spark.graph import k_core
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=12, max_iters=2)
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2192,23 +2214,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-8 window policy (VERDICT
-    # r7 item 1): (a) the 13 gates NEW this round lead (session 1:
+    # r7 item 1): (a) the 14 gates NEW this round lead (session 1:
     # pq_topk, incr_curate_bloom, unigram_encode, phash_bits; session 2:
     # hll_distinct, domain_cap, dedup_stream, source_kl,
     # wordpiece_encode, int8_quant, gopher_rep, ppl_buckets,
-    # shard_assign — first-ever driver rows beat staleness refresh);
-    # (b) then the 11 whose code changed since their last driver row
-    # (ivf_index collect-free path -> kmeans_centroids/ivf_topk/
-    # semantic_dedup; tfidf/pmi forced-broadcast drop; curate_increment
-    # bloom wiring + deterministic _clf_id -> corpus_pipeline/incr_curate;
-    # graph _truncator -> the 4 iterative graph gates); (c) the r5-stale
-    # cohort fills the window — 26 of its 37 fit; the overflow
-    # (window_ignore_nulls, min_cost_lineitem, waiting_supplier,
-    # unpivot_metrics, try_funcs, regexp_funcs, date_funcs, null_funcs,
-    # explode_outer, rep_stats, segment_stats) spills below the boundary
-    # and is the leading rotation target for round 9. Every spilled gate
-    # is re-verified locally this round via tools/check_oracle.py at
-    # sf0.01 (full 144/144 sweep recorded in BASELINE.md round-8 notes).
+    # shard_assign, kcore_2rounds — first-ever driver rows beat staleness
+    # refresh); (b) then the 11 whose code changed since their last
+    # driver row (ivf_index collect-free path -> kmeans_centroids/
+    # ivf_topk/semantic_dedup; tfidf/pmi forced-broadcast drop;
+    # curate_increment bloom wiring + deterministic _clf_id ->
+    # corpus_pipeline/incr_curate; graph _truncator -> the 4 iterative
+    # graph gates); (c) the r5-stale cohort fills the window — 25 of its
+    # 37 fit; the overflow (lateral_topk, window_ignore_nulls,
+    # min_cost_lineitem, waiting_supplier, unpivot_metrics, try_funcs,
+    # regexp_funcs, date_funcs, null_funcs, explode_outer, rep_stats,
+    # segment_stats) spills below the boundary and is the leading
+    # rotation target for round 9. Every spilled gate is re-verified
+    # locally this round via tools/check_oracle.py at sf0.01 (full
+    # 145/145 sweep recorded in BASELINE.md round-8 notes).
     return {
         # --- round-8 window (entries 1-50): new gates first ---
         "pq_topk": q_pq_topk,
@@ -2224,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rep": q_gopher_rep,
         "ppl_buckets": q_ppl_buckets,
         "shard_assign": q_shard_assign,
+        "kcore_2rounds": q_kcore_2rounds,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2265,9 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_funcs": q_rank_funcs,
         "sliding_window": q_sliding_window,
         "map_funcs": q_map_funcs,
-        "lateral_topk": q_lateral_topk,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r5-stale overflow (did not fit; round-9 rotation leads with these):
+        "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
@@ -3105,6 +3129,25 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
         "gopher_rep": _gopher_rep_oracle(),
+        # two unrolled peel rounds; u < v canonicalization matches
+        # _canonical_undirected + least/greatest in graph.k_core
+        "kcore_2rounds": """
+            WITH e AS (SELECT DISTINCT least('c' || o_custkey, 's' || l_suppkey) AS u,
+                              greatest('c' || o_custkey, 's' || l_suppkey) AS v
+                       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+            n0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+            d1 AS (SELECT u, count(*) AS deg FROM n0 GROUP BY u),
+            k1 AS (SELECT u FROM d1 WHERE deg >= 12),
+            n1 AS (SELECT n0.u, n0.v FROM n0
+                   WHERE n0.u IN (SELECT u FROM k1)
+                     AND n0.v IN (SELECT u FROM k1)),
+            d2 AS (SELECT u, count(*) AS deg FROM n1 GROUP BY u),
+            k2 AS (SELECT u FROM d2 WHERE deg >= 12),
+            n2 AS (SELECT n1.u, n1.v FROM n1
+                   WHERE n1.u IN (SELECT u FROM k2)
+                     AND n1.v IN (SELECT u FROM k2))
+            SELECT u AS node, count(*)::BIGINT AS degree
+            FROM n2 GROUP BY u""",
         "shard_assign": """
             SELECT doc_id,
                    (('0x'||substr(md5(doc_id::VARCHAR || ':shard-v1'),1,8))::BIGINT

@@ -90,6 +90,7 @@ HEADLINE = [
     "gopher_rep",
     "ppl_buckets",
     "shard_assign",
+    "kcore_2rounds",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -119,6 +120,7 @@ COMPARABLE_29 = [
     "gopher_rep",
     "ppl_buckets",
     "shard_assign",
+    "kcore_2rounds",
     }
 ]
 

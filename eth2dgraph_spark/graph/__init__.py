@@ -426,3 +426,57 @@ def label_propagation(
     finally:
         nbrs.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iters: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman, Social Networks
+    1983): repeatedly delete every vertex whose degree in the CURRENT
+    subgraph is below k, until no vertex falls — the standard coreness
+    primitive for spam/bot subgraph mining and graph sparsification.
+
+    Returns (node, degree): the vertices of the k-core with their degree
+    inside it. Edges canonicalize to unordered distinct pairs first (the
+    label_propagation lesson: duplicate directions must not double-count
+    a neighbor).
+
+    Per round: one degree aggregation and two semi-joins (drop edges
+    touching a peeled endpoint), one lineage cut (`_truncator` — reliable
+    checkpoint via checkpoint_dir on a real cluster), and ONE count
+    action for the fixpoint test. Peeling is monotone (vertex sets only
+    shrink), so iterations are bounded by the peel depth — max_iters is a
+    backstop, and an extra round after convergence is the identity, which
+    is what makes the fixed-2-round `kcore_2rounds` gate equal the
+    converged answer whenever the graph settles in fewer rounds."""
+    e = (
+        _canonical_undirected(edges, src, dst)
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    cur = _truncator(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        checkpoint_dir,
+    )
+    prev_n: "int | None" = None
+    for _ in range(max_iters):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
+        cur = _truncator(
+            cur.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            ),
+            checkpoint_dir,
+        )
+    return cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("u").alias("node"), "degree"
+    )

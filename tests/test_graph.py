@@ -229,3 +229,54 @@ def test_reliable_checkpoint_results_identical(spark, tmp_path):
     import os
 
     assert any(os.scandir(ck))  # reliable checkpoints actually landed
+
+
+def test_k_core_known_graph_and_reference(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle (each
+    triangle vertex has degree 2 inside it); randomized graphs pin the
+    fixpoint against a pure-Python peeler; k=1 keeps everything."""
+    import random
+
+    from eth2dgraph_spark.graph import k_core
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(tri, "src string, dst string")
+    got = {(r["node"], r["degree"]) for r in k_core(e, k=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+    all_nodes = {r["node"] for r in k_core(e, k=1).collect()}
+    assert all_nodes == {"a", "b", "c", "d", "e"}
+
+    def ref_kcore(pairs, k):
+        nbrs: dict[str, set] = {}
+        for u, v in pairs:
+            if u != v:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, s in nbrs.items() if len(s) < k]:
+                for m in nbrs.pop(n):
+                    nbrs[m].discard(n)
+                changed = True
+        return {(n, len(s)) for n, s in nbrs.items()}
+
+    rng = random.Random(41)
+    for trial in range(3):
+        pairs = list(
+            {(f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}") for _ in range(45)}
+        )
+        pairs = [(u, v) for u, v in pairs if u != v]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        for k in (2, 3):
+            got = {(r["node"], r["degree"]) for r in k_core(df, k=k).collect()}
+            assert got == ref_kcore(pairs, k), (trial, k)
+
+    # reliable-checkpoint parity (the _truncator contract, same as the
+    # other four kernels)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ck:
+        a = {tuple(r) for r in k_core(e, k=2).collect()}
+        b = {tuple(r) for r in k_core(e, k=2, checkpoint_dir=ck).collect()}
+        assert a == b
