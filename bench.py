@@ -91,6 +91,7 @@ HEADLINE = [
     "ppl_buckets",
     "shard_assign",
     "kcore_2rounds",
+    "modularity",
     "order_priority",
     "custdist",
     "nation_flows",
@@ -121,6 +122,7 @@ COMPARABLE_29 = [
     "ppl_buckets",
     "shard_assign",
     "kcore_2rounds",
+    "modularity",
     }
 ]
 

@@ -480,3 +480,68 @@ def k_core(
     return cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("u").alias("node"), "degree"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a node partition over the undirected graph
+    (Newman & Girvan, Phys. Rev. E 2004) — the standard quality score for
+    what label_propagation found: per community c,
+    q_contrib(c) = e_c/m - (deg_c/(2m))^2, and Q = sum over communities.
+
+    Returns one row per community: (label, n_nodes, intra_edges, deg_sum,
+    q_contrib) — per-community rows rather than the lone scalar so the
+    cross-engine gate pins every term, not just the sum.
+
+    Shapes: m (distinct unordered edge count) rides a broadcast 1-row
+    aggregate; degrees come from one symmetric-edge aggregation; intra
+    edges and degree mass are two label joins keyed on the node — every
+    shuffle is keyed on a node or a label. Nodes missing from `labels`
+    contribute no community row (their edges still count in m, the
+    partition-of-a-subgraph convention); communities with no internal
+    edge keep a row with intra_edges = 0."""
+    e = (
+        _canonical_undirected(edges, src, dst)
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).cast("string").alias("n"), F.col(label_col).alias("l")
+    )
+    m1 = F.broadcast(e.agg(F.count(F.lit(1)).cast("double").alias("m")))
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrs.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    per_label = (
+        deg.join(lab, deg["u"] == lab["n"])
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        e.join(lab.select(F.col("n").alias("u"), F.col("l").alias("lu")), "u")
+        .join(lab.select(F.col("n").alias("v"), F.col("l").alias("lv")), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("l"))
+        .agg(F.count(F.lit(1)).cast("double").alias("intra"))
+    )
+    out = (
+        per_label.join(intra, "l", "left")
+        .withColumn("intra", F.coalesce(F.col("intra"), F.lit(0.0)))
+        .crossJoin(m1)
+    )
+    frac = F.col("deg_sum") / (F.lit(2.0) * F.col("m"))
+    return out.select(
+        F.col("l").alias("label"),
+        "n_nodes",
+        F.col("intra").cast("long").alias("intra_edges"),
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        (F.col("intra") / F.col("m") - frac * frac).alias("q_contrib"),
+    )

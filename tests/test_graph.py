@@ -280,3 +280,59 @@ def test_k_core_known_graph_and_reference(spark):
         a = {tuple(r) for r in k_core(e, k=2).collect()}
         b = {tuple(r) for r in k_core(e, k=2, checkpoint_dir=ck).collect()}
         assert a == b
+
+
+def test_modularity_known_values_and_reference(spark):
+    """Two triangles joined by one bridge edge under the natural
+    partition: hand-computed Q terms; a merged-into-one partition scores
+    lower; randomized graphs pin against a pure-Python evaluator."""
+    import random
+
+    from eth2dgraph_spark.graph import modularity
+
+    tri2 = [("a", "b"), ("b", "c"), ("c", "a"),
+            ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    e = spark.createDataFrame(tri2, "src string, dst string")
+    part = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "node string, label string",
+    )
+    got = {r["label"]: r for r in modularity(e, part).collect()}
+    # m=7; community L: intra=3, deg_sum = 2+2+3 = 7 -> 3/7 - (7/14)^2
+    for lbl in ("L", "R"):
+        r = got[lbl]
+        assert r["n_nodes"] == 3 and r["intra_edges"] == 3 and r["deg_sum"] == 7
+        assert r["q_contrib"] == pytest.approx(3 / 7 - 0.25, abs=1e-12)
+    q_split = sum(r["q_contrib"] for r in got.values())
+    one = part.select("node").withColumn("label", F.lit("all"))
+    q_one = sum(r["q_contrib"] for r in modularity(e, one).collect())
+    assert q_split > q_one
+    assert q_one == pytest.approx(0.0, abs=1e-12)  # whole graph in one part
+
+    def ref_q(pairs, lab):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        m = len(es)
+        deg: dict[str, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        out = {}
+        for c in set(lab.values()):
+            nodes = {n for n, l in lab.items() if l == c}
+            intra = sum(1 for u, v in es if u in nodes and v in nodes)
+            ds = sum(deg.get(n, 0) for n in nodes)
+            out[c] = intra / m - (ds / (2 * m)) ** 2
+        return out
+
+    rng = random.Random(13)
+    pairs = list({(f"n{rng.randint(0, 14)}", f"n{rng.randint(0, 14)}") for _ in range(30)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    nodes = sorted({x for p in pairs for x in p})
+    lab = {n: f"g{i % 3}" for i, n in enumerate(nodes)}
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    ldf = spark.createDataFrame(list(lab.items()), "node string, label string")
+    got2 = {r["label"]: r["q_contrib"] for r in modularity(df, ldf).collect()}
+    want = ref_q(pairs, lab)
+    assert set(got2) == set(want)
+    for c in want:
+        assert got2[c] == pytest.approx(want[c], abs=1e-12), c
