@@ -791,10 +791,14 @@ def q_modularity(spark, sf):  # Newman modularity of the LPA partition
     # Oracle composes the lpa_communities oracle verbatim as the label
     # CTE + the same edge/degree math; only the final double arithmetic
     # needs the 6dp tie-nudge.
+    from pyspark.storagelevel import StorageLevel
+
     from eth2dgraph_spark.graph import label_propagation, modularity
 
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # the edge derivation is a real join consumed by BOTH the detector
+    # and the evaluator — persist once at the composition level
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -802,9 +806,12 @@ def q_modularity(spark, sf):  # Newman modularity of the LPA partition
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = label_propagation(edges, num_iter=2)
     out = modularity(edges, labels)
+    edges.unpersist()  # both consumers have materialized (LPA rounds +
+    # modularity's eager checkpoint), safe to release
     # + 0.0 normalizes IEEE negative zero (a tiny negative q_contrib
     # rounds to -0.0 in DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in
     # both) — mirrored in the oracle

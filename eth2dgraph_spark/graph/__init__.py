@@ -506,10 +506,16 @@ def modularity(
     contribute no community row (their edges still count in m, the
     partition-of-a-subgraph convention); communities with no internal
     edge keep a row with intra_edges = 0."""
+    # the canonical edge frame feeds THREE consumers (m, degrees, intra)
+    # — persist for the op's duration or the upstream edge derivation
+    # (often a join) runs three times (the dsir_logweights
+    # materialize-then-release contract; measured on the modularity gate
+    # at sf0.1: 9.8 -> 3.9 s)
     e = (
         _canonical_undirected(edges, src, dst)
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lab = labels.select(
         F.col(node_col).cast("string").alias("n"), F.col(label_col).alias("l")
@@ -538,10 +544,15 @@ def modularity(
         .crossJoin(m1)
     )
     frac = F.col("deg_sum") / (F.lit(2.0) * F.col("m"))
-    return out.select(
+    result = out.select(
         F.col("l").alias("label"),
         "n_nodes",
         F.col("intra").cast("long").alias("intra_edges"),
         F.col("deg_sum").cast("long").alias("deg_sum"),
         (F.col("intra") / F.col("m") - frac * frac).alias("q_contrib"),
     )
+    # community-count-sized result: eagerly cut lineage, then release the
+    # persisted edge frame (dsir's materialize-then-release)
+    result = result.localCheckpoint(eager=True)
+    e.unpersist()
+    return result
