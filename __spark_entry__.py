@@ -821,6 +821,41 @@ def q_modularity(spark, sf):  # Newman modularity of the LPA partition
     )
 
 
+def q_format_roundtrips(spark, sf):  # batch-format coverage: documents
+    # written-and-re-read as ORC, CSV (quoted/escaped, schema enforced),
+    # and line-JSON, each arm aggregated per lang -- a format that mangles
+    # types, quoting, nulls, or row/field pairing diverges from the
+    # parquet-derived oracle. Writes stay inside the repo's gitignored
+    # spark-warehouse/. The content fingerprint is an ORDER-INDEPENDENT
+    # bit_xor of per-row md5-60bit(doc_id || ':' || text): a first cut
+    # used md5-over-array_sort(collect_list(...)) and in THIS triple-join
+    # plan Spark evaluated the hash over the UNSORTED collect buffer
+    # (reproduced: correct standalone, wrong -- a partition-merge-order
+    # concat -- only inside the 3-way join; adding any sibling projection
+    # of the same array flipped it back). XOR needs no order at all, and
+    # doesn't materialize a corpus-sized concat string either.
+    import os
+
+    from eth2dgraph_spark.sources.formats import write_read
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text", "n_chars")
+    tag = os.path.basename(sf.rstrip("/"))
+    arms = {}
+    for fmt in ("orc", "csv", "json"):
+        path = os.path.join("spark-warehouse", f"_fmt_rt_{tag}_{fmt}")
+        r = write_read(d, path, fmt)
+        arms[fmt] = r.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{fmt}"),
+            F.sum("n_chars").cast("long").alias(f"chars_{fmt}"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string), "
+                "':', text)), 1, 15), 16, 10) as bigint))"
+            ).alias(f"texts_fp_{fmt}"),
+        )
+    out = arms["orc"].join(arms["csv"], "lang").join(arms["json"], "lang")
+    return out
+
+
 def q_dedup_stream(spark, sf):  # exact dedup PHYSICALLY EXECUTED as a
     # Structured Streaming query: the (fingerprint -> min id, count)
     # dedup state is a declarative stream-safe aggregation, so the final
@@ -2250,24 +2285,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-8 window policy (VERDICT
-    # r7 item 1): (a) the 15 gates NEW this round lead (session 1:
+    # r7 item 1): (a) the 16 gates NEW this round lead (session 1:
     # pq_topk, incr_curate_bloom, unigram_encode, phash_bits; session 2:
     # hll_distinct, domain_cap, dedup_stream, source_kl,
     # wordpiece_encode, int8_quant, gopher_rep, ppl_buckets,
-    # shard_assign, kcore_2rounds, modularity — first-ever driver rows
-    # beat staleness refresh); (b) then the 11 whose code changed since
-    # their last driver row (ivf_index collect-free path ->
-    # kmeans_centroids/ivf_topk/semantic_dedup; tfidf/pmi forced-
-    # broadcast drop; curate_increment bloom wiring + deterministic
-    # _clf_id -> corpus_pipeline/incr_curate; graph _truncator -> the 4
-    # iterative graph gates); (c) the r5-stale cohort fills the window —
-    # 24 of its 37 fit; the overflow (map_funcs, lateral_topk,
-    # window_ignore_nulls, min_cost_lineitem, waiting_supplier,
-    # unpivot_metrics, try_funcs, regexp_funcs, date_funcs, null_funcs,
-    # explode_outer, rep_stats, segment_stats) spills below the boundary
-    # and is the leading rotation target for round 9. Every spilled gate
-    # is re-verified locally this round via tools/check_oracle.py at
-    # sf0.01 (full 146/146 sweep recorded in BASELINE.md round-8 notes).
+    # shard_assign, kcore_2rounds, modularity, format_roundtrips —
+    # first-ever driver rows beat staleness refresh); (b) then the 11
+    # whose code changed since their last driver row (ivf_index
+    # collect-free path -> kmeans_centroids/ivf_topk/semantic_dedup;
+    # tfidf/pmi forced-broadcast drop; curate_increment bloom wiring +
+    # deterministic _clf_id -> corpus_pipeline/incr_curate; graph
+    # _truncator -> the 4 iterative graph gates); (c) the r5-stale cohort
+    # fills the window — 23 of its 37 fit; the overflow (sliding_window,
+    # map_funcs, lateral_topk, window_ignore_nulls, min_cost_lineitem,
+    # waiting_supplier, unpivot_metrics, try_funcs, regexp_funcs,
+    # date_funcs, null_funcs, explode_outer, rep_stats, segment_stats)
+    # spills below the boundary and is the leading rotation target for
+    # round 9. Every spilled gate is re-verified locally this round via
+    # tools/check_oracle.py at sf0.01 (full 147/147 sweep recorded in
+    # BASELINE.md round-8 notes).
     return {
         # --- round-8 window (entries 1-50): new gates first ---
         "pq_topk": q_pq_topk,
@@ -2285,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
+        "format_roundtrips": q_format_roundtrips,
         # --- code CHANGED since last driver row (r8: ivf_index
         # collect-free path; tfidf/pmi broadcast drop; curate_increment
         # bloom refactor + deterministic _clf_id; graph _truncator) ---
@@ -2324,9 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "array_funcs": q_array_funcs,
         "rank_funcs": q_rank_funcs,
-        "sliding_window": q_sliding_window,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r5-stale overflow (did not fit; round-9 rotation leads with these):
+        "sliding_window": q_sliding_window,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
@@ -3166,6 +3203,18 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "wordpiece_encode": _wordpiece_encode_oracle(),
         "gopher_rep": _gopher_rep_oracle(),
+        # all three re-read arms must equal the parquet-derived aggregate:
+        # the roundtrip IS the operator under test
+        "format_roundtrips": """
+            WITH a AS (SELECT lang, count(*)::BIGINT AS n,
+                              sum(n_chars)::BIGINT AS chars,
+                              bit_xor(('0x'||substr(md5(doc_id::VARCHAR || ':' || text),1,15))::BIGINT) AS fp
+                       FROM documents GROUP BY lang)
+            SELECT lang, n AS n_orc, chars AS chars_orc,
+                   fp AS texts_fp_orc,
+                   n AS n_csv, chars AS chars_csv, fp AS texts_fp_csv,
+                   n AS n_json, chars AS chars_json, fp AS texts_fp_json
+            FROM a""",
         # two unrolled peel rounds; u < v canonicalization matches
         # _canonical_undirected + least/greatest in graph.k_core
         "kcore_2rounds": """

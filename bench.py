@@ -87,6 +87,7 @@ HEADLINE = [
     "source_kl",
     "wordpiece_encode",
     "int8_quant",
+    "format_roundtrips",
     "gopher_rep",
     "ppl_buckets",
     "shard_assign",
@@ -118,6 +119,7 @@ COMPARABLE_29 = [
         "pq_topk", "unigram_encode", "phash_bits", "incr_curate_bloom",
         "hll_distinct", "domain_cap", "source_kl", "wordpiece_encode",
         "int8_quant",
+    "format_roundtrips",
     "gopher_rep",
     "ppl_buckets",
     "shard_assign",
