@@ -160,3 +160,49 @@ def hll_count_distinct(
         p=p,
         key_cols=key_cols,
     )
+
+
+class StreamingHLL:
+    """Streaming accumulator over the same register construction — the
+    `StreamingCountMin` pattern (sketch.py), with a STRONGER guarantee:
+    register max-merge is order-insensitive AND idempotent, so the stream
+    state equals the batch sketch over the union of every absorbed
+    micro-batch EXACTLY (the CMS/MG candidate set is merge-order-dependent
+    near the tail; HLL has no such tail). Re-delivered batches (at-least-
+    once sources) cannot inflate the estimate, which makes this safe
+    behind foreachBatch without exactly-once sinks.
+
+    Driver state is m = 2^p ints, forever; each micro-batch costs ONE
+    bounded collect of <= m (register, rho) rows — `hll_registers`'
+    groupBy pre-merges in Spark, so driver traffic is independent of the
+    batch's row or partition count."""
+
+    def __init__(self, value_col: str = "token", p: int = 8) -> None:
+        if not 4 <= p <= 16:
+            raise ValueError(f"p must be in [4, 16], got {p}")
+        self.value_col = value_col
+        self.p = p
+        self.regs = [0] * (1 << p)
+
+    def absorb_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: fold the micro-batch's pre-merged register
+        rows into the state (element-wise max)."""
+        for r in hll_registers(batch_df, self.value_col, p=self.p).collect():
+            j, rho = r["register"], r["rho"]
+            if rho > self.regs[j]:
+                self.regs[j] = rho
+
+    def estimate(self) -> float:
+        """The hll_estimate math, mirrored exactly (exact-integer scaled
+        harmonic sum in Python ints — no float summation order)."""
+        import math
+
+        m = 1 << self.p
+        hit = sum(1 for r in self.regs if r > 0)
+        s = sum(1 << (_SCALE - r) for r in self.regs if r > 0)
+        s += (m - hit) * (1 << _SCALE)
+        est = _alpha(m) * m * m * float(1 << _SCALE) / float(s)
+        zeros = m - hit
+        if est <= 2.5 * m and zeros > 0:
+            return m * math.log(m / zeros)
+        return est

@@ -113,3 +113,44 @@ def test_bad_p_raises(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError):
         hll.hll_registers(df, "v", p=2)
+
+
+def test_streaming_hll_equals_batch_exactly(spark, tmp_path):
+    """A file stream absorbed one file per trigger through StreamingHLL
+    lands on EXACTLY the batch estimate (register max-merge is order-
+    insensitive and idempotent), and re-absorbing a batch changes
+    nothing (at-least-once safety)."""
+    from pyspark.sql import functions as F
+
+    from eth2dgraph_spark.pipeline.hll import StreamingHLL, hll_count_distinct
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("u"), (F.col("id") % 700).cast("string")).alias("v")
+    )
+    src = str(tmp_path / "hll_stream")
+    df.limit(0).write.parquet(src)
+    for part in df.randomSplit([0.5, 0.5], seed=3):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    acc = StreamingHLL("v", p=8)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, bid: acc.absorb_batch(b, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    batch = hll_count_distinct(spark.read.parquet(src), "v", p=8).collect()[0]
+    assert acc.estimate() == batch["est_distinct"]  # exact, not approx
+    # idempotence under redelivery
+    before = acc.estimate()
+    acc.absorb_batch(spark.read.parquet(src))
+    assert acc.estimate() == before
+    # and the estimate is calibrated on 700 true distincts
+    assert abs(acc.estimate() - 700) / 700 < 0.23
