@@ -341,6 +341,7 @@ def source_divergence(
     group_col: str = "source",
     text_col: str = "text",
     alpha: float = 0.5,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """Per-source unigram KL divergence and cross-entropy vs the whole
     corpus — the data-mixing diagnostic that pairs with
@@ -373,6 +374,14 @@ def source_divergence(
     toks = df.select(
         F.col(group_col).alias("src"), F.explode(_norm_tokens(text_col)).alias("w")
     )
+    # the token frame feeds the corpus-count and per-source-count passes;
+    # persist_tokens=True trades one materialization for one fewer corpus
+    # scan on a real cluster (measured a wash at sf0.1: 0.90 vs 0.91 s —
+    # the gopher_rep persist_tokens rationale, same default)
+    if persist_tokens:
+        from pyspark.storagelevel import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("cw"))
     tot = F.broadcast(
         cw.agg(
