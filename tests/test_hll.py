@@ -154,3 +154,14 @@ def test_streaming_hll_equals_batch_exactly(spark, tmp_path):
     assert acc.estimate() == before
     # and the estimate is calibrated on 700 true distincts
     assert abs(acc.estimate() - 700) / 700 < 0.23
+
+
+def test_small_m_alpha_branches_match_reference(spark):
+    """The piecewise alpha constants (m = 16/32/64) flow through the
+    Spark estimate identically to the pure-Python mirror."""
+    vals = [f"w{i*2654435761 % 9973}" for i in range(250)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for p in (4, 5, 6):
+        got = hll.hll_count_distinct(df, "v", p=p).collect()[0]
+        want = _ref_estimate(_ref_registers(vals, p), p)
+        assert got["est_distinct"] == pytest.approx(want, abs=0.0), p
