@@ -172,10 +172,11 @@ def cap_per_key(
 
     One shuffle (the window on key_cols); hot keys spill in WindowExec's
     group buffer rather than OOM. At 100 TB with per-key populations far
-    above k, precede this with a cheap per-partition pre-prune if needed
-    (keep each partition's bottom-k before the shuffle — same result, k×
-    partitions rows shuffled instead of all; not applied by default since
-    the window's sort dominates only above ~10^4 rows per key)."""
+    above k, a per-partition bottom-k pre-prune before the shuffle gives
+    the same result while shuffling only k x partitions rows per key; it
+    is not applied by default because it adds a pass whose benefit
+    depends on the population/k ratio (unmeasured here — measure before
+    enabling, the repo's standing rule)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
