@@ -2909,13 +2909,16 @@ def _wordpiece_encode_oracle() -> str:
                        len(pieces)::BIGINT AS n_tokens,
                        failed AS is_unk
                 FROM steps WHERE wpos >= length(word))
-        SELECT o.doc_id, count(*)::BIGINT AS n_words,
-               sum(e.n_tokens)::BIGINT AS n_pieces,
-               sum(CASE WHEN e.is_unk THEN 1 ELSE 0 END)::BIGINT
+        SELECT t.doc_id, count(o.word)::BIGINT AS n_words,
+               coalesce(sum(e.n_tokens), 0)::BIGINT AS n_pieces,
+               coalesce(sum(CASE WHEN e.is_unk THEN 1 ELSE 0 END), 0)::BIGINT
                  AS n_unk_words,
-               md5(string_agg(e.ptxt, ' ' ORDER BY o.pos)) AS pieces_md5
-        FROM occ o JOIN enc e USING (word)
-        GROUP BY o.doc_id"""
+               md5(coalesce(string_agg(e.ptxt, ' ' ORDER BY o.pos), ''))
+                 AS pieces_md5
+        FROM toks t
+        LEFT JOIN occ o USING (doc_id)
+        LEFT JOIN enc e USING (word)
+        GROUP BY t.doc_id"""
 
 
 def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:

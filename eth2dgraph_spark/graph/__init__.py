@@ -40,11 +40,30 @@ def _truncator(df: DataFrame, checkpoint_dir: "str | None"):
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     # the resolved dir comes back scheme-qualified (file:/... or hdfs://...)
-    # so compare by containment; a spurious re-set is harmless (Spark nests
-    # a fresh UUID subdir), skipping it just avoids per-round dir churn
-    if not cur or checkpoint_dir not in cur:
+    # with a Spark-nested UUID subdir appended, so compare path COMPONENTS:
+    # cur's parent path must equal the requested dir's path. (Substring
+    # containment is wrong — 'file:/data/ck-old/uuid' contains a requested
+    # '/data/ck', which would silently skip the re-set and land checkpoints
+    # in the wrong store.) A spurious re-set is harmless (fresh UUID
+    # subdir); skipping it just avoids per-round dir churn.
+    if not cur or not _same_checkpoint_dir(cur, checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)
+
+
+def _same_checkpoint_dir(cur: str, requested: str) -> bool:
+    """True iff the context's current checkpoint dir `cur` (scheme-qualified,
+    with Spark's UUID subdir) resolves to the same directory as `requested`
+    (which may or may not carry a scheme)."""
+    import posixpath
+    from urllib.parse import urlparse
+
+    c, r = urlparse(cur), urlparse(requested)
+    if r.netloc and c.netloc != r.netloc:  # different hdfs://host etc.
+        return False
+    cur_parent = posixpath.dirname(c.path.rstrip("/"))
+    req_path = posixpath.normpath(r.path.rstrip("/") or "/")
+    return cur_parent == req_path
 
 
 def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:

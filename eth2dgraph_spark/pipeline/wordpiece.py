@@ -303,25 +303,38 @@ def wordpiece_token_counts(
     pieces_text) with pieces_text the document's full space-joined piece
     sequence in token order — encode each DISTINCT word once, hash-join
     back, reassemble via the sorted-struct trick (pack_texts' shape). The
-    corpus never runs Python."""
+    corpus never runs Python. Empty/NULL docs keep a zero row
+    (posexplode_outer + left join — the unigram_token_counts convention,
+    so the tokenizer-stats API drops no documents anywhere)."""
     words = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
+        F.posexplode_outer(
             F.filter(F.split(norm_ws(text_col), " "), lambda w: F.length(w) > 0)
         ).alias("pos", "word"),
     )
-    enc = wordpiece_encode_words(words.select("word").distinct(), pieces)
+    enc = wordpiece_encode_words(
+        words.filter(F.col("word").isNotNull()).select("word").distinct(), pieces
+    )
     joined = words.join(
         enc.select("word", F.array_join("toks", " ").alias("ptxt"), "n_tokens", "is_unk"),
         "word",
+        "left",
     )
     return joined.groupBy("id").agg(
         F.count("word").cast("long").alias("n_words"),
-        F.sum("n_tokens").cast("long").alias("n_pieces"),
-        F.sum(F.col("is_unk").cast("long")).cast("long").alias("n_unk_words"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce(F.sum(F.col("is_unk").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_unk_words"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ptxt"))),
+                # when() leaves the outer-join padding row NULL and
+                # collect_list skips NULLs, so an empty doc reassembles to ''
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("word").isNotNull(), F.struct("pos", "ptxt"))
+                    )
+                ),
                 lambda s: s["ptxt"],
             ),
             " ",

@@ -41,7 +41,16 @@ def write_read(
         # indistinguishable unless NULL gets an explicit sentinel (\\N,
         # the Hive/MySQL convention) with emptyValue keeping '' as a
         # quoted empty field; and the WRITER trims leading/trailing
-        # whitespace unless told not to
+        # whitespace unless told not to.
+        #
+        # KNOWN LIMITATION (sentinel collision, unfixable in CSV): a
+        # non-null text value literally equal to '\\N' reads back as NULL.
+        # Measured: Spark's reader applies nullValue AFTER unquoting, so
+        # quoteAll=true does not help — a quoted "\\N" still comes back
+        # NULL (tests/test_formats.py pins this too). Any sentinel scheme
+        # has this collision by construction; callers whose data may
+        # contain the literal sentinel should roundtrip via ORC/JSON,
+        # which encode NULL structurally.
         writer = (
             writer.option("header", "true")
             .option("quote", '"')

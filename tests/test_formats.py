@@ -43,3 +43,18 @@ def test_unsupported_format_raises(spark, tmp_path):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_read(df, str(tmp_path / "x"), "avro-nope")
+
+
+def test_csv_null_sentinel_collision_documented(spark, tmp_path):
+    """Pin the documented CSV limitation: a non-null value literally equal
+    to the null sentinel '\\N' roundtrips to NULL (Spark's reader applies
+    nullValue AFTER unquoting, so quoteAll can't fix it — measured).
+    Structural formats are immune; this test is the alarm that fires if a
+    Spark upgrade ever changes either behavior."""
+    rows = [(1, "\\N"), (2, None), (3, "ok")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {x["id"]: x["text"] for x in write_read(df, str(tmp_path / "c"), "csv").collect()}
+    assert got == {1: None, 2: None, 3: "ok"}  # the documented collision
+    for fmt in ("json", "orc", "parquet"):
+        got = {x["id"]: x["text"] for x in write_read(df, str(tmp_path / fmt), fmt).collect()}
+        assert got == dict(rows), fmt  # structural NULL: no collision

@@ -231,6 +231,21 @@ def test_reliable_checkpoint_results_identical(spark, tmp_path):
     assert any(os.scandir(ck))  # reliable checkpoints actually landed
 
 
+def test_same_checkpoint_dir_compares_path_components():
+    """The _truncator re-set guard must compare path COMPONENTS: a current
+    dir 'file:/data/ck-old/uuid' must NOT match a requested '/data/ck'
+    (the substring-containment bug), while the same dir modulo scheme
+    qualification and the UUID subdir must match."""
+    from eth2dgraph_spark.graph import _same_checkpoint_dir as same
+
+    assert same("file:/data/ck/3f2a-uuid", "/data/ck")
+    assert same("file:/data/ck/3f2a-uuid", "/data/ck/")
+    assert same("hdfs://nn:8020/data/ck/u1", "hdfs://nn:8020/data/ck")
+    assert not same("file:/data/ck-old/3f2a-uuid", "/data/ck")  # the bug
+    assert not same("file:/data/ck/3f2a-uuid", "/data/other")
+    assert not same("hdfs://a:8020/d/ck/u", "hdfs://b:8020/d/ck")
+
+
 def test_k_core_known_graph_and_reference(spark):
     """Triangle + pendant chain: the 2-core is exactly the triangle (each
     triangle vertex has degree 2 inside it); randomized graphs pin the

@@ -81,6 +81,22 @@ def test_token_counts_and_sequence_reassembly(spark):
     assert got[2]["n_pieces"] == 5
 
 
+def test_token_counts_keep_zero_row_for_empty_docs(spark):
+    """Empty/NULL docs keep a zero row (posexplode_outer + left join) —
+    the unigram_token_counts convention, so the tokenizer-stats API is
+    consistent across the triad and drops no documents."""
+    pieces = wp.wordpiece_train(_corpus(spark), num_merges=2, min_pair_freq=1)
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in wp.wordpiece_token_counts(df, pieces).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        assert (got[i]["n_words"], got[i]["n_pieces"], got[i]["n_unk_words"]) == (0, 0, 0)
+        assert got[i]["pieces_text"] == ""
+
+
 def test_alphabet_fallback_never_unks_training_words(spark):
     """Any word over the training alphabet segments (chars are rank -1
     pieces), so only words with unseen chars or unseen continuation
