@@ -785,6 +785,32 @@ def q_kcore_2rounds(spark, sf):  # k-core decomposition (Seidman'83
     return k_core(edges, k=12, max_iters=2)
 
 
+def q_coreness_capped(spark, sf):  # per-node coreness (core number),
+    # capped fixed-shape mode: layers k=2..4 with exactly 2 peel rounds
+    # each on the customer-supplier bipartite graph — no data-dependent
+    # driver decisions (no fixpoint counts; per-round lineage cuts keep
+    # the plan linear in rounds). Measured at sf0.01 the three layers
+    # settle in 0/0/1 peel rounds, so 2 rounds/layer equals the exact
+    # fixpoint truncated at k=4 with a whole spare round of margin; the
+    # oracle unrolls all 3x2 peel blocks (the kcore_2rounds pattern) and
+    # labels each layer's dropped set k-1, survivors 4. Full uncapped
+    # coreness (data-dependent layers to kmax=47 here) is pinned against
+    # a pure-Python layered peeler in tests/test_graph.py.
+    from eth2dgraph_spark.graph import coreness
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return coreness(edges, max_k=4, rounds_per_layer=2)
+
+
 def q_modularity(spark, sf):  # Newman modularity of the LPA partition
     # (Newman & Girvan PRE'04): per-community q_contrib = e_c/m -
     # (deg_c/2m)^2, every term pinned per community, not just the sum.
@@ -966,6 +992,21 @@ def q_bpe_encode(spark, sf):  # pipeline: BPE ENCODING under the pinned
     return bpe.bpe_token_counts(_t(spark, sf, "documents"), merges)
 
 
+def q_bpe_merges(spark, sf):  # pipeline: the BPE TRAINER itself,
+    # cross-engine (previously certified only by the pure-Python pin in
+    # tests/test_bpe.py — this closes the last certification asymmetry
+    # alongside byte_kernel_fixture). num_merges=2 so the oracle can
+    # unroll both argmax+fold rounds (the kmeans_centroids fixed-rounds
+    # pattern): per round, adjacent-pair frequencies weighted by word
+    # count, argmax with (freq DESC, left, right) tie order, then the
+    # guarded-delimiter string replace that IS the greedy left-to-right
+    # non-overlap merge (the bpe_encode oracle's trick, run in reverse:
+    # training derives the table the encoder replays).
+    from eth2dgraph_spark.pipeline import bpe
+
+    return bpe.bpe_train(_t(spark, sf, "documents"), num_merges=2)
+
+
 def q_quality_clf(spark, sf):  # pipeline: trained quality classifier
     # (GPT-3 Appendix A / CCNet fastText analogue, pipeline/classifier.py)
     # — hashed-feature logistic regression, full-batch GD. 2 epochs so the
@@ -1126,6 +1167,67 @@ def q_windowed_stream(spark, sf):  # the SAME tumbling-window aggregation as
         )
     )
     return execute_stream_to_batch(agg)
+
+
+def q_windowed_append(spark, sf):  # APPEND-mode watermark semantics,
+    # physically executed and cross-engine gated — the two effects
+    # complete mode can't show: (1) LATE DROP: the LAST batch carries
+    # injected duplicates of the earliest events (ts < Jan 3); (2)
+    # HOLDBACK: windows ending after (global max ts - 2h) are never
+    # emitted. THREE ordered batches, not two, because of a measured
+    # Spark subtlety: a late row merges into a window whose state is
+    # still live — the watermark drop (numRowsDroppedByWatermark) only
+    # binds once the target window was evicted in an EARLIER batch. With
+    # early/mid/tail+injected batches, the early windows emit at the end
+    # of batch 1 and every injected row arriving in batch 2 is dropped
+    # (verified: counts double with a 2-batch layout, exactly-once with
+    # this one). maxFilesPerTrigger=1 + pinned mtimes make the sequence
+    # deterministic; the oracle is the batch aggregation over the
+    # ORIGINAL events only, filtered to windows closed by the final
+    # watermark.
+    import os
+    import tempfile
+
+    from eth2dgraph_spark.streaming.windows import execute_stream_append
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    cut1, cut2, early = (
+        "2024-01-10 00:00:00",
+        "2024-01-20 00:00:00",
+        "2024-01-03 00:00:00",
+    )
+    tmp = tempfile.mkdtemp(prefix="windowed_append_")
+    landing = os.path.join(tmp, "landing")
+    b1 = ev.filter(F.col("ts") < cut1)
+    b2 = ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    b3 = ev.filter(F.col("ts") >= cut2).unionByName(ev.filter(F.col("ts") < early))
+    for sub, frame in (("b1", b1), ("b2", b2), ("b3", b3)):
+        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+    # the file source orders micro-batches by modification time; pin it
+    # explicitly so same-millisecond writes can't flip the arrival order
+    now = int(__import__("time").time())
+    for i, sub in enumerate(("b1", "b2", "b3")):
+        d = os.path.join(landing, sub)
+        mt = now - 180 + i * 30
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(landing, "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), _r6e(F.avg("value")).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+    return execute_stream_append(agg, checkpoint_dir=os.path.join(tmp, "ckpt"))
 
 
 def q_motif_paths(spark, sf):  # general motif finder (J4 / Dgraph traversal
@@ -1538,6 +1640,60 @@ def q_unpivot_metrics(spark, sf):  # wide -> long reshape (UNPIVOT / melt)
     )
 
 
+def q_small_qty_avg(spark, sf):  # TPC-H Q17 shape: correlated AVG scalar
+    # subquery per part (lines below 20% of their part's average quantity),
+    # rolled up per brand so all 25 groups pin — the classic
+    # "decorrelate-to-aggregate-then-join" optimizer stress. The slimmed
+    # schema has no p_container, so the brand rollup replaces Q17's
+    # brand+container point filter; the correlated skeleton is identical.
+    _t(spark, sf, "part").createOrReplaceTempView("_q17_part")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM _q17_lineitem JOIN _q17_part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM _q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand"""
+    )
+
+
+def q_recent_part_suppliers(spark, sf):  # TPC-H Q20 shape: nested semi-join
+    # chain (supplier IN -> part IN) through a correlated scalar SUM on TWO
+    # correlation columns plus a date filter — the deepest decorrelation
+    # stress in the family. The slimmed schema has no partsupp, so per-pair
+    # availability is derived from lineitem (all-time quantity per
+    # (supplier, part)); the correlated condition keeps pairs whose
+    # shipments skew into the last 7 months (>90% of all-time quantity
+    # ordered since 2001-01-01), which genuinely binds: 52 of 100
+    # suppliers qualify at sf0.01.
+    _t(spark, sf, "supplier").createOrReplaceTempView("_q20_supplier")
+    _t(spark, sf, "part").createOrReplaceTempView("_q20_part")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_q20_lineitem")
+    _t(spark, sf, "orders").createOrReplaceTempView("_q20_orders")
+    return spark.sql(
+        """
+        SELECT s_name, round(s_acctbal + 1e-9, 2) AS bal
+        FROM _q20_supplier
+        WHERE s_suppkey IN (
+            SELECT sp.l_suppkey
+            FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+                  FROM _q20_lineitem GROUP BY l_suppkey, l_partkey) sp
+            WHERE sp.l_partkey IN (SELECT p_partkey FROM _q20_part
+                                   WHERE p_name = 'small ring')
+              AND (SELECT sum(l2.l_quantity)
+                   FROM _q20_lineitem l2
+                   JOIN _q20_orders o ON l2.l_orderkey = o.o_orderkey
+                   WHERE l2.l_partkey = sp.l_partkey
+                     AND l2.l_suppkey = sp.l_suppkey
+                     AND o.o_orderdate >= DATE '2001-01-01')
+                  > 0.9 * sp.total_qty)"""
+    )
+
+
 def q_try_funcs(spark, sf):  # ANSI-safe error-handling scalar surface:
     # this engine runs with spark.sql.ansi.enabled=true, so the try_*
     # family is the sanctioned way to get null-on-error semantics
@@ -1642,6 +1798,64 @@ def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
             F.count(F.lit(1)).alias("n_ngram_rows"),
             F.sum("cnt").alias("total_ngrams"),
         )
+    )
+
+
+def q_byte_kernel_fixture(spark, sf):  # the eth byte-kernels on the
+    # UPSTREAM GOLDEN fixture (tests/data/bytecodes.csv, credited to
+    # gsalzer/ethutils via the reference's test corpus) — gives the
+    # skeleton/keccak/ngram family a driver-visible correctness row (they
+    # were previously certified only by unit goldens; the synthetic tables
+    # have no chain-shaped bytes). The ORACLE is the expected-output table:
+    # skeleton_md5 is derived from the upstream bytecodes_skeleton.csv at
+    # oracle-generation time (trailing-zero-trimmed — codeid 3's upstream
+    # golden trims one trailing zero byte the reference algorithm keeps,
+    # see tests/test_kernels.py); skeleton_keccak and the ngram counts are
+    # engine-pinned literals whose absolute anchoring is the known-vector
+    # keccak tests and the hand-computed ngram tests in tests/.
+    import os
+
+    from eth2dgraph_spark.functions.keccak import keccak256_udf
+    from eth2dgraph_spark.functions.ngrams import ngram_rows
+    from eth2dgraph_spark.functions.skeleton import skeleton_udf
+
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    raw = (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .csv(os.path.join(data, "bytecodes.csv"))
+    )
+    frame = raw.select(
+        F.col("codeid").cast("long").alias("codeid"),
+        F.when(F.col("code").startswith("0x"), F.col("code"))
+        .otherwise(F.concat(F.lit("0x"), F.col("code")))
+        .alias("code"),
+    )
+    enriched = (
+        frame.withColumn("skeleton", skeleton_udf(F.col("code")))
+        .withColumn("skeleton_keccak", keccak256_udf(F.col("skeleton")))
+        .persist()
+    )
+    ng = (
+        ngram_rows(enriched, id_col="codeid", code_col="skeleton")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngram_rows"),
+            F.sum("cnt").alias("total_ngrams"),
+        )
+    )
+    return (
+        enriched.select(
+            "codeid",
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace("skeleton", "^0x", ""), "0+$", ""
+                )
+            ).alias("skeleton_md5"),
+            "skeleton_keccak",
+        )
+        .join(ng, enriched["codeid"] == ng["id"])
+        .select("codeid", "skeleton_md5", "skeleton_keccak", "n_ngram_rows", "total_ngrams")
     )
 
 
@@ -2320,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "shard_assign": q_shard_assign,
         "kcore_2rounds": q_kcore_2rounds,
+        "coreness_capped": q_coreness_capped,
         "modularity": q_modularity,
         "format_roundtrips": q_format_roundtrips,
         # --- code CHANGED since last driver row (r8: ivf_index
@@ -2369,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
+        "small_qty_avg": q_small_qty_avg,
+        "recent_part_suppliers": q_recent_part_suppliers,
         "unpivot_metrics": q_unpivot_metrics,
         "try_funcs": q_try_funcs,
         "regexp_funcs": q_regexp_funcs,
@@ -2382,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_clean": q_substring_clean,
         "quality_clf": q_quality_clf,
         "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
+        "byte_kernel_fixture": q_byte_kernel_fixture,
         "bm25_topk": q_bm25_topk,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
@@ -2422,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_window": q_value_window,
         "cms_topk": q_cms_topk,
         "windowed_stream": q_windowed_stream,
+        "windowed_append": q_windowed_append,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -2921,6 +3141,41 @@ def _wordpiece_encode_oracle() -> str:
         GROUP BY t.doc_id"""
 
 
+def _coreness_oracle(max_k: int = 4, rounds: int = 2) -> str:
+    """Unrolled layered-peeling replica of coreness(max_k, rounds_per_layer)
+    on the customer-supplier graph: per layer k, `rounds` fixed peel blocks
+    (degree agg + both-endpoint membership filter — the kcore_2rounds
+    block); each layer's dropped node set labels k-1, survivors of the
+    last layer label max_k."""
+    parts = [
+        "e AS (SELECT DISTINCT least('c' || o_custkey, 's' || l_suppkey) AS u, "
+        "greatest('c' || o_custkey, 's' || l_suppkey) AS v "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "a1 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "s1 AS (SELECT DISTINCT u FROM a1)",
+    ]
+    prev = "a1"
+    for k in range(2, max_k + 1):
+        for r in range(1, rounds + 1):
+            d, kk, a = f"d{k}_{r}", f"k{k}_{r}", f"a{k}_{r}"
+            parts.append(f"{d} AS (SELECT u, count(*) AS deg FROM {prev} GROUP BY u)")
+            parts.append(f"{kk} AS (SELECT u FROM {d} WHERE deg >= {k})")
+            parts.append(
+                f"{a} AS (SELECT t.u, t.v FROM {prev} t "
+                f"WHERE t.u IN (SELECT u FROM {kk}) "
+                f"AND t.v IN (SELECT u FROM {kk}))"
+            )
+            prev = a
+        parts.append(f"s{k} AS (SELECT DISTINCT u FROM {prev})")
+    selects = [
+        f"SELECT u AS node, {k}::BIGINT AS coreness FROM s{k} "
+        f"WHERE u NOT IN (SELECT u FROM s{k + 1})"
+        for k in range(1, max_k)
+    ]
+    selects.append(f"SELECT u AS node, {max_k}::BIGINT AS coreness FROM s{max_k}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
 def _pq_topk_oracle(m: int = 8, dsub: int = 8, ksub: int = 8, k: int = 10) -> str:
     """DuckDB replica of pq.pq_topk under the pinned iters=0 codebook:
     init = first-ksub STRING-ordered vec_ids' vectors sliced per subspace
@@ -3047,6 +3302,96 @@ def _bpe_encode_oracle() -> str:
         SELECT d.doc_id AS id, COALESCE(a.n_words, 0)::BIGINT AS n_words,
                COALESCE(a.nb, 0)::BIGINT AS n_bpe_tokens
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+# engine pins for byte_kernel_fixture: keccak256(skeleton bytes) and the
+# 5-gram stats per fixture codeid. Absolute anchoring: keccak known-vector
+# tests (tests/test_kernels.py, batch==scalar) and the hand-computed ngram
+# tests; the skeleton itself is NOT pinned here — its md5 is derived from
+# the upstream golden CSV at oracle-generation time.
+_BYTE_KERNEL_PINS = {
+    "1": ("0x572e8db1c4a65becd4fbdc48d122b438eb27d2862ac05d27a3027616828e0b92", 8290, 14345),
+    "2": ("0xcd15d59f8e0222c83794b4ecad4b1cb72efb2c91183dd7d79214eb0d1976ed0f", 2756, 8883),
+    "3": ("0x91d0ffe2370450748cf179a9caf9d3849216f26c2edef92e667a1752fd6c7337", 4035, 16671),
+    "4": ("0xd17c4ae305f65aced2c3adf53fc1a91bd8647fdb75320635aea5dd5e54bd736e", 973, 1833),
+    "5": ("0xc8f78dc3ebace2ead18a24b5a68cf6eb53a7fe4b5828350dcb428c3eaec9ebfe", 2374, 7571),
+}
+
+
+def _byte_kernel_fixture_oracle() -> str:
+    """Expected-output table for byte_kernel_fixture: skeleton_md5 read
+    from the UPSTREAM golden skeleton CSV (trailing-zero-trimmed, utf-8
+    md5 of the un-prefixed hex), keccak/ngram columns from the anchored
+    engine pins above."""
+    import csv
+    import hashlib
+    import os
+
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data")
+    rows = []
+    with open(os.path.join(data, "bytecodes_skeleton.csv")) as f:
+        for row in csv.DictReader(f, delimiter=";"):
+            cid = row["codeid"]
+            if cid not in _BYTE_KERNEL_PINS:
+                continue
+            sk = row["skeleton"].removeprefix("0x").rstrip("0")
+            kec, n_rows, total = _BYTE_KERNEL_PINS[cid]
+            rows.append(
+                f"({cid}, '{hashlib.md5(sk.encode()).hexdigest()}', "
+                f"'{kec}', {n_rows}, {total})"
+            )
+    return (
+        "SELECT codeid::BIGINT AS codeid, skeleton_md5, skeleton_keccak, "
+        "n_ngram_rows::BIGINT AS n_ngram_rows, total_ngrams::BIGINT AS total_ngrams "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(codeid, skeleton_md5, "
+        "skeleton_keccak, n_ngram_rows, total_ngrams)"
+    )
+
+
+def _bpe_merges_oracle(rounds: int = 2, min_pair_freq: int = 2) -> str:
+    """DuckDB replica of bpe.bpe_train(num_merges=rounds): word counts ->
+    guarded-delimiter token strings (chr(2)||tok||chr(3) — the bpe_encode
+    oracle's representation) -> per round: adjacent-pair frequencies
+    weighted by word count, argmax by (freq DESC, left, right), then ONE
+    replace() that performs the greedy left-to-right non-overlap merge.
+    Round k emits its merge row only if every round <= k passed the
+    min_pair_freq early-stop, mirroring the trainer's break."""
+    d2, d3 = "chr(2)", "chr(3)"
+    parts = [
+        "wc AS (SELECT w AS word, count(*) AS cnt FROM ("
+        f"SELECT unnest(list_filter(string_split({_NORM}, ' '), "
+        "x -> len(x) > 0)) AS w FROM documents) GROUP BY w)",
+        # s0: every char a guarded token, plus the end-of-word marker
+        f"t0 AS (SELECT word, cnt, {d2} || array_to_string(string_split(word, ''), "
+        f"{d3} || {d2}) || {d3} || {d2} || '</w>' || {d3} AS s FROM wc)",
+    ]
+    for r in range(1, rounds + 1):
+        prev, lst, b, t = f"t{r - 1}", f"l{r}", f"b{r}", f"t{r}"
+        parts.append(
+            f"{lst} AS (SELECT cnt, list_transform(string_split(s, {d3} || {d2}), "
+            f"x -> replace(replace(x, {d2}, ''), {d3}, '')) AS lst FROM {prev})"
+        )
+        parts.append(
+            f"{b} AS (SELECT lst[i.i] AS lft, lst[i.i + 1] AS rgt, "
+            f"sum(cnt) AS freq FROM {lst}, "
+            "UNNEST(range(1, greatest(len(lst) - 1, 0) + 1)) AS i(i) "
+            "GROUP BY lft, rgt ORDER BY freq DESC, lft, rgt LIMIT 1)"
+        )
+        parts.append(
+            f"{t} AS (SELECT word, cnt, replace(s, "
+            f"{d2} || b.lft || {d3} || {d2} || b.rgt || {d3}, "
+            f"{d2} || b.lft || b.rgt || {d3}) AS s FROM {prev}, {b} b)"
+        )
+    selects = []
+    for r in range(1, rounds + 1):
+        guards = " AND ".join(
+            f"(SELECT freq FROM b{q}) >= {min_pair_freq}" for q in range(1, r + 1)
+        )
+        selects.append(
+            f"SELECT {r - 1}::BIGINT AS rank, lft AS \"left\", rgt AS \"right\", "
+            f"freq::BIGINT AS freq FROM b{r} WHERE {guards}"
+        )
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _substring_oracle(w: int, keep_first: bool, clean: bool) -> str:
@@ -3220,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a""",
         # two unrolled peel rounds; u < v canonicalization matches
         # _canonical_undirected + least/greatest in graph.k_core
+        "coreness_capped": _coreness_oracle(max_k=4, rounds=2),
         "kcore_2rounds": """
             WITH e AS (SELECT DISTINCT least('c' || o_custkey, 's' || l_suppkey) AS u,
                               greatest('c' || o_custkey, 's' || l_suppkey) AS v
@@ -3504,6 +3850,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*)::BIGINT AS cnt, round(avg(value) + 1e-9, 6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        # original events only (Spark drops every injected late duplicate),
+        # windows closed by the final watermark (global max ts - 2h) only
+        "windowed_append": """
+            WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+            SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*)::BIGINT AS cnt, round(avg(value) + 1e-9, 6) AS avg_value
+            FROM events, wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+            GROUP BY 1, 2""",
         "cosine_one_vs_all": f"""
             WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
             sh AS (SELECT id, array_to_string(w[i.i:i.i+2],' ') AS shingle
@@ -4085,6 +4440,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "small_qty_avg": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+            GROUP BY p_brand""",
+        "recent_part_suppliers": """
+            SELECT s_name, round(s_acctbal + 1e-9, 2) AS bal
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT sp.l_suppkey
+                FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY l_suppkey, l_partkey) sp
+                WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                                       WHERE p_name = 'small ring')
+                  AND (SELECT sum(l2.l_quantity)
+                       FROM lineitem l2
+                       JOIN orders o ON l2.l_orderkey = o.o_orderkey
+                       WHERE l2.l_partkey = sp.l_partkey
+                         AND l2.l_suppkey = sp.l_suppkey
+                         AND o.o_orderdate >= DATE '2001-01-01')
+                      > 0.9 * sp.total_qty)""",
         "waiting_supplier": """
             SELECT s_name, count(*)::BIGINT AS numwait
             FROM supplier
@@ -4219,6 +4599,8 @@ def oracle_sql() -> dict[str, str]:
         # guarded-delimiter replaces == the kernel's priority-greedy loop
         # on valid tables)
         "bpe_encode": _bpe_encode_oracle(),
+        "bpe_merges": _bpe_merges_oracle(rounds=2),
+        "byte_kernel_fixture": _byte_kernel_fixture_oracle(),
         # lexical BM25 top-k over the literal query workload
         "bm25_topk": _bm25_oracle(),
         # MOSS partial-overlap pairs: the winnow_fp CTE machinery at

@@ -501,6 +501,106 @@ def k_core(
     )
 
 
+def coreness(
+    edges: DataFrame,
+    max_k: "int | None" = None,
+    rounds_per_layer: "int | None" = None,
+    max_iters: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Per-node coreness (core number): the largest k such that the node
+    belongs to the k-core — the standard deliverable of k-core
+    decomposition (Seidman, Social Networks 1983; Batagelj & Zaveršnik's
+    sequential O(m) peel is inherently serial, so the distributed form is
+    layered peeling: run the k_core peel for k = 2, 3, ... and label each
+    node with the last k whose core it survived). Returns (node, coreness)
+    for every node with degree >= 1; coreness >= 1 by construction.
+
+    Two modes:
+    - exact (max_k=None): peel each layer to its fixpoint (one count
+      action per peel round, the k_core loop) and stop when the graph
+      empties. Layer count = degeneracy of the graph; per-layer frames are
+      lineage-cut so the final union of <= kmax small anti-join layers
+      stays shallow.
+    - capped / fixed-shape (max_k=K, rounds_per_layer=R): exactly K-1
+      layers of exactly R peel rounds each, no data-dependent driver
+      DECISIONS (no fixpoint counts) — a deterministic plan shape, which
+      is what the cross-engine `coreness_capped` gate unrolls in SQL.
+      Survivors of the K-layer are labeled K (meaning "coreness >= K").
+      Equals the exact answer truncated at K whenever every layer settles
+      within R rounds (an extra peel round after convergence is the
+      identity — the kcore_2rounds argument).
+
+    At 100 TB the cost profile is the k_core loop's per layer: one degree
+    aggregation + two semi-joins per round, all on the shrinking doubled
+    edge list; no driver state beyond loop counters."""
+    if rounds_per_layer is not None and max_k is None:
+        raise ValueError("rounds_per_layer requires max_k (fixed-shape mode)")
+    e = (
+        _canonical_undirected(edges, src, dst)
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    doubled = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Both modes cut lineage per peel round. MEASURED AND REJECTED: running
+    # fixed-shape mode fully lazy (no cuts, "let ReusedExchange handle it")
+    # — each peel block references its predecessor 3x (degree source + two
+    # semi-join probes), so the logical plan TREE grows 3^rounds and the
+    # 3x2-block gate went 60s -> 600s+ timeout at sf0.01. The per-round
+    # localCheckpoint is what keeps the plan linear in rounds.
+    cur = _truncator(doubled, checkpoint_dir)
+    nodes_prev = cur.select("u").distinct()
+    layers: "list[DataFrame]" = []
+    k = 1
+    while True:
+        k += 1
+        n: "int | None" = None
+        if rounds_per_layer is not None:
+            for _ in range(rounds_per_layer):
+                deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                keep = deg.filter(F.col("deg") >= k).select("u")
+                cur = _truncator(
+                    cur.join(keep, "u", "left_semi").join(
+                        keep.select(F.col("u").alias("v")), "v", "left_semi"
+                    ),
+                    checkpoint_dir,
+                )
+        else:
+            prev_n: "int | None" = None
+            for _ in range(max_iters):
+                deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                keep = deg.filter(F.col("deg") >= k).select("u")
+                n = keep.count()
+                if prev_n is not None and n == prev_n:
+                    break
+                prev_n = n
+                cur = _truncator(
+                    cur.join(keep, "u", "left_semi").join(
+                        keep.select(F.col("u").alias("v")), "v", "left_semi"
+                    ),
+                    checkpoint_dir,
+                )
+        if n == 0:  # exact mode: k-core empty -> everyone left was (k-1)-core
+            layers.append(nodes_prev.withColumn("coreness", F.lit(k - 1)))
+            break
+        nodes_now = cur.select("u").distinct()
+        layers.append(
+            nodes_prev.join(nodes_now, "u", "left_anti").withColumn(
+                "coreness", F.lit(k - 1)
+            )
+        )
+        nodes_prev = nodes_now
+        if max_k is not None and k == max_k:
+            layers.append(nodes_now.withColumn("coreness", F.lit(max_k)))
+            break
+    out = layers[0]
+    for extra in layers[1:]:
+        out = out.unionByName(extra)
+    return out.select(F.col("u").alias("node"), F.col("coreness").cast("long"))
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -83,6 +83,48 @@ def execute_stream_to_batch(
     return spark.table(name)
 
 
+def execute_stream_append(
+    stream_df: DataFrame,
+    checkpoint_dir: "str | None" = None,
+    query_name: "str | None" = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Physically execute a watermarked streaming aggregation in APPEND
+    mode over the currently available data (trigger=availableNow) into a
+    memory sink and return the appended rows. Unlike the complete-mode
+    bridge above, append mode exercises the watermark's two REAL effects:
+    (1) rows later than the watermark at their micro-batch are dropped
+    before the aggregation, and (2) a window is emitted exactly once,
+    when the watermark passes its end — so tail windows newer than
+    (max event time - delay) are withheld from the result. availableNow
+    runs a final no-data micro-batch after the last file, which advances
+    the watermark to (global max - delay) and flushes every closed
+    window; the emitted set is therefore deterministic given ordered
+    input files, independent of wall-clock."""
+    import uuid
+
+    spark = stream_df.sparkSession
+    name = query_name or f"stream_append_{uuid.uuid4().hex[:8]}"
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(f"stream {name} did not finish within {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.lastProgress is None:
+        raise RuntimeError(f"stream {name} terminated without making progress")
+    return spark.table(name)
+
+
 def session_windows(
     events: DataFrame,
     key_col: str,

@@ -297,6 +297,78 @@ def test_k_core_known_graph_and_reference(spark):
         assert a == b
 
 
+def test_coreness_known_graph_and_reference(spark):
+    """Triangle + pendant chain: triangle vertices have coreness 2, the
+    chain coreness 1. Randomized graphs pin exact (fixpoint) coreness
+    against a pure-Python layered peeler; the capped fixed-shape mode
+    must equal the exact answer truncated at max_k whenever each layer
+    settles within rounds_per_layer."""
+    import random
+
+    from eth2dgraph_spark.graph import coreness
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(tri, "src string, dst string")
+    got = {(r["node"], r["coreness"]) for r in coreness(e).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2), ("d", 1), ("e", 1)}
+
+    def ref_coreness(pairs):
+        live: dict[str, set] = {}
+        for u, v in pairs:
+            if u != v:
+                live.setdefault(u, set()).add(v)
+                live.setdefault(v, set()).add(u)
+        core: dict[str, int] = {}
+        k = 1
+        while live:
+            k += 1
+            while True:
+                drop = [n for n, s in live.items() if len(s) < k]
+                if not drop:
+                    break
+                for n in drop:
+                    for m in live.pop(n):
+                        live[m].discard(n)
+                    core[n] = k - 1
+        return set(core.items())
+
+    rng = random.Random(43)
+    for trial in range(3):
+        pairs = list(
+            {(f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}") for _ in range(50)}
+        )
+        pairs = [(u, v) for u, v in pairs if u != v]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        exact = {(r["node"], r["coreness"]) for r in coreness(df).collect()}
+        assert exact == ref_coreness(pairs), trial
+        # capped mode == exact truncated at max_k (20 rounds/layer is far
+        # past any layer's settle depth on a 20-node graph)
+        want_capped = {(n, min(c, 2)) for n, c in exact}
+        got_capped = {
+            (r["node"], r["coreness"])
+            for r in coreness(df, max_k=2, rounds_per_layer=20).collect()
+        }
+        assert got_capped == want_capped, trial
+
+    # every node appears exactly once (the layers partition the node set)
+    rows = coreness(e).collect()
+    assert len(rows) == len({r["node"] for r in rows}) == 5
+
+    # fixed-shape mode requires max_k
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coreness(e, rounds_per_layer=2)
+
+    # reliable-checkpoint parity (the _truncator contract)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ck:
+        a = {tuple(r) for r in coreness(e).collect()}
+        b = {tuple(r) for r in coreness(e, checkpoint_dir=ck).collect()}
+        assert a == b
+
+
 def test_modularity_known_values_and_reference(spark):
     """Two triangles joined by one bridge edge under the natural
     partition: hand-computed Q terms; a merged-into-one partition scores

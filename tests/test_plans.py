@@ -127,7 +127,13 @@ def test_correlated_shapes_decorrelate_to_hash_joins(spark):
     physical plan."""
     import __spark_entry__ as E
 
-    for name in ("waiting_supplier", "lateral_topk", "min_cost_lineitem"):
+    for name in (
+        "waiting_supplier",
+        "lateral_topk",
+        "min_cost_lineitem",
+        "small_qty_avg",  # Q17: correlated AVG scalar per part
+        "recent_part_suppliers",  # Q20: nested semi chain + 2-col correlated SUM
+    ):
         p = plan_of(E.queries()[name](spark, SF), "simple")
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name

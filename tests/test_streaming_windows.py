@@ -247,3 +247,80 @@ def test_execute_stream_to_batch_equals_batch(spark, tmp_path):
             ),
             query_name="wbs_gate_missing",
         )
+
+
+def _ordered_landing(spark, tmp_path, batches, schema):
+    """Write each batch as one parquet file with strictly increasing
+    mtimes so the file stream source replays them in order."""
+    import os
+    import time
+
+    landing = tmp_path / "landing"
+    for i, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"b{i}")
+        )
+    now = int(time.time())
+    for i in range(1, len(batches) + 1):
+        d = str(landing / f"b{i}")
+        mt = now - 300 + i * 30
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    return os.path.join(str(landing), "*")
+
+
+def test_append_mode_late_row_merge_vs_drop(spark, tmp_path):
+    """Pin the MEASURED append-mode watermark semantics the windowed_append
+    gate depends on: a late row merges into its window while that window's
+    state is still live (arrives ONE batch after the watermark passed it),
+    and is dropped only once the window was evicted in an earlier batch
+    (arrives TWO batches after). Append mode stays exactly-once in both
+    cases — the recreated-state double-emission never happens."""
+    from eth2dgraph_spark.streaming.windows import execute_stream_append
+
+    schema = "k string, ts timestamp"
+
+    def run(batches, name):
+        glob = _ordered_landing(spark, tmp_path / name, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("s"), "k", "cnt")
+        )
+        out = execute_stream_append(
+            agg,
+            checkpoint_dir=str(tmp_path / name / "ckpt"),
+            query_name=f"append_{name}",
+        )
+        return {(r["s"], r["k"]): r["cnt"] for r in out.collect()}
+
+    h = dt.timedelta(hours=1)
+    # 2 batches: late row (T0+5min) lands while window T0's state is live
+    got = run(
+        [
+            [("x", T0), ("x", T0 + 10 * h)],
+            [("x", T0 + dt.timedelta(minutes=5)), ("x", T0 + 10 * h + dt.timedelta(minutes=1))],
+        ],
+        "merge",
+    )
+    assert got[(T0, "x")] == 2  # merged, not dropped
+
+    # 3 batches: window T0 evicted at the end of batch 2; the late row in
+    # batch 3 is dropped and T0's window is NOT re-emitted
+    got = run(
+        [
+            [("x", T0), ("x", T0 + 10 * h)],
+            [("x", T0 + 20 * h)],
+            [("x", T0 + dt.timedelta(minutes=5)), ("x", T0 + 30 * h)],
+        ],
+        "drop",
+    )
+    assert got[(T0, "x")] == 1  # dropped; emitted exactly once
+    # holdback: the tail window (30h) is newer than max - 2h -> withheld
+    assert (T0 + 30 * h, "x") not in got
