@@ -2,12 +2,15 @@
 
 Codec availability is a FEATURE FLAG per modality: Pillow for images,
 soundfile for audio, PyAV for video. On a real cluster with the codec
-installed the decode kernels run it; in this container (no codec libraries)
-they fall back to a deterministic stub that preserves the full Spark-side
-contract — schemas, Arrow batch shapes, mapInPandas signatures and
-partitioning are identical in both modes, and `decode_ok` records which path
-produced each row ('ok' | 'stubbed' | 'error'). Tests cover both modes by
-injecting the decoder callable.
+installed the decode kernels run it. For IMAGES the fallback is itself a
+REAL codec: the pure-stdlib PNG decoder (functions/png.py — zlib+struct,
+all five scanline filters), so one genuine container format decodes
+end-to-end in every environment, no pip required; non-PNG payloads degrade
+to 'error' rows. Audio/video fall back to a deterministic stub that
+preserves the full Spark-side contract — schemas, Arrow batch shapes,
+mapInPandas signatures and partitioning are identical in all modes, and
+`decode_ok` records which path produced each row ('ok' | 'stubbed' |
+'error'). Tests cover every mode by injecting the decoder callable.
 
 Driver/worker mismatch safety: the flags above are the DRIVER's view, used
 only to pick the plan; the kernels re-import the codec on the WORKER, and a
@@ -120,13 +123,33 @@ def _decode_image_pil(payload: bytes | None) -> np.ndarray:
     return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
 
 
+def _decode_image_png(payload: bytes | None) -> np.ndarray:
+    """Real codec path with ZERO external dependencies: the pure-stdlib PNG
+    decoder (functions/png.py — zlib+struct+numpy, 8-bit non-interlaced
+    gray/RGB/RGBA with all five scanline filters). Decode, Rec.601
+    luminance, block-mean pool to a 4x4 grid -> 16-dim feature in [0, 1] —
+    the same shape/dtype contract as the Pillow path. Non-PNG or
+    unsupported payloads raise, so decode_features marks the row 'error'
+    (data, not a crash)."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    from eth2dgraph_spark.functions.png import decode_png, luminance
+
+    lum = luminance(decode_png(payload))
+    return (_pool_mean(lum, 4) / 255.0).astype(np.float32).reshape(16)
+
+
 def default_image_decoder() -> tuple[Callable[[bytes | None], np.ndarray], str]:
     """(decoder, decode_ok label) by feature flag — resolved on the DRIVER at
     plan-build time so the chosen callable is captured in the kernel closure
-    (worker processes re-import modules; late-bound flags would not stick)."""
+    (worker processes re-import modules; late-bound flags would not stick).
+    Pillow when present (any format); otherwise the stdlib PNG codec — a
+    REAL container-bytes decode path in every environment, labeled 'ok'.
+    The byte-histogram stub remains available by explicit injection
+    (_decode_image_stub) for format-agnostic smoke plumbing."""
     if HAS_PIL:
         return _decode_image_pil, "ok"
-    return _decode_image_stub, "stubbed"
+    return _decode_image_png, "ok"
 
 
 def decode_features(
@@ -311,11 +334,12 @@ def phash_features(
 ) -> DataFrame:
     """(asset_id, phash, decode_ok) for image assets: decode payload ->
     grayscale pixel array -> phash64. The decoder contract returns a 2D
-    array; by default the Pillow path when available, else a deterministic
-    stub (payload bytes tiled into a dct_size² grid — NOT a perceptual
-    decode, but it keeps the full Spark-side plumbing executable and
-    'stubbed'-labeled in codec-free containers, the decode_features
-    discipline)."""
+    array; by default the Pillow path when available (any format), else
+    the pure-stdlib PNG codec (functions/png.py) — a REAL perceptual
+    decode in every environment; non-PNG payloads degrade to 'error'
+    rows. (The old byte-tiling stub is gone from the default chain: it
+    hashed arbitrary bytes, not pixels — inject a decoder explicitly for
+    format-agnostic plumbing smoke tests.)"""
     if pixel_decoder is None:
         if HAS_PIL:
             def pixel_decoder(payload):  # noqa: F811 — flag-resolved default
@@ -331,13 +355,11 @@ def phash_features(
             def pixel_decoder(payload):  # noqa: F811
                 if not payload:
                     return np.zeros((dct_size, dct_size), dtype=np.float64)
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                reps = -(-(dct_size * dct_size) // max(len(arr), 1))
-                return np.tile(arr, reps)[: dct_size * dct_size].reshape(
-                    dct_size, dct_size
-                )
+                from eth2dgraph_spark.functions.png import decode_png, luminance
 
-            ok_label, probe = "stubbed", None
+                return luminance(decode_png(payload))
+
+            ok_label, probe = "ok", None
     else:
         ok_label, probe = "ok", None
 

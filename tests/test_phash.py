@@ -86,19 +86,32 @@ def test_phash_near_pairs_banding(spark):
     assert p["hamming"] == _ham(ha, hb)
 
 
-def test_phash_features_stub_and_error(spark):
+def test_phash_features_real_png_and_error(spark):
+    # the default pixel path is a REAL decode in every environment (Pillow
+    # if present, else the stdlib PNG codec): a genuine PNG hashes 'ok' and
+    # deterministically; garbage bytes are a data error on every path
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
     df = spark.createDataFrame(
-        [(0, bytearray(b"some image bytes here" * 50)), (1, None)],
+        [(0, bytearray(encode_png(img))),
+         (1, None),
+         (2, bytearray(b"some image bytes here" * 50))],
         "asset_id long, payload binary",
     )
     got = {r["asset_id"]: r for r in mm.phash_features(df, dct_size=8).collect()}
-    label = "ok" if mm.HAS_PIL else "stubbed"
-    # payload 0 decodes via flag path; in this container the stub tiles
-    # bytes into the pixel grid (plumbing real, decode faked — labeled)
-    if not mm.HAS_PIL:
-        assert got[0]["decode_ok"] == label and got[0]["phash"] is not None
+    assert got[0]["decode_ok"] == "ok" and got[0]["phash"] is not None
+    # the hash equals phash64 on the decoded luminance (grayscale PNG: the
+    # pixels themselves) — the Spark kernel adds nothing to the math
+    assert got[0]["phash"] == mm.signed64(
+        mm.phash64(img.astype(np.float64), hash_size=8, dct_size=8)
+    )
     # empty payload -> all-zero image -> still hashes (flat image)
     assert got[1]["phash"] is not None
+    assert got[2]["decode_ok"] == "error" and got[2]["phash"] is None
     # an injected decoder that raises marks the row 'error', not the job
     def bad(_payload):
         raise RuntimeError("boom")

@@ -454,23 +454,27 @@ def test_fingerprint_stable(spark):
 
 
 def test_multimodal_decode_plumbing(spark):
-    rows = [(1, "image", "image/png", bytearray(b"\x89PNG fake"), 2, 2, None),
-            (2, "video", "video/mp4", bytearray(b"\x00mp4 fake"), None, None, 3500)]
+    # the default image path is a REAL codec in every environment (Pillow
+    # if present, else the stdlib PNG decoder): a genuine PNG payload
+    # decodes 'ok', garbage payloads are data errors on every path
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import encode_png
+
+    png_bytes = bytearray(encode_png(np.full((8, 8), 128, dtype=np.uint8)))
+    rows = [(1, "image", "image/png", png_bytes, 8, 8, None),
+            (2, "video", "video/mp4", bytearray(b"\x00mp4 fake"), None, None, 3500),
+            (3, "image", "image/png", bytearray(b"\x89PNG fake"), 2, 2, None)]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
-    feats = multimodal.decode_features(assets).collect()
-    assert len(feats) == 2
-    expected = "ok" if multimodal.HAS_PIL else "stubbed"
-    if multimodal.HAS_PIL:
-        # fake PNG bytes don't decode -> real codec flags them as data errors
-        assert all(r["decode_ok"] in ("ok", "error") for r in feats)
-    else:
-        assert all(len(r["feature"]) == 16 for r in feats)
-        assert all(r["decode_ok"] == expected for r in feats)
-        # deterministic fallback: same payload -> same feature
-        again = multimodal.decode_features(assets).collect()
-        assert sorted((r["asset_id"], tuple(r["feature"])) for r in feats) == sorted(
-            (r["asset_id"], tuple(r["feature"])) for r in again
-        )
+    got = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    assert got[1]["decode_ok"] == "ok"
+    # flat 128-gray image pools to 128/255 in all 16 cells
+    assert got[1]["feature"] == pytest.approx([128.0 / 255.0] * 16)
+    assert got[2]["decode_ok"] == "error" and got[2]["feature"] is None
+    assert got[3]["decode_ok"] == "error" and got[3]["feature"] is None
+    # deterministic: same payloads -> same features on a re-run
+    again = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    assert got[1]["feature"] == again[1]["feature"]
 
 
 def test_multimodal_injected_codec_mode(spark):
