@@ -96,6 +96,9 @@ HEADLINE = [
     "nation_flows",
     "rank_funcs",
     "byte_kernels",
+    # round-9 additions: the BPE trainer's merge table (2 distributed-or-
+    # local rounds over the vocab) — extra beyond the comparable subtotal
+    "bpe_merges",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -106,6 +109,9 @@ HEADLINE = [
     "pagerank_ranks",
     "kcore_2rounds",
     "modularity",
+    # round-9: layered-peeling coreness (capped fixed-shape) — also a
+    # localCheckpoint query, same end-of-run placement policy
+    "coreness_capped",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -125,6 +131,8 @@ COMPARABLE_29 = [
     "shard_assign",
     "kcore_2rounds",
     "modularity",
+    "bpe_merges",
+    "coreness_capped",
     }
 ]
 
