@@ -1694,6 +1694,60 @@ def q_recent_part_suppliers(spark, sf):  # TPC-H Q20 shape: nested semi-join
     )
 
 
+def q_market_share(spark, sf):  # TPC-H Q8 shape: 7-table join chain
+    # (lineitem-orders-customer-nation-region + supplier-nation under an
+    # alias) feeding a conditional-sum-over-sum ratio per year — the
+    # classic "market share" rollup. One nation's share of ASIA-region
+    # order volume by order year; the slimmed schema drops Q8's part
+    # filter but keeps the double nation join and the ratio shape intact.
+    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier"):
+        _t(spark, sf, t).createOrReplaceTempView(f"_q8_{t}")
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN s_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume) + 1e-9, 6) AS mkt_share,
+               count(*) AS n_lines
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS s_nation
+              FROM _q8_lineitem
+              JOIN _q8_orders   ON l_orderkey = o_orderkey
+              JOIN _q8_customer ON o_custkey = c_custkey
+              JOIN _q8_nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN _q8_region   ON n1.n_regionkey = r_regionkey
+                                AND r_name = 'ASIA'
+              JOIN _q8_supplier ON l_suppkey = s_suppkey
+              JOIN _q8_nation n2 ON s_nationkey = n2.n_nationkey) v
+        GROUP BY o_year"""
+    )
+
+
+def q_nation_profit(spark, sf):  # TPC-H Q9 shape: multi-join with a LIKE
+    # part filter and a computed profit measure, grouped by (nation,
+    # year). The slimmed schema has no partsupp/ps_supplycost, so cost is
+    # proxied by p_retailprice * quantity * 0.1 — the join tree (lineitem
+    # x supplier x part x orders x nation) and the year/nation rollup are
+    # the Q9 skeleton.
+    for t in ("lineitem", "orders", "part", "nation", "supplier"):
+        _t(spark, sf, t).createOrReplaceTempView(f"_q9_{t}")
+    return spark.sql(
+        """
+        SELECT nation, o_year, round(sum(amount) + 1e-9, 2) AS sum_profit
+        FROM (SELECT n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity * 0.1 AS amount
+              FROM _q9_lineitem
+              JOIN _q9_supplier ON l_suppkey = s_suppkey
+              JOIN _q9_part     ON l_partkey = p_partkey
+              JOIN _q9_orders   ON l_orderkey = o_orderkey
+              JOIN _q9_nation   ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%gear%') v
+        GROUP BY nation, o_year"""
+    )
+
+
 def q_try_funcs(spark, sf):  # ANSI-safe error-handling scalar surface:
     # this engine runs with spark.sql.ansi.enabled=true, so the try_*
     # family is the sanctioned way to get null-on-error semantics
@@ -2501,15 +2555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 6 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 8 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
-    # byte_kernel_fixture, windowed_append — first-ever driver rows beat
-    # staleness refresh); (c) the 7 whose code changed since their last
-    # driver row (wordpiece_encode: zero-row convention in impl AND
-    # oracle; the 6 iterative graph gates sharing _truncator, whose
-    # checkpoint-dir comparison was rewritten); (d) the r6-stale cohort
-    # fills the window — 23 of its 37 fit; the 14-gate overflow is
-    # round 10's leading rotation target (named at the boundary below).
+    # byte_kernel_fixture, windowed_append, market_share, nation_profit —
+    # first-ever driver rows beat staleness refresh); (c) the 7 whose
+    # code changed since their last driver row (wordpiece_encode:
+    # zero-row convention in impl AND oracle; the 6 iterative graph gates
+    # sharing _truncator, whose checkpoint-dir comparison was rewritten);
+    # (d) the r6-stale cohort fills the window — 21 of its 37 fit; the
+    # 16-gate overflow is round 10's leading rotation target (named at
+    # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
     # round-9 notes).
@@ -2531,13 +2586,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 6 gates NEW this round (first-ever driver rows):
+        # (b) the 8 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
         "bpe_merges": q_bpe_merges,
         "byte_kernel_fixture": q_byte_kernel_fixture,
         "windowed_append": q_windowed_append,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
         # (c) code CHANGED since their last (r8) driver row: the
         # wordpiece_encode zero-row convention (impl + oracle), and the 6
         # iterative graph gates sharing _truncator, whose checkpoint-dir
@@ -2549,9 +2606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 23 of its 37 fit
-        # (alphabetical for auditability); the 14-gate overflow below the
-        # boundary (region_revenue, returned_revenue, seq_pack, shipping_priority, ...) is the leading
+        # (d) the r6-stale cohort fills the window: 21 of its 37 fit
+        # (alphabetical for auditability); the 16-gate overflow below the
+        # boundary (pii_redact, pricing_summary, region_revenue,
+        # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
         # sweep recorded in BASELINE.md round-9 notes).
@@ -2576,10 +2634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "pack_texts": q_pack_texts,
         "percentile_disc": q_percentile_disc,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r6-stale overflow (did not fit; round-10 rotation leads with
+        # these — pii_redact and pricing_summary were displaced from the
+        # window by the two late-round Q8/Q9 gates):
         "pii_redact": q_pii_redact,
         "pricing_summary": q_pricing_summary,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r6-stale overflow (did not fit; round-10 rotation leads with these):
         "region_revenue": q_region_revenue,
         "returned_revenue": q_returned_revenue,
         "seq_pack": q_seq_pack,
@@ -4445,6 +4505,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN s_nation = 'NATION_3' THEN volume ELSE 0 END)
+                         / sum(volume) + 1e-9, 6) AS mkt_share,
+                   count(*)::BIGINT AS n_lines
+            FROM (SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n2.n_name AS s_nation
+                  FROM lineitem
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region   ON n1.n_regionkey = r_regionkey
+                                AND r_name = 'ASIA'
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey) v
+            GROUP BY o_year""",
+        "nation_profit": """
+            SELECT nation, o_year, round(sum(amount) + 1e-9, 2) AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         extract(year FROM o_orderdate)::BIGINT AS o_year,
+                         l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.1 AS amount
+                  FROM lineitem
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN part     ON l_partkey = p_partkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  WHERE p_name LIKE '%gear%') v
+            GROUP BY nation, o_year""",
         "small_qty_avg": """
             SELECT p_brand,
                    round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
