@@ -1694,6 +1694,64 @@ def q_recent_part_suppliers(spark, sf):  # TPC-H Q20 shape: nested semi-join
     )
 
 
+def q_stream_join(spark, sf):  # watermarked STREAM-STREAM join physically
+    # executed (the windowed_append sibling): purchases joined to views of
+    # the same user within +/-12h, each side arriving as two ordered
+    # micro-batches (file source, maxFilesPerTrigger=1, pinned mtimes).
+    # The 5-day watermark delay dwarfs the 12h bound, so no cross-boundary
+    # match's buffered state is evicted before its partner arrives
+    # (eviction horizon = delay + within) and the appended match set
+    # EQUALS the batch join — which is the oracle. The join itself runs
+    # with real symmetric stream state, not a batch rewrite; the unit
+    # suite covers the eviction/outer-emission semantics.
+    import os
+    import tempfile
+    import time as _time
+
+    from eth2dgraph_spark.streaming.windows import (
+        execute_stream_append,
+        stream_stream_join,
+    )
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    cut = "2024-01-16 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    sides = {
+        "l": ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+        ),
+        "r": ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+        ),
+    }
+    streams = {}
+    now = int(_time.time())
+    for s, frame in sides.items():
+        landing = os.path.join(tmp, s)
+        ts_col = f"{s}_ts"
+        for i, (lo, hi) in enumerate(((None, cut), (cut, None)), 1):
+            part = frame
+            if lo:
+                part = part.filter(F.col(ts_col) >= lo)
+            if hi:
+                part = part.filter(F.col(ts_col) < hi)
+            sub = os.path.join(landing, f"b{i}")
+            part.coalesce(1).write.parquet(sub)
+            mt = now - 180 + i * 30
+            for fn in os.listdir(sub):
+                os.utime(os.path.join(sub, fn), (mt, mt))
+        streams[s] = (
+            spark.readStream.schema(frame.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(landing, "*"))
+        )
+    joined = stream_stream_join(
+        streams["l"], streams["r"], "user_id", "l_ts", "r_ts",
+        watermark="5 days", within="12 hours",
+    ).select("user_id", "l_id", "r_id")
+    return execute_stream_append(joined, checkpoint_dir=os.path.join(tmp, "ckpt"))
+
+
 def q_market_share(spark, sf):  # TPC-H Q8 shape: 7-table join chain
     # (lineitem-orders-customer-nation-region + supplier-nation under an
     # alias) feeding a conditional-sum-over-sum ratio per year — the
@@ -2555,15 +2613,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 8 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 9 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
-    # byte_kernel_fixture, windowed_append, market_share, nation_profit —
+    # byte_kernel_fixture, windowed_append, market_share, nation_profit,
+    # stream_join —
     # first-ever driver rows beat staleness refresh); (c) the 7 whose
     # code changed since their last driver row (wordpiece_encode:
     # zero-row convention in impl AND oracle; the 6 iterative graph gates
     # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 21 of its 37 fit; the
-    # 16-gate overflow is round 10's leading rotation target (named at
+    # (d) the r6-stale cohort fills the window — 20 of its 37 fit; the
+    # 17-gate overflow is round 10's leading rotation target (named at
     # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2586,7 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 8 gates NEW this round (first-ever driver rows):
+        # (b) the 9 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
@@ -2595,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_append": q_windowed_append,
         "market_share": q_market_share,
         "nation_profit": q_nation_profit,
+        "stream_join": q_stream_join,
         # (c) code CHANGED since their last (r8) driver row: the
         # wordpiece_encode zero-row convention (impl + oracle), and the 6
         # iterative graph gates sharing _truncator, whose checkpoint-dir
@@ -2606,9 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 21 of its 37 fit
-        # (alphabetical for auditability); the 16-gate overflow below the
-        # boundary (pii_redact, pricing_summary, region_revenue,
+        # (d) the r6-stale cohort fills the window: 20 of its 37 fit
+        # (alphabetical for auditability); the 17-gate overflow below the
+        # boundary (percentile_disc, pii_redact, pricing_summary,
         # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
@@ -2633,11 +2693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_flows": q_nation_flows,
         "order_priority": q_order_priority,
         "pack_texts": q_pack_texts,
-        "percentile_disc": q_percentile_disc,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — pii_redact and pricing_summary were displaced from the
-        # window by the two late-round Q8/Q9 gates):
+        # these — percentile_disc, pii_redact and pricing_summary were
+        # displaced from the window by the late-round Q8/Q9/stream_join
+        # gates):
+        "percentile_disc": q_percentile_disc,
         "pii_redact": q_pii_redact,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -4505,6 +4566,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "stream_join": """
+            SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'purchase' AND r.event_type = 'view'
+             AND r.ts BETWEEN l.ts - INTERVAL 12 HOUR
+                          AND l.ts + INTERVAL 12 HOUR""",
         "market_share": """
             SELECT o_year,
                    round(sum(CASE WHEN s_nation = 'NATION_3' THEN volume ELSE 0 END)

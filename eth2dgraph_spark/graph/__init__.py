@@ -558,6 +558,13 @@ def coreness(
         k += 1
         n: "int | None" = None
         if rounds_per_layer is not None:
+            # MEASURED AND REJECTED: cutting lineage once per LAYER instead
+            # of per round (to save eager-action scheduling floors) made the
+            # sf0.1 gate SLOWER — 8.2 s best-of-3 vs 6.4-6.9 s — because the
+            # un-materialized intra-layer chain is referenced 3x by the next
+            # block (degree source + two semi-join probes) and its shuffles
+            # recompute; the saved action floors don't cover that. Per-round
+            # cuts stay.
             for _ in range(rounds_per_layer):
                 deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
                 keep = deg.filter(F.col("deg") >= k).select("u")

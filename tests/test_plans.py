@@ -54,8 +54,11 @@ def test_relational_queries_stay_jvm_side(spark):
 
     # no gate query may use a scalar pandas UDF; Arrow-batched GROUP kernels
     # (FlatMapGroupsInPandas — the blocked-GEMM cosine path) are allowed,
-    # same class as the MapInPandas allowance in the global sweep below
-    arrow_ok = set()
+    # same class as the MapInPandas allowance in the global sweep below.
+    # byte_kernel_fixture is the documented exception: skeleton/keccak are
+    # byte-level kernels Spark SQL cannot express — Arrow-batched scalar
+    # UDFs are exactly the sanctioned path for them (SURVEY §7 hard part b)
+    arrow_ok = {"byte_kernel_fixture"}
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
