@@ -274,3 +274,73 @@ def temperature_sample(
         for r in temperature_mix_rates(df, source_col, alpha, budget).collect()
     }
     return sample_by_source(df, source_col, rates, id_col, salt, default_rate=0.0)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tokmix-v1",
+) -> DataFrame:
+    """Token-budgeted source mixing — the "train on B tokens at these mix
+    weights" knob (the unit real data recipes are written in: GPT-3 Table
+    2.2, LLaMA Table 1 quote per-source token shares, not doc counts; doc
+    counts misallocate whenever sources differ in document length).
+
+    Per source s with normalized weight w_s, keep the md5(id||salt)-ordered
+    PREFIX of documents whose cumulative token count first covers
+    w_s * budget_tokens: a row stays iff the tokens before it (same source,
+    hash order) are still under the source's budget, so each source
+    overshoots by at most one document and a short-doc source contributes
+    MORE documents for the same token share. The hash order makes the kept
+    set a uniform sample of the source (md5 is a PRF of the id — the
+    cap_per_key argument), deterministic across reruns/partitionings/
+    engines, and NESTED in the budget: the kept set at budget B is a
+    subset of the kept set at any B' > B, so scaling a recipe up only adds
+    rows. Sources absent from `weights` are dropped (weight 0).
+
+    Tokens come from `token_col` if given, else the repo's whitespace
+    convention (size(split(trim(text), '\\s+')) — the token_count gate's
+    exact expression, so the DuckDB oracle replays it verbatim).
+
+    Cost: ONE shuffle (a window per source ordered by the 64-bit hash
+    prefix); hot sources spill in WindowExec's group buffer rather than
+    OOM. At 100 TB the running sum is the same single-pass prefix-scan
+    shape cap_per_key uses — no collect, no driver state.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if token_col is None:
+        n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    else:
+        n_tok = F.col(token_col).cast("long")
+    budget = F.lit(None).cast("double")
+    for name, w in weights.items():
+        budget = F.when(
+            F.col(source_col) == name,
+            F.lit(float(w) / total_w * budget_tokens),
+        ).otherwise(budget)
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w_spec = (
+        Window.partitionBy(source_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_tb_n", n_tok)
+        .withColumn("_tb_budget", budget)
+        .withColumn("_tb_cum", F.sum("_tb_n").over(w_spec))
+        .filter(
+            F.col("_tb_budget").isNotNull()
+            & ((F.col("_tb_cum") - F.col("_tb_n")) < F.col("_tb_budget"))
+        )
+        .drop("_tb_budget", "_tb_cum")
+        .withColumnRenamed("_tb_n", "n_tokens_ws")
+    )

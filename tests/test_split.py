@@ -282,3 +282,68 @@ def test_shard_assign_reference_and_stability(spark):
 
     with _pt.raises(ValueError):
         shard_assign(df, n_shards=0)
+
+
+def test_token_budget_mix_prefix_math_and_nesting(spark):
+    """Known-values prefix math (each source overshoots by at most one
+    doc), zero-weight sources dropped, budget NESTING (kept(B) is a
+    subset of kept(B')), token_col override, and determinism under
+    repartitioning."""
+    from eth2dgraph_spark.pipeline.split import token_budget_mix
+
+    rows = [
+        # (doc_id, source, text with known ws-token counts)
+        (1, "a", "w1 w2 w3"),          # 3 tokens
+        (2, "a", "w1 w2 w3 w4"),       # 4
+        (3, "a", "w1 w2"),             # 2
+        (4, "b", "x1 x2 x3 x4 x5"),    # 5
+        (5, "b", "x1"),                # 1
+        (6, "c", "y1 y2 y3"),          # dropped: no weight
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def kept(budget, weights={"a": 0.5, "b": 0.5}):
+        out = token_budget_mix(df, weights, budget)
+        return {(r["doc_id"], r["n_tokens_ws"]) for r in out.collect()}
+
+    # reference: replay the hash order in python
+    import hashlib
+
+    def order(ids):
+        return sorted(ids, key=lambda i: (hashlib.md5(f"{i}:tokmix-v1".encode()).hexdigest(), i))
+
+    toks = {1: 3, 2: 4, 3: 2, 4: 5, 5: 1}
+
+    def ref(budget_per_source, ids):
+        out, cum = set(), 0
+        for i in order(ids):
+            if cum < budget_per_source:
+                out.add((i, toks[i]))
+            cum += toks[i]
+        return out
+
+    for b in (0, 2, 5, 8, 100):
+        want = ref(b / 2, [1, 2, 3]) | ref(b / 2, [4, 5])
+        assert kept(b) == want, b
+    # zero-weight source never appears
+    assert all(i not in {6} for i, _ in kept(100))
+    # nesting: kept(4) subset of kept(8) subset of kept(100)
+    assert kept(4) <= kept(8) <= kept(100)
+    # token_col override: constant 1 token per doc -> budget counts docs
+    df1 = df.withColumn("nt", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1))
+    out = token_budget_mix(df1, {"a": 1.0}, 2, token_col="nt")
+    assert out.count() == 2
+    # determinism under repartitioning
+    a = kept(8)
+    b_ = {
+        (r["doc_id"], r["n_tokens_ws"])
+        for r in token_budget_mix(df.repartition(7), {"a": 0.5, "b": 0.5}, 8).collect()
+    }
+    assert a == b_
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, {"a": 1.0}, -1)
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, {}, 10)
