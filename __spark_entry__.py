@@ -1694,6 +1694,29 @@ def q_recent_part_suppliers(spark, sf):  # TPC-H Q20 shape: nested semi-join
     )
 
 
+def q_cluster_reps(spark, sf):  # quality-ranked cluster dedup: keep the
+    # LONGEST member of each ngram-Jaccard near-dup cluster (the
+    # keep-longest policy real curation pipelines use instead of the
+    # min-id rule), singletons kept as their own clusters. Oracle composes
+    # the dedup_clusters recursive-CTE components verbatim + the
+    # token_count expression + the same (tokens DESC, id) rank. Pins the
+    # whole composition: pair generation, transitive closure, singleton
+    # coalesce, and the argmax choice.
+    from eth2dgraph_spark.graph import cluster_representatives
+    from eth2dgraph_spark.pipeline import dedup
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.05).select("id_a", "id_b")
+    docs = d.withColumn(
+        "n_tokens_ws", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    out = cluster_representatives(docs, pairs, order_col="n_tokens_ws")
+    return out.select(
+        "doc_id", "component", F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_tokens_ws",
+    )
+
+
 def q_token_mix(spark, sf):  # token-budgeted source mixing (the "train on
     # B tokens at these weights" knob — GPT-3/LLaMA recipes quote
     # per-source TOKEN shares, not doc counts): per source, the
@@ -2632,16 +2655,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 10 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 11 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
     # byte_kernel_fixture, windowed_append, market_share, nation_profit,
-    # stream_join, token_mix —
+    # stream_join, token_mix, cluster_reps —
     # first-ever driver rows beat staleness refresh); (c) the 7 whose
     # code changed since their last driver row (wordpiece_encode:
     # zero-row convention in impl AND oracle; the 6 iterative graph gates
     # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 19 of its 37 fit; the
-    # 18-gate overflow is round 10's leading rotation target (named at
+    # (d) the r6-stale cohort fills the window — 18 of its 37 fit; the
+    # 19-gate overflow is round 10's leading rotation target (named at
     # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2664,7 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 10 gates NEW this round (first-ever driver rows):
+        # (b) the 11 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
@@ -2675,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": q_nation_profit,
         "stream_join": q_stream_join,
         "token_mix": q_token_mix,
+        "cluster_reps": q_cluster_reps,
         # (c) code CHANGED since their last (r8) driver row: the
         # wordpiece_encode zero-row convention (impl + oracle), and the 6
         # iterative graph gates sharing _truncator, whose checkpoint-dir
@@ -2686,9 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 19 of its 37 fit
-        # (alphabetical for auditability); the 18-gate overflow below the
-        # boundary (pack_texts, percentile_disc, pii_redact,
+        # (d) the r6-stale cohort fills the window: 18 of its 37 fit
+        # (alphabetical for auditability); the 19-gate overflow below the
+        # boundary (order_priority, pack_texts, percentile_disc,
         # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
@@ -2711,12 +2735,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "motif_paths": q_motif_paths,
         "nation_flows": q_nation_flows,
-        "order_priority": q_order_priority,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — pack_texts, percentile_disc, pii_redact and
-        # pricing_summary were displaced from the window by the late-round
-        # Q8/Q9/stream_join/token_mix gates):
+        # these — order_priority, pack_texts, percentile_disc, pii_redact
+        # and pricing_summary were displaced from the window by the
+        # late-round Q8/Q9/stream_join/token_mix/cluster_reps gates):
+        "order_priority": q_order_priority,
         "pack_texts": q_pack_texts,
         "percentile_disc": q_percentile_disc,
         "pii_redact": q_pii_redact,
@@ -4586,6 +4610,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "cluster_reps": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
+                      FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2),
+            prs AS (SELECT id_a, id_b FROM (
+                        SELECT id_a, id_b, inter*1.0/(sa.sz+sb.sz-inter) AS j
+                        FROM inter JOIN sz sa ON sa.id=id_a JOIN sz sb ON sb.id=id_b)
+                      WHERE j >= 0.05),
+            edges AS (SELECT id_a::VARCHAR AS u, id_b::VARCHAR AS v FROM prs
+                      UNION SELECT id_b::VARCHAR, id_a::VARCHAR FROM prs),
+            walk(node, lab) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node),
+            comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+            dd AS (SELECT doc_id,
+                          len(string_split_regex(trim(text),'\\s+'))::BIGINT
+                            AS n_tokens_ws
+                   FROM documents),
+            jj AS (SELECT d.doc_id, d.n_tokens_ws,
+                          coalesce(c.component, d.doc_id::VARCHAR) AS component
+                   FROM dd d LEFT JOIN comp c ON c.node = d.doc_id::VARCHAR),
+            rr AS (SELECT *,
+                          count(*) OVER (PARTITION BY component)::BIGINT
+                            AS cluster_size,
+                          row_number() OVER (PARTITION BY component
+                            ORDER BY n_tokens_ws DESC, doc_id) AS rn
+                   FROM jj)
+            SELECT doc_id, component, cluster_size, n_tokens_ws
+            FROM rr WHERE rn = 1""",
         "token_mix": """
             WITH t AS (SELECT doc_id, source,
                               len(string_split_regex(trim(text),'\\s+'))::BIGINT

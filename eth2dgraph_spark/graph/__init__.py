@@ -21,7 +21,7 @@ only needs to be total for correctness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -162,6 +162,45 @@ def dedup_by_clusters(
     # left-anti, not broadcast: at corpus scale the duplicate set is itself
     # huge (that's the point of deduping); AQE picks broadcast when small
     return df.join(losers, id_col, "left_anti")
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Quality-ranked cluster dedup: within each near-dup cluster keep the
+    single row that maximizes (descending=True) or minimizes `order_col` —
+    the keep-longest / keep-best-scored policy production curation
+    pipelines apply instead of dedup_by_clusters' min-id rule (e.g. keep
+    the longest member of each fuzzy-dup cluster, or the one with the
+    highest quality score). Ties break on min id, so the kept set is
+    deterministic across reruns and partitionings.
+
+    Returns the kept rows plus `component` (the cluster label — rows in no
+    pair are their own singleton cluster) and `cluster_size`. Cost beyond
+    the CC itself: one left join of the corpus onto the component map
+    (components only exist for paired docs, so the map is dup-sized, not
+    corpus-sized) and ONE window shuffle on `component` for the
+    count + rank; hot mega-clusters spill in WindowExec rather than OOM."""
+    comps = duplicate_clusters(pairs)
+    ids = F.col(id_col).cast("string")
+    joined = (
+        df.join(comps, ids == F.col("node"), "left")
+        .withColumn("component", F.coalesce(F.col("component"), ids))
+        .drop("node")
+    )
+    w_all = Window.partitionBy("component")
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_ord = w_all.orderBy(order, F.col(id_col).asc())
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

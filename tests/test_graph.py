@@ -423,3 +423,28 @@ def test_modularity_known_values_and_reference(spark):
     assert set(got2) == set(want)
     for c in want:
         assert got2[c] == pytest.approx(want[c], abs=1e-12), c
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Keep-longest cluster dedup: within each CC of the pair graph keep
+    the row maximizing order_col (tie: min id); singletons are their own
+    clusters; descending=False flips to keep-smallest."""
+    from eth2dgraph_spark.graph import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r for r in
+           cluster_representatives(docs, pairs, "score").collect()}
+    # cluster {1,2,3}: max score 30 tied between 2 and 3 -> min id 2
+    assert set(got) == {2, 4, 5}
+    assert got[2]["cluster_size"] == 3
+    assert got[4]["cluster_size"] == 1 and got[5]["cluster_size"] == 1
+    # singleton component label is the row's own id string
+    assert got[4]["component"] == "4"
+    # ascending: keep the smallest score in the cluster -> doc 1
+    asc = {r["doc_id"] for r in
+           cluster_representatives(docs, pairs, "score", descending=False).collect()}
+    assert asc == {1, 4, 5}
