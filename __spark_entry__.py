@@ -1694,6 +1694,52 @@ def q_recent_part_suppliers(spark, sf):  # TPC-H Q20 shape: nested semi-join
     )
 
 
+_CJK26 = "一二三四五六七八九十百千万上下左右中大小人口手目日月"  # 26 chars
+
+
+def q_script_profile(spark, sf):  # per-doc unicode-script profile (the
+    # mixed-script / mislabeled-language curation signal lang_id can't
+    # see). The synthetic docs are pure Latin, so the gate would be
+    # vacuous on them alone — the dedup_stream injection discipline:
+    # three deterministic variants (vowels->Cyrillic via translate;
+    # a-z->26 CJK chars; appended digits+Greek) make every script column
+    # bind. Both engines implement the Unicode Script property and
+    # translate() identically (verified before this landed); counts are
+    # exact integers, fractions 6dp tie-nudged.
+    from eth2dgraph_spark.pipeline.text import _SCRIPTS, script_profile
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = (
+        d.unionByName(
+            d.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.translate(F.col("text"), "aeiou", "аеіоу").alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.translate(
+                    F.col("text"), "abcdefghijklmnopqrstuvwxyz", _CJK26
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" 0123456789 αβγψ")).alias("text"),
+            )
+        )
+    )
+    names = [*_SCRIPTS, "digit", "other"]
+    return script_profile(aug).select(
+        "id",
+        "n_chars",
+        *[f"{s}_chars" for s in names],
+        *[_r6e(f"{s}_frac").alias(f"{s}_frac") for s in names],
+    )
+
+
 def q_cluster_reps(spark, sf):  # quality-ranked cluster dedup: keep the
     # LONGEST member of each ngram-Jaccard near-dup cluster (the
     # keep-longest policy real curation pipelines use instead of the
@@ -2655,16 +2701,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 11 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 12 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
     # byte_kernel_fixture, windowed_append, market_share, nation_profit,
-    # stream_join, token_mix, cluster_reps —
+    # stream_join, token_mix, cluster_reps, script_profile —
     # first-ever driver rows beat staleness refresh); (c) the 7 whose
     # code changed since their last driver row (wordpiece_encode:
     # zero-row convention in impl AND oracle; the 6 iterative graph gates
     # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 18 of its 37 fit; the
-    # 19-gate overflow is round 10's leading rotation target (named at
+    # (d) the r6-stale cohort fills the window — 17 of its 37 fit; the
+    # 20-gate overflow is round 10's leading rotation target (named at
     # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2687,7 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 11 gates NEW this round (first-ever driver rows):
+        # (b) the 12 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
@@ -2699,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "token_mix": q_token_mix,
         "cluster_reps": q_cluster_reps,
+        "script_profile": q_script_profile,
         # (c) code CHANGED since their last (r8) driver row: the
         # wordpiece_encode zero-row convention (impl + oracle), and the 6
         # iterative graph gates sharing _truncator, whose checkpoint-dir
@@ -2710,9 +2757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 18 of its 37 fit
-        # (alphabetical for auditability); the 19-gate overflow below the
-        # boundary (order_priority, pack_texts, percentile_disc,
+        # (d) the r6-stale cohort fills the window: 17 of its 37 fit
+        # (alphabetical for auditability); the 20-gate overflow below the
+        # boundary (nation_flows, order_priority, pack_texts,
         # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
@@ -2734,12 +2781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signatures": q_minhash_signatures,
         "motif_paths": q_motif_paths,
-        "nation_flows": q_nation_flows,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — order_priority, pack_texts, percentile_disc, pii_redact
-        # and pricing_summary were displaced from the window by the
-        # late-round Q8/Q9/stream_join/token_mix/cluster_reps gates):
+        # these — nation_flows, order_priority, pack_texts,
+        # percentile_disc, pii_redact and pricing_summary were displaced
+        # from the window by the late-round round-9 gates):
+        "nation_flows": q_nation_flows,
         "order_priority": q_order_priority,
         "pack_texts": q_pack_texts,
         "percentile_disc": q_percentile_disc,
@@ -4610,6 +4657,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "script_profile": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, translate(text, 'aeiou', 'аеіоу')
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 200000,
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_CJK26}')
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, text || ' 0123456789 αβγψ'
+              FROM documents),
+            b AS (SELECT doc_id AS id,
+                         regexp_replace(coalesce(text, ''), '\\s', '', 'g') AS s
+                  FROM aug),
+            c AS (SELECT id, length(s)::BIGINT AS n_chars,
+                   length(regexp_replace(s, '[^\\p{{Latin}}]', '', 'g'))::BIGINT AS latin_chars,
+                   length(regexp_replace(s, '[^\\p{{Cyrillic}}]', '', 'g'))::BIGINT AS cyrillic_chars,
+                   length(regexp_replace(s, '[^\\p{{Han}}]', '', 'g'))::BIGINT AS han_chars,
+                   length(regexp_replace(s, '[^\\p{{Greek}}]', '', 'g'))::BIGINT AS greek_chars,
+                   length(regexp_replace(s, '[^\\p{{Arabic}}]', '', 'g'))::BIGINT AS arabic_chars,
+                   length(regexp_replace(s, '[^\\p{{Hangul}}]', '', 'g'))::BIGINT AS hangul_chars,
+                   length(regexp_replace(s, '[^\\p{{Hebrew}}]', '', 'g'))::BIGINT AS hebrew_chars,
+                   length(regexp_replace(s, '[^0-9]', '', 'g'))::BIGINT AS digit_chars
+                  FROM b),
+            d AS (SELECT *,
+                   (n_chars - latin_chars - cyrillic_chars - han_chars
+                    - greek_chars - arabic_chars - hangul_chars
+                    - hebrew_chars - digit_chars)::BIGINT AS other_chars
+                  FROM c)
+            SELECT id, n_chars, latin_chars, cyrillic_chars, han_chars,
+                   greek_chars, arabic_chars, hangul_chars, hebrew_chars,
+                   digit_chars, other_chars,
+                   round(CASE WHEN n_chars > 0 THEN latin_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS latin_frac,
+                   round(CASE WHEN n_chars > 0 THEN cyrillic_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS cyrillic_frac,
+                   round(CASE WHEN n_chars > 0 THEN han_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS han_frac,
+                   round(CASE WHEN n_chars > 0 THEN greek_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS greek_frac,
+                   round(CASE WHEN n_chars > 0 THEN arabic_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS arabic_frac,
+                   round(CASE WHEN n_chars > 0 THEN hangul_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS hangul_frac,
+                   round(CASE WHEN n_chars > 0 THEN hebrew_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS hebrew_frac,
+                   round(CASE WHEN n_chars > 0 THEN digit_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS digit_frac,
+                   round(CASE WHEN n_chars > 0 THEN other_chars*1.0/n_chars ELSE 0 END + 1e-9, 6) AS other_frac
+            FROM d""",
         "cluster_reps": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             sz AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),

@@ -659,3 +659,60 @@ def ngram_repetition_fractions(
             )
         )
     return out.select(*sel)
+
+
+# Unicode scripts the profiler reports, as Java regex script classes
+# (Spark). The DuckDB oracle uses the RE2 spellings without the Is prefix
+# (\p{Latin} etc.) — both implement Unicode Script property identically
+# (verified cross-engine on mixed-script strings before this landed).
+_SCRIPTS = {
+    "latin": "IsLatin",
+    "cyrillic": "IsCyrillic",
+    "han": "IsHan",
+    "greek": "IsGreek",
+    "arabic": "IsArabic",
+    "hangul": "IsHangul",
+    "hebrew": "IsHebrew",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unicode-script profile over NON-WHITESPACE characters:
+    (id, n_chars, <script>_chars ..., digit_chars, other_chars,
+    <script>_frac ..., digit_frac, other_frac) for Latin / Cyrillic / Han /
+    Greek / Arabic / Hangul / Hebrew — the curation signal for
+    mislabeled-language and mixed-script (confusable-spoofing, spam)
+    documents that a stopword-based lang_id cannot see. Counts are exact
+    integers (`other` = n minus the listed counts minus digits — digits are
+    script Common, punctuation falls in no listed class), so the engine
+    never accumulates float residue; fractions are one division each.
+
+    Pure in-row column math: zero shuffles, zero Python — at 100 TB this
+    is a mapper-only pass that pipelines into whatever scan feeds it."""
+    base = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s", "")
+    n = F.length(base)
+    out = df.select(F.col(id_col).alias("id"), base.alias("_sp_base"), n.alias("n_chars"))
+    counts = []
+    for name, cls in _SCRIPTS.items():
+        c = F.length(F.regexp_replace("_sp_base", f"[^\\p{{{cls}}}]", ""))
+        out = out.withColumn(f"{name}_chars", c.cast("long"))
+        counts.append(F.col(f"{name}_chars"))
+    out = out.withColumn(
+        "digit_chars", F.length(F.regexp_replace("_sp_base", r"[^0-9]", "")).cast("long")
+    )
+    listed = counts[0]
+    for c in counts[1:]:
+        listed = listed + c
+    out = out.withColumn(
+        "other_chars", (F.col("n_chars") - listed - F.col("digit_chars")).cast("long")
+    ).drop("_sp_base")
+    for name in [*_SCRIPTS, "digit", "other"]:
+        out = out.withColumn(
+            f"{name}_frac",
+            F.when(F.col("n_chars") > 0, F.col(f"{name}_chars") / F.col("n_chars")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return out

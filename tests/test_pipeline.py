@@ -1187,3 +1187,33 @@ def test_curate_corpus_gopher_ngram_cuts(spark):
     inc2 = cp.curate_increment(rest, seen1, min_quality=0.0, **cuts)
     incremental = {tuple(r) for r in inc1.unionByName(inc2).collect()}
     assert incremental == one_shot
+
+
+def test_script_profile_known_values(spark):
+    """Hand-counted mixed-script strings: exact per-script char counts
+    over non-whitespace chars, digits as script Common, punctuation in
+    'other', empty/NULL docs all-zero with frac 0."""
+    rows = [
+        (1, "hello мир 中文 123!"),      # 5 latin, 3 cyr, 2 han, 3 digit, 1 other
+        (2, "αβγ 쓰기 עברית"),            # 3 greek, 2 hangul, 5 hebrew
+        (3, "مرحبا"),                    # 5 arabic
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in text.script_profile(df).collect()}
+    r1 = got[1]
+    assert (r1["n_chars"], r1["latin_chars"], r1["cyrillic_chars"],
+            r1["han_chars"], r1["digit_chars"], r1["other_chars"]) == (14, 5, 3, 2, 3, 1)
+    assert r1["latin_frac"] == pytest.approx(5 / 14)
+    r2 = got[2]
+    assert (r2["greek_chars"], r2["hangul_chars"], r2["hebrew_chars"]) == (3, 2, 5)
+    assert got[3]["arabic_chars"] == 5 and got[3]["arabic_frac"] == pytest.approx(1.0)
+    for i in (4, 5):
+        assert got[i]["n_chars"] == 0 and got[i]["other_frac"] == 0.0
+    # counts partition n_chars exactly (no overlap, no residue)
+    for r in got.values():
+        total = sum(r[f"{s}_chars"] for s in
+                    ("latin", "cyrillic", "han", "greek", "arabic",
+                     "hangul", "hebrew", "digit", "other"))
+        assert total == r["n_chars"]
