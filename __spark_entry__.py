@@ -1740,6 +1740,37 @@ def q_script_profile(spark, sf):  # per-doc unicode-script profile (the
     )
 
 
+def q_entropy_profile(spark, sf):  # per-doc Shannon entropy of the char
+    # and word distributions (bits) — the gibberish/boilerplate filter
+    # complementing gopher_rep. Injected variants make the extremes bind
+    # on the synthetic corpus: repeated-char spam (entropy -> 0) and a
+    # doc_id-seeded md5 hex blob (char entropy -> ~4 bits, the hex
+    # alphabet ceiling). H computed as log2(n) - sum(c*log2(c))/n in both
+    # engines; libm log2 -> 6dp tie-nudged.
+    from eth2dgraph_spark.pipeline.text import entropy_profile
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("aaaa aaaa "), F.repeat(F.lit("a"), 40)).alias("text"),
+        )
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.md5(F.col("text")), F.lit(" "), F.md5(F.concat(F.col("text"), F.lit("x")))).alias("text"),
+        )
+    )
+    out = entropy_profile(aug)
+    return out.select(
+        "id",
+        "n_chars",
+        _r6e("char_entropy").alias("char_entropy"),
+        "n_words",
+        _r6e("word_entropy").alias("word_entropy"),
+    )
+
+
 def q_cluster_reps(spark, sf):  # quality-ranked cluster dedup: keep the
     # LONGEST member of each ngram-Jaccard near-dup cluster (the
     # keep-longest policy real curation pipelines use instead of the
@@ -2701,16 +2732,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 12 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 13 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
     # byte_kernel_fixture, windowed_append, market_share, nation_profit,
-    # stream_join, token_mix, cluster_reps, script_profile —
+    # stream_join, token_mix, cluster_reps, script_profile,
+    # entropy_profile —
     # first-ever driver rows beat staleness refresh); (c) the 7 whose
     # code changed since their last driver row (wordpiece_encode:
     # zero-row convention in impl AND oracle; the 6 iterative graph gates
     # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 17 of its 37 fit; the
-    # 20-gate overflow is round 10's leading rotation target (named at
+    # (d) the r6-stale cohort fills the window — 16 of its 37 fit; the
+    # 21-gate overflow is round 10's leading rotation target (named at
     # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2733,7 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 12 gates NEW this round (first-ever driver rows):
+        # (b) the 13 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
@@ -2746,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mix": q_token_mix,
         "cluster_reps": q_cluster_reps,
         "script_profile": q_script_profile,
+        "entropy_profile": q_entropy_profile,
         # (c) code CHANGED since their last (r8) driver row: the
         # wordpiece_encode zero-row convention (impl + oracle), and the 6
         # iterative graph gates sharing _truncator, whose checkpoint-dir
@@ -2757,9 +2790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 17 of its 37 fit
-        # (alphabetical for auditability); the 20-gate overflow below the
-        # boundary (nation_flows, order_priority, pack_texts,
+        # (d) the r6-stale cohort fills the window: 16 of its 37 fit
+        # (alphabetical for auditability); the 21-gate overflow below the
+        # boundary (motif_paths, nation_flows, order_priority,
         # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
@@ -2780,12 +2813,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signatures": q_minhash_signatures,
-        "motif_paths": q_motif_paths,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — nation_flows, order_priority, pack_texts,
+        # these — motif_paths, nation_flows, order_priority, pack_texts,
         # percentile_disc, pii_redact and pricing_summary were displaced
         # from the window by the late-round round-9 gates):
+        "motif_paths": q_motif_paths,
         "nation_flows": q_nation_flows,
         "order_priority": q_order_priority,
         "pack_texts": q_pack_texts,
@@ -4657,6 +4690,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = p_partkey)""",
+        "entropy_profile": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, 'aaaa aaaa ' || repeat('a', 40)
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 200000, md5(text) || ' ' || md5(text || 'x')
+              FROM documents),
+            cs AS (SELECT doc_id AS id, unnest(string_split(
+                     regexp_replace(coalesce(text, ''), '\\s', '', 'g'), '')) AS s
+                   FROM aug),
+            cc AS (SELECT id, s, count(*)::BIGINT AS c FROM cs
+                   WHERE length(s) > 0 GROUP BY 1, 2),
+            ce AS (SELECT id, sum(c)::BIGINT AS n_chars,
+                          log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+                   FROM cc GROUP BY id),
+            ws AS (SELECT doc_id AS id, unnest(list_filter(
+                     string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> len(x) > 0)) AS w
+                   FROM aug),
+            wc AS (SELECT id, w, count(*)::BIGINT AS c FROM ws GROUP BY 1, 2),
+            we AS (SELECT id, sum(c)::BIGINT AS n_words,
+                          log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+                   FROM wc GROUP BY id)
+            SELECT a.doc_id AS id,
+                   coalesce(ce.n_chars, 0)::BIGINT AS n_chars,
+                   round(coalesce(ce.h, 0) + 1e-9, 6) AS char_entropy,
+                   coalesce(we.n_words, 0)::BIGINT AS n_words,
+                   round(coalesce(we.h, 0) + 1e-9, 6) AS word_entropy
+            FROM aug a LEFT JOIN ce ON ce.id = a.doc_id
+                       LEFT JOIN we ON we.id = a.doc_id""",
         "script_profile": f"""
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -716,3 +716,69 @@ def script_profile(
             ),
         )
     return out
+
+
+def entropy_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's character and word
+    distributions: (id, n_chars, char_entropy, n_words, word_entropy) —
+    the gibberish filter quality pipelines run alongside the Gopher
+    repetition fractions: near-zero char entropy flags repeated-character
+    spam ('aaaa...'), abnormally high char entropy flags random-string
+    blobs (keys, base64), and low word entropy flags template/boilerplate
+    pages that repeat a tiny vocabulary.
+
+    Characters are the non-whitespace stream (whitespace carries layout,
+    not content); words are the usual whitespace tokens. Empty/NULL docs
+    keep a zero row. Two explode + two-stage hash aggregations, both
+    keyed by (id, symbol) then id — the shingle-pipeline shuffle shape;
+    entropy itself is -sum(p log2 p) per doc, a float fold over <=
+    alphabet-size terms (round downstream when comparing cross-engine:
+    log2 is libm)."""
+    base = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s", "")
+    ids = df.select(F.col(id_col).alias("id"), base.alias("_ep_chars"), F.col(text_col))
+
+    def dist_entropy(exploded: DataFrame, sym: str) -> DataFrame:
+        counts = exploded.groupBy("id", sym).agg(F.count(F.lit(1)).alias("c"))
+        return (
+            counts.groupBy("id")
+            .agg(
+                F.sum("c").alias("n"),
+                F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+            )
+            # H = log2(n) - (1/n) sum c*log2(c): one pass, no p column
+            .select(
+                "id",
+                F.col("n"),
+                (F.log2("n") - F.col("_clogc") / F.col("n")).alias("h"),
+            )
+        )
+
+    ch = dist_entropy(
+        ids.select(
+            "id", F.explode(F.split("_ep_chars", "")).alias("s")
+        ).filter(F.length("s") > 0),
+        "s",
+    ).select("id", F.col("n").alias("n_chars"), F.col("h").alias("char_entropy"))
+    wd = dist_entropy(
+        ids.select(
+            "id",
+            F.explode(
+                F.filter(F.split(F.trim(F.col(text_col)), _WS), lambda w: F.length(w) > 0)
+            ).alias("w"),
+        ),
+        "w",
+    ).select("id", F.col("n").alias("n_words"), F.col("h").alias("word_entropy"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(ch, "id", "left")
+        .join(wd, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("word_entropy", F.lit(0.0)).alias("word_entropy"),
+        )
+    )

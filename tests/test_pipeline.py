@@ -1217,3 +1217,32 @@ def test_script_profile_known_values(spark):
                     ("latin", "cyrillic", "han", "greek", "arabic",
                      "hangul", "hebrew", "digit", "other"))
         assert total == r["n_chars"]
+
+
+def test_entropy_profile_known_values(spark):
+    """Hand-computed entropies: uniform 4-char doc = 2 bits; single
+    repeated char = 0 bits; 'ab' split 2/1... H = log2(3) - (2*1+1*0)/3;
+    empty/NULL keep zero rows; word entropy over token multiset."""
+    import math
+
+    rows = [
+        (1, "abcd"),            # 4 distinct chars -> 2 bits
+        (2, "aaaa"),            # 0 bits
+        (3, "aab"),             # log2(3) - 2/3
+        (4, "x y x"),           # words: {x:2, y:1}; chars: {x:2, y:1}
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in text.entropy_profile(df).collect()}
+    assert got[1]["char_entropy"] == pytest.approx(2.0)
+    assert got[1]["n_chars"] == 4 and got[1]["n_words"] == 1
+    assert got[2]["char_entropy"] == pytest.approx(0.0)
+    assert got[2]["word_entropy"] == pytest.approx(0.0)  # one word
+    assert got[3]["char_entropy"] == pytest.approx(math.log2(3) - 2 / 3)
+    h_21 = math.log2(3) - (2 * math.log2(2)) / 3
+    assert got[4]["word_entropy"] == pytest.approx(h_21)
+    assert got[4]["char_entropy"] == pytest.approx(h_21)  # same 2/1 split
+    for i in (5, 6):
+        assert (got[i]["n_chars"], got[i]["n_words"]) == (0, 0)
+        assert got[i]["char_entropy"] == 0.0 and got[i]["word_entropy"] == 0.0
