@@ -184,7 +184,17 @@ def cluster_representatives(
     the CC itself: one left join of the corpus onto the component map
     (components only exist for paired docs, so the map is dup-sized, not
     corpus-sized) and ONE window shuffle on `component` for the
-    count + rank; hot mega-clusters spill in WindowExec rather than OOM."""
+    count + rank; hot mega-clusters spill in WindowExec rather than OOM.
+
+    Column contract: `df` must not already carry `node`, `component` or
+    `cluster_size` (the CC map's and the output's names) — rename upstream
+    if it does."""
+    for reserved in ("node", "component", "cluster_size"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"cluster_representatives: input already has a {reserved!r} "
+                "column — rename it upstream (it collides with the output)"
+            )
     comps = duplicate_clusters(pairs)
     ids = F.col(id_col).cast("string")
     joined = (

@@ -318,7 +318,13 @@ def token_budget_mix(
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
     if token_col is None:
-        n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+        # coalesce first: size(split(NULL)) is NULL, and a NULL token count
+        # would silently drop the row (NULL < budget filters false) AND be
+        # skipped by the running sum — coalescing to '' gives the
+        # token_count convention's deterministic 1 in both engines
+        n_tok = F.size(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).cast("long")
     else:
         n_tok = F.col(token_col).cast("long")
     budget = F.lit(None).cast("double")
