@@ -276,3 +276,24 @@ def test_no_antipatterns_in_any_gate_plan(spark):
         if "BatchEvalPython" in p:
             failures.append((name, "row-at-a-time Python UDF"))
     assert not failures, failures
+
+
+def test_token_mix_single_shuffle(spark):
+    """token_budget_mix is ONE window shuffle (per-source running sum);
+    no extra exchange sneaks in around the filter."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["token_mix"](spark, SF), "simple")
+    assert p.count("Exchange") <= 1, p
+
+
+def test_profiles_are_mapper_only_or_single_shuffle(spark):
+    """script_profile is pure in-row column math — ZERO exchanges; the
+    entropy profile needs its two (id, symbol) aggregations but nothing
+    beyond the hash-agg exchanges plus the final id joins."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["script_profile"](spark, SF), "simple")
+    assert "Exchange" not in p, p[:800]
+    p = plan_of(E.queries()["entropy_profile"](spark, SF), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
