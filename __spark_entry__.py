@@ -1771,6 +1771,32 @@ def q_entropy_profile(spark, sf):  # per-doc Shannon entropy of the char
     )
 
 
+def q_cross_dedup(spark, sf):  # cross-corpus MinHash near-dup — the
+    # incremental FUZZY-dedup step (incr_curate_bloom's near-dup sibling):
+    # a synthetic new batch (50 lightly-mutated history copies that must
+    # match + 50 md5-gibberish docs that must not) deduped against the
+    # full documents history. Bipartite banding, never new x new or
+    # hist x hist; candidate-driven exact-Jaccard verification. The
+    # oracle replays signatures on BOTH corpora and the band-equality
+    # join (the minhash_lsh_pairs discipline, bipartite form).
+    from eth2dgraph_spark.pipeline import dedup
+
+    hist = _t(spark, sf, "documents").select("doc_id", "text")
+    new = hist.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra token")).alias("text"),
+    ).unionByName(
+        hist.filter(F.col("doc_id") >= 450).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.md5(F.col("text")).alias("text"),
+        )
+    )
+    out = dedup.minhash_cross_pairs(
+        new, hist, k=3, num_hashes=32, num_bands=8, threshold=0.5
+    )
+    return out.select("new_id", "hist_id", _r6e("jaccard").alias("jaccard"))
+
+
 def q_cluster_reps(spark, sf):  # quality-ranked cluster dedup: keep the
     # LONGEST member of each ngram-Jaccard near-dup cluster (the
     # keep-longest policy real curation pipelines use instead of the
@@ -2732,17 +2758,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
     # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
     # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 13 gates NEW this round (coreness_capped,
+    # rotation target; (b) the 14 gates NEW this round (coreness_capped,
     # small_qty_avg, recent_part_suppliers, bpe_merges,
     # byte_kernel_fixture, windowed_append, market_share, nation_profit,
     # stream_join, token_mix, cluster_reps, script_profile,
-    # entropy_profile —
+    # entropy_profile, cross_dedup —
     # first-ever driver rows beat staleness refresh); (c) the 7 whose
     # code changed since their last driver row (wordpiece_encode:
     # zero-row convention in impl AND oracle; the 6 iterative graph gates
     # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 16 of its 37 fit; the
-    # 21-gate overflow is round 10's leading rotation target (named at
+    # (d) the r6-stale cohort fills the window — 15 of its 37 fit; the
+    # 22-gate overflow is round 10's leading rotation target (named at
     # the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2765,7 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "rep_stats": q_rep_stats,
         "segment_stats": q_segment_stats,
-        # (b) the 13 gates NEW this round (first-ever driver rows):
+        # (b) the 14 gates NEW this round (first-ever driver rows):
         "coreness_capped": q_coreness_capped,
         "small_qty_avg": q_small_qty_avg,
         "recent_part_suppliers": q_recent_part_suppliers,
@@ -2777,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "token_mix": q_token_mix,
         "cluster_reps": q_cluster_reps,
+        "cross_dedup": q_cross_dedup,
         "script_profile": q_script_profile,
         "entropy_profile": q_entropy_profile,
         # (c) code CHANGED since their last (r8) driver row: the
@@ -2790,9 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach": q_khop_reach,
         "kcore_2rounds": q_kcore_2rounds,
         "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 16 of its 37 fit
-        # (alphabetical for auditability); the 21-gate overflow below the
-        # boundary (motif_paths, nation_flows, order_priority,
+        # (d) the r6-stale cohort fills the window: 15 of its 37 fit
+        # (alphabetical for auditability); the 22-gate overflow below the
+        # boundary (minhash_lsh_pairs, motif_paths, nation_flows,
         # returned_revenue, ...) is the leading
         # rotation target for round 10. Every spilled gate is re-verified
         # locally this round via tools/check_oracle.py at sf0.01 (full
@@ -2811,13 +2838,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interface_jaccard": q_interface_jaccard,
         "large_orders": q_large_orders,
         "length_histogram": q_length_histogram,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signatures": q_minhash_signatures,
         # ================= 50-gate window boundary (entry 50 ends) =======
         # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — motif_paths, nation_flows, order_priority, pack_texts,
-        # percentile_disc, pii_redact and pricing_summary were displaced
-        # from the window by the late-round round-9 gates):
+        # these — minhash_lsh_pairs, motif_paths, nation_flows,
+        # order_priority, pack_texts, percentile_disc, pii_redact and
+        # pricing_summary were displaced from the window by the late-round
+        # round-9 gates):
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "motif_paths": q_motif_paths,
         "nation_flows": q_nation_flows,
         "order_priority": q_order_priority,
@@ -3001,6 +3029,55 @@ def _simhash_oracle() -> str:
         f"v AS (SELECT id, {sums} FROM h GROUP BY id) "
         f"SELECT id, CAST({bits} AS BIGINT) AS simhash FROM v"
     )
+
+
+def _minhash_cross_oracle(threshold: float = 0.5) -> str:
+    """DuckDB replica of minhash_cross_pairs on the gate's synthetic new
+    batch vs the documents history: signatures on BOTH corpora (same
+    affine family), bipartite band-equality candidates, exact Jaccard
+    verification — the _minhash_lsh_oracle construction with two sides."""
+    p = 2147483647
+    cols = []
+    for i in range(32):
+        a = 2 * i + 1
+        b = 104729 * (i + 1) % p
+        cols.append(f"CAST(min((x*{a}+{b})%{p}) AS BIGINT) AS h{i}")
+    band_clauses = []
+    for bnd in range(8):
+        band_clauses.append(
+            "(" + " AND ".join(f"n.h{i}=h.h{i}" for i in range(bnd * 4, bnd * 4 + 4)) + ")"
+        )
+    norm = _NORM
+    shingles = (
+        "toks_{s} AS (SELECT doc_id AS id, string_split(" + norm + ", ' ') AS w "
+        "FROM {src}), "
+        "sh_{s} AS (SELECT DISTINCT id, array_to_string(w[i.i:i.i+2],' ') AS shingle "
+        "FROM toks_{s}, UNNEST(range(1, greatest(len(w)-2,1)+1)) AS i(i))"
+    )
+    return f"""
+        WITH newdocs AS (
+            SELECT doc_id + 100000 AS doc_id, text || ' zzz extra token' AS text
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id >= 450),
+        {shingles.format(s="h", src="documents")},
+        {shingles.format(s="n", src="newdocs")},
+        hx_h AS (SELECT id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {p} AS x FROM sh_h),
+        hx_n AS (SELECT id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {p} AS x FROM sh_n),
+        sig_h AS (SELECT id, {', '.join(cols)} FROM hx_h GROUP BY id),
+        sig_n AS (SELECT id, {', '.join(cols)} FROM hx_n GROUP BY id),
+        cand AS (SELECT DISTINCT n.id AS new_id, h.id AS hist_id
+                 FROM sig_n n JOIN sig_h h ON ({' OR '.join(band_clauses)})),
+        sz_h AS (SELECT id, count(*)::BIGINT AS sz FROM sh_h GROUP BY id),
+        sz_n AS (SELECT id, count(*)::BIGINT AS sz FROM sh_n GROUP BY id),
+        inter AS (SELECT c.new_id, c.hist_id, count(*)::BIGINT AS i
+                  FROM cand c JOIN sh_n sa ON sa.id = c.new_id
+                       JOIN sh_h sb ON sb.id = c.hist_id AND sa.shingle = sb.shingle
+                  GROUP BY c.new_id, c.hist_id)
+        SELECT new_id, hist_id, round(j + 1e-9, 6) AS jaccard FROM (
+            SELECT new_id, hist_id, CAST(i AS DOUBLE)/(sn.sz+sh2.sz-i) AS j
+            FROM inter JOIN sz_n sn ON sn.id=new_id JOIN sz_h sh2 ON sh2.id=hist_id)
+        WHERE j >= {threshold}"""
 
 
 def _minhash_lsh_oracle() -> str:
@@ -4943,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_rows, count(w)::BIGINT AS n_words
             FROM ex GROUP BY doc_id""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "cross_dedup": _minhash_cross_oracle(threshold=0.5),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
             WITH v AS ({_simhash_oracle()})

@@ -808,3 +808,115 @@ def simhash_duplicate_groups(signatures: DataFrame, max_ids: int | None = 1024) 
         .agg(F.sort_array(F.collect_list("id")).alias("doc_ids"))
         .select("simhash", "dup_count", "doc_ids")
     )
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    max_band_bucket: "int | None" = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Cross-corpus MinHash near-dup: (new_id, hist_id, jaccard) pairs
+    between a NEW batch and the existing HISTORY — the incremental
+    fuzzy-dedup step (Bloom-screened incr_curate covers EXACT dups; this
+    is its near-dup sibling). Never pairs new x new or hist x hist, so
+    re-ingesting a crawl never re-pairs history against itself; ids may
+    overlap between the two frames (independent corpora).
+
+    Same construction as minhash_dedup_pairs: banded signatures, then
+    CANDIDATE-DRIVEN exact-Jaccard verification. Candidates come from a
+    bipartite (band, key) join; `max_band_bucket` caps the HISTORY side of
+    each bucket — new rows colliding in an over-cap history bucket pair
+    with that bucket's min hist id only (O(new-members) star rows), so a
+    boilerplate mega-bucket still FLAGS every colliding new doc while the
+    specific history partner degrades to the representative
+    (exact-or-representative, never invented — the
+    minhash_lsh_candidates contract, bipartite form)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = num_hashes // num_bands
+
+    def prep(df: DataFrame):
+        ex = (
+            _exploded_shingles(df, id_col, text_col, k)
+            .select(
+                "id",
+                (_shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)).alias("x"),
+                F.xxhash64("shingle").alias("h"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sigs = _minhash_from_x(ex, num_hashes)
+        banded = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.key")
+        return ex, banded
+
+    ex_n, band_n = prep(new_df)
+    ex_h, band_h = prep(hist_df)
+    bn = band_n.select(F.col("id").alias("new_id"), "band", "key")
+    if max_band_bucket is None:
+        bh = band_h.select(F.col("id").alias("hist_id"), "band", "key")
+        cands = bn.join(bh, ["band", "key"]).select("new_id", "hist_id").distinct()
+    else:
+        w = Window.partitionBy("band", "key")
+        bh = (
+            band_h.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_min", F.min("id").over(w))
+            .select(F.col("id").alias("hist_id"), "band", "key", "_n", "_min")
+        )
+        small = bn.join(bh.filter(F.col("_n") <= max_band_bucket), ["band", "key"]).select(
+            "new_id", "hist_id"
+        )
+        star = bn.join(
+            bh.filter(F.col("_n") > max_band_bucket)
+            .select("band", "key", F.col("_min").alias("hist_id"))
+            .distinct(),
+            ["band", "key"],
+        ).select("new_id", "hist_id")
+        cands = small.unionByName(star).distinct()
+
+    def sets(ex: DataFrame, ids: DataFrame, name: str):
+        return (
+            ex.select("id", "h")
+            .join(ids, "id", "left_semi")
+            .distinct()
+            .groupBy("id")
+            .agg(F.collect_list("h").alias(f"hs_{name}"), F.count(F.lit(1)).alias(f"sz_{name}"))
+        )
+
+    sn = sets(ex_n, cands.select(F.col("new_id").alias("id")).distinct(), "n").withColumnRenamed(
+        "id", "new_id"
+    )
+    sh = sets(ex_h, cands.select(F.col("hist_id").alias("id")).distinct(), "h").withColumnRenamed(
+        "id", "hist_id"
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_h"))
+    out = (
+        cands.join(sn, "new_id")
+        .join(sh, "hist_id")
+        .withColumn("jaccard", inter / (F.col("sz_n") + F.col("sz_h") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    ex_n.unpersist()
+    ex_h.unpersist()
+    return out

@@ -1246,3 +1246,41 @@ def test_entropy_profile_known_values(spark):
     for i in (5, 6):
         assert (got[i]["n_chars"], got[i]["n_words"]) == (0, 0)
         assert got[i]["char_entropy"] == 0.0 and got[i]["word_entropy"] == 0.0
+
+
+def test_minhash_cross_pairs_bipartite_and_star_cap(spark):
+    """Cross-corpus near-dup: finds (new, hist) matches, never pairs
+    new x new or hist x hist even for identical in-corpus texts, and the
+    history-side hot-bucket cap degrades to the bucket-min representative
+    (flagging preserved, partner degraded — never invented)."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),  # in-hist dup
+         (3, "completely different unrelated words here entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # matches 1,2
+         (11, "the quick brown fox jumps over the lazy dog"),   # in-new dup
+         (12, "zzz qqq www vvv uuu ttt sss rrr ppp ooo")],      # no match
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["hist_id"]) for r in
+           dedup.minhash_cross_pairs(new, hist, k=3, threshold=0.8).collect()}
+    assert got == {(10, 1), (10, 2), (11, 1), (11, 2)}  # bipartite only
+    # history-side star cap: identical texts collide in EVERY band; with
+    # cap 1 each colliding new doc pairs with the bucket-min hist id only
+    hist_hot = spark.createDataFrame(
+        [(i, "same exact text body repeated everywhere") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    new_hot = spark.createDataFrame(
+        [(100, "same exact text body repeated everywhere")],
+        "doc_id long, text string",
+    )
+    capped = {(r["new_id"], r["hist_id"]) for r in dedup.minhash_cross_pairs(
+        new_hot, hist_hot, k=3, threshold=0.8, max_band_bucket=1).collect()}
+    assert capped == {(100, 1)}  # flagged, partner = representative
+    uncapped = {(r["new_id"], r["hist_id"]) for r in dedup.minhash_cross_pairs(
+        new_hot, hist_hot, k=3, threshold=0.8, max_band_bucket=None).collect()}
+    assert uncapped == {(100, i) for i in range(1, 6)}
