@@ -67,7 +67,15 @@ def main() -> None:
         doms = [r["domain"] for r in d.select("domain").distinct().limit(4).collect()]
         return split.token_budget_mix(d, {x: 1.0 for x in sorted(doms)}, 4000, source_col="domain")
 
+    def cross(d):
+        new = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zzz extra token")).alias("text"),
+        )
+        return dedup.minhash_cross_pairs(new, d.select("doc_id", "text"), k=3, threshold=0.5)
+
     OPS = {
+        "cross_dedup_10pct_new": cross,
         "token_budget_mix": tbm,
         "script_profile": lambda d: text.script_profile(d),
         "entropy_profile": lambda d: text.entropy_profile(d),
