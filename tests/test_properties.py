@@ -264,3 +264,65 @@ def test_hll_reference_estimate_error_bound(vals, p):
     true_n = len(set(vals))
     sigma = 1.04 / math.sqrt(m)
     assert abs(est - true_n) <= max(6 * sigma * true_n, 3.0), (true_n, est, p)
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([None, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_arbitrary_arrays(h, w, ch, seed):
+    """encode -> decode is the identity for every supported shape."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    b = decode_png(encode_png(a))
+    assert b.shape == a.shape and (b == a).all()
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_png_decode_never_crashes_on_garbage(raw):
+    """Arbitrary bytes either raise ValueError or decode to a valid uint8
+    array — never an unhandled exception (bad bytes are data at corpus
+    scale; the decode_features seam depends on this contract)."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import decode_png
+
+    try:
+        out = decode_png(raw)
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 400), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_png_single_flip_rejected_or_valid(seed, pos, newbyte):
+    """Flipping any one byte of a valid PNG either trips a CRC/structure
+    ValueError or still decodes (flips inside compressed IDAT payload can
+    only survive if the CRC was ALSO hit — so surviving decodes must still
+    produce a well-formed array)."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    enc = bytearray(encode_png(a))
+    pos = pos % len(enc)
+    if enc[pos] == newbyte:
+        newbyte = (newbyte + 1) % 256
+    enc[pos] = newbyte
+    try:
+        out = decode_png(bytes(enc))
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
