@@ -1791,8 +1791,13 @@ def q_cross_dedup(spark, sf):  # cross-corpus MinHash near-dup — the
             F.md5(F.col("text")).alias("text"),
         )
     )
+    # max_band_bucket=None: the oracle's band join is uncapped, so the gate
+    # must run uncapped too — with the default star cap a history band
+    # bucket >1024 members would make engine and oracle diverge at larger
+    # sf (cap behavior is unit-tested separately in tests/test_dedup.py).
     out = dedup.minhash_cross_pairs(
-        new, hist, k=3, num_hashes=32, num_bands=8, threshold=0.5
+        new, hist, k=3, num_hashes=32, num_bands=8, threshold=0.5,
+        max_band_bucket=None,
     )
     return out.select("new_id", "hist_id", _r6e("jaccard").alias("jaccard"))
 
@@ -2088,10 +2093,11 @@ def q_byte_kernel_fixture(spark, sf):  # the eth byte-kernels on the
         .otherwise(F.concat(F.lit("0x"), F.col("code")))
         .alias("code"),
     )
-    enriched = (
-        frame.withColumn("skeleton", skeleton_udf(F.col("code")))
-        .withColumn("skeleton_keccak", keccak256_udf(F.col("skeleton")))
-        .persist()
+    # no persist: the fixture is 5 rows — recomputing the branch is cheaper
+    # than leaking executor storage memory into subsequent gates in the
+    # same session (a never-unpersisted cache outlives this query).
+    enriched = frame.withColumn("skeleton", skeleton_udf(F.col("code"))).withColumn(
+        "skeleton_keccak", keccak256_udf(F.col("skeleton"))
     )
     ng = (
         ngram_rows(enriched, id_col="codeid", code_col="skeleton")

@@ -28,12 +28,28 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decompression-bomb guard (Pillow-style): reject images whose declared
+# dimensions exceed this pixel count BEFORE inflating any IDAT data. A
+# crafted PNG compresses ~1000:1, so without a cap a ~60 MB payload can
+# inflate to ~64 GB and OOM the executor; a huge Paeth-filtered image also
+# pins a core in the sequential per-byte unfilter loop. 4 MP (2048x2048)
+# comfortably covers the thumbnail-scale scope documented above while
+# bounding worst-case unfilter work to a few seconds per row.
+DEFAULT_MAX_PIXELS = 4_194_304
 
-def decode_png(data: "bytes | bytearray | memoryview") -> np.ndarray:
+
+def decode_png(
+    data: "bytes | bytearray | memoryview", max_pixels: int = DEFAULT_MAX_PIXELS
+) -> np.ndarray:
     """Decode a PNG byte string to a uint8 pixel array: (H, W) for
     grayscale, (H, W, C) for gray+alpha / RGB / RGBA. Raises ValueError on
     anything outside the supported subset or on corrupt bytes (bad
-    signature, chunk CRC mismatch, truncation, size mismatch)."""
+    signature, chunk CRC mismatch, truncation, size mismatch).
+
+    ``max_pixels`` caps declared width*height (checked right after IHDR
+    parse, before any inflation) and the IDAT stream is inflated with a
+    hard output limit, so adversarial bytes cannot expand past the declared
+    raster size — bad bytes are data, not a job crash OR a resource bomb."""
     if data is None:
         raise ValueError("png: empty payload")
     data = bytes(data)
@@ -67,13 +83,30 @@ def decode_png(data: "bytes | bytearray | memoryview") -> np.ndarray:
         raise ValueError("png: Adam7 interlace unsupported")
     if w == 0 or h == 0:
         raise ValueError("png: zero dimension")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"png: declared {w}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb guard)"
+        )
     ch = _CHANNELS[ctype]
+    stride = w * ch
+    expected = h * (stride + 1)
+    # Inflate with a hard output cap: never materialize more than one byte
+    # past the declared raster, no matter what the compressed stream claims.
+    decomp = zlib.decompressobj()
+    raw = bytearray()
+    tail = b"".join(idat)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw += decomp.decompress(tail, expected + 1)
+        while decomp.unconsumed_tail and len(raw) <= expected:
+            piece = decomp.decompress(decomp.unconsumed_tail, expected + 1 - len(raw))
+            if not piece:
+                break
+            raw += piece
     except zlib.error as e:
         raise ValueError(f"png: corrupt IDAT stream ({e})") from e
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    raw = bytes(raw)
+    if len(raw) != expected:
         raise ValueError("png: decompressed size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

@@ -305,7 +305,12 @@ def token_budget_mix(
 
     Tokens come from `token_col` if given, else the repo's whitespace
     convention (size(split(trim(text), '\\s+')) — the token_count gate's
-    exact expression, so the DuckDB oracle replays it verbatim).
+    exact expression, so the DuckDB oracle replays it verbatim). On BOTH
+    paths a NULL token count coalesces to a deterministic value (text
+    path: '' tokenizes to 1; token_col path: 0 — unknown counts ride
+    free) rather than silently dropping the row: NULL < budget filters
+    false AND sum() skips NULLs, so without the coalesce a NULL-count row
+    would vanish from the mix and shift every later prefix.
 
     Cost: ONE shuffle (a window per source ordered by the 64-bit hash
     prefix); hot sources spill in WindowExec's group buffer rather than
@@ -326,7 +331,11 @@ def token_budget_mix(
             F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
         ).cast("long")
     else:
-        n_tok = F.col(token_col).cast("long")
+        # same NULL hazard on the precomputed path: coalesce to 0 so a
+        # NULL-count row passes through (contributing nothing to the
+        # running sum) instead of silently vanishing from the mix.
+        # Convention: NULL token counts mean "unknown, treat as free".
+        n_tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     budget = F.lit(None).cast("double")
     for name, w in weights.items():
         budget = F.when(

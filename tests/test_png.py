@@ -93,6 +93,30 @@ def test_rejects_unsupported_and_corrupt():
         decode_png(bytes(corrupt))
 
 
+def test_decompression_bomb_guard():
+    # Declared dimensions past the cap are rejected straight off IHDR —
+    # BEFORE any IDAT inflation (the ~1000:1 zlib bomb vector).
+    w = h = 1 << 14  # 256 MP, far past DEFAULT_MAX_PIXELS
+    bomb = _png(b"", w, h)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(bomb)
+    # the cap is configurable: a 3x3 image fails a max_pixels=4 budget...
+    small = encode_png(np.zeros((3, 3), np.uint8))
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(small, max_pixels=4)
+    # ...and decodes under the default
+    assert decode_png(small).shape == (3, 3)
+
+
+def test_idat_inflation_is_output_capped():
+    # A stream that inflates far past the declared raster must be rejected
+    # by the capped decompressor, not materialized then length-checked:
+    # declared 1x1 gray (expected 2 bytes) with 8 MB of zeros in IDAT.
+    oversize = _png(b"\x00" * (8 << 20), 1, 1)
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(oversize)
+
+
 def test_decode_features_end_to_end_real_bytes(spark):
     """The multimodal seam on REAL container bytes with zero external
     codecs: a synthesized 8x8 gradient PNG pools to known 4x4 features."""

@@ -333,6 +333,18 @@ def test_token_budget_mix_prefix_math_and_nesting(spark):
     df1 = df.withColumn("nt", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1))
     out = token_budget_mix(df1, {"a": 1.0}, 2, token_col="nt")
     assert out.count() == 2
+    # token_col NULL convention: a NULL count coalesces to 0 (rides free),
+    # it does NOT silently drop the row (NULL < budget would filter false)
+    from pyspark.sql import functions as F
+
+    dfn = df.withColumn(
+        "nt", F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(F.lit(3)).cast("long")
+    )
+    got = {r["doc_id"] for r in token_budget_mix(dfn, {"a": 1.0}, 3, token_col="nt").collect()}
+    # hash order is [1, 3, 2]; doc 1 costs 0 so the prefix sums run
+    # 0 (keep 1), 0 < 3 (keep 3), 3 !< 3 (drop 2) -> exactly {1, 3}.
+    # Under the old NULL-drop behavior doc 1 vanished entirely -> {3}.
+    assert got == {1, 3}
     # determinism under repartitioning
     a = kept(8)
     b_ = {
