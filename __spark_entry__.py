@@ -1467,6 +1467,122 @@ def q_pagerank_ranks(spark, sf):  # iterative graph kernel, oracled by
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_ppr_ranks(spark, sf):  # personalized PageRank (reset vector on a
+    # seed set — random walk with restart), the "related to THESE nodes"
+    # variant; same customer->supplier bipartite graph as pagerank_ranks,
+    # seeds = customers with custkey % 97 == 0. Oracle unrolls the 4
+    # power iterations as chained CTEs with the source-masked reset
+    # vector (teleport AND dangling mass restart at the seeds).
+    from eth2dgraph_spark.graph import personalized_pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    srcs = o.filter(F.col("o_custkey") % 97 == 0).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("node")
+    )
+    ranks = personalized_pagerank(edges, srcs, num_iter=4)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_wav_envelope(spark, sf):  # the stdlib WAV-PCM codec driven
+    # end-to-end on REAL container bytes, one synthesized clip per
+    # document: 16 constant segments at amplitude ((doc_id*31+i) % 20)/20
+    # are encoded (functions/wav.py encode_wav, 16-bit quantization),
+    # decoded back, and reduced to the 16-bin RMS envelope — all in
+    # float64 so the only engine-visible arithmetic is the quantization
+    # round((k/20)*32768)/32768, which the oracle replays in closed form
+    # (fractional parts are multiples of 0.2: no round-half ties).
+    from eth2dgraph_spark.functions.wav import synthetic_envelope_udf
+
+    wav_env = synthetic_envelope_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.select("doc_id", F.posexplode(wav_env("doc_id"))).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("bin"),
+        _r6e("col").alias("rms"),
+    )
+
+
+def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
+    # EXECUTED as a foreachBatch stream over two ordered micro-batches,
+    # history growing per batch (pipeline/dedup.minhash_cross_pairs_stream):
+    # batch 1 = mutated docs 0..24 + gibberish 450..474; batch 2 = mutated
+    # 25..49 + gibberish 475.. + SECOND-GENERATION mutations of batch-1
+    # docs (ids 300000..300004) that only pair if history actually grew.
+    # Oracle = pairs(B1, H0) UNION ALL pairs(B2, H0 ∪ B1), replayed with
+    # the same signature/banding SQL as cross_dedup. Uncapped band join on
+    # both sides (the cross_dedup cap-parity rule).
+    import os
+    import tempfile
+    import time
+
+    from eth2dgraph_spark.pipeline.dedup import minhash_cross_pairs_stream
+
+    hist = _t(spark, sf, "documents").select("doc_id", "text")
+    b1 = hist.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra token")).alias("text"),
+    ).unionByName(
+        hist.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 475)).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.md5(F.col("text")).alias("text"),
+        )
+    )
+    b2 = (
+        hist.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz extra token")).alias("text"),
+        )
+        .unionByName(
+            hist.filter(F.col("doc_id") >= 475).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.md5(F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            hist.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz extra token qqq")).alias("text"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="cross_dedup_stream_")
+    landing = os.path.join(tmp, "landing")
+    for sub, frame in (("b1", b1), ("b2", b2)):
+        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+    now = int(time.time())
+    for i, sub in enumerate(("b1", "b2")):
+        d = os.path.join(landing, sub)
+        mt = now - 120 + i * 30
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(landing, "*"))
+    )
+    out = minhash_cross_pairs_stream(
+        stream,
+        hist,
+        os.path.join(tmp, "work"),
+        k=3,
+        num_hashes=32,
+        num_bands=8,
+        threshold=0.5,
+        max_band_bucket=None,
+    )
+    return out.select("new_id", "hist_id", _r6e("jaccard").alias("jaccard"))
+
+
 def q_minhash_lsh_pairs(spark, sf):
     return dedup.minhash_dedup_pairs(
         _t(spark, sf, "documents"), k=3, num_hashes=32, num_bands=8, threshold=0.05
@@ -2761,96 +2877,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
-    # the FIRST 50 entries (in dict order). Round-9 window policy (VERDICT
-    # r8 item 1): (a) the 14-gate r5-stale spill leads — these had no
-    # driver row since r5 and were explicitly queued as round 9's first
-    # rotation target; (b) the 14 gates NEW this round (coreness_capped,
-    # small_qty_avg, recent_part_suppliers, bpe_merges,
-    # byte_kernel_fixture, windowed_append, market_share, nation_profit,
-    # stream_join, token_mix, cluster_reps, script_profile,
-    # entropy_profile, cross_dedup —
-    # first-ever driver rows beat staleness refresh); (c) the 7 whose
-    # code changed since their last driver row (wordpiece_encode:
-    # zero-row convention in impl AND oracle; the 6 iterative graph gates
-    # sharing _truncator, whose checkpoint-dir comparison was rewritten);
-    # (d) the r6-stale cohort fills the window — 15 of its 37 fit; the
-    # 22-gate overflow is round 10's leading rotation target (named at
-    # the boundary below).
+    # the FIRST 50 entries (in dict order). Round-10 window policy (VERDICT
+    # r9 item 1): (a) the 3 gates NEW this round (wav_envelope, ppr_ranks,
+    # cross_dedup_stream — first-ever driver rows); (b) the 3 whose CODE
+    # changed since their r9 driver row (cross_dedup now runs uncapped to
+    # match its oracle, token_mix sits on the token_budget_mix NULL-coalesce
+    # change, byte_kernel_fixture dropped its persist); (c) the full
+    # 22-gate r6-stale overflow named at round 9's boundary (no driver row
+    # since r6 — the oldest cohort); (d) the r7 cohort fills the window —
+    # 22 of its 46 fit (alphabetical), the 24-gate overflow is round 11's
+    # leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
-    # round-9 notes).
+    # round-10 notes).
     return {
-        # --- round-9 window (entries 1-50) ---
-        # (a) the 14-gate r5-stale spill leads (round-8 VERDICT item 1 --
-        # these had no driver row since r5):
-        "sliding_window": q_sliding_window,
-        "map_funcs": q_map_funcs,
-        "lateral_topk": q_lateral_topk,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        "min_cost_lineitem": q_min_cost_lineitem,
-        "waiting_supplier": q_waiting_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
-        "try_funcs": q_try_funcs,
-        "regexp_funcs": q_regexp_funcs,
-        "date_funcs": q_date_funcs,
-        "null_funcs": q_null_funcs,
-        "explode_outer": q_explode_outer,
-        "rep_stats": q_rep_stats,
-        "segment_stats": q_segment_stats,
-        # (b) the 14 gates NEW this round (first-ever driver rows):
-        "coreness_capped": q_coreness_capped,
-        "small_qty_avg": q_small_qty_avg,
-        "recent_part_suppliers": q_recent_part_suppliers,
-        "bpe_merges": q_bpe_merges,
-        "byte_kernel_fixture": q_byte_kernel_fixture,
-        "windowed_append": q_windowed_append,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "stream_join": q_stream_join,
-        "token_mix": q_token_mix,
-        "cluster_reps": q_cluster_reps,
+        # --- round-10 window (entries 1-50) ---
+        # (a) NEW this round:
+        "wav_envelope": q_wav_envelope,
+        "ppr_ranks": q_ppr_ranks,
+        "cross_dedup_stream": q_cross_dedup_stream,
+        # (b) code changed since their r9 driver row:
         "cross_dedup": q_cross_dedup,
-        "script_profile": q_script_profile,
-        "entropy_profile": q_entropy_profile,
-        # (c) code CHANGED since their last (r8) driver row: the
-        # wordpiece_encode zero-row convention (impl + oracle), and the 6
-        # iterative graph gates sharing _truncator, whose checkpoint-dir
-        # comparison was rewritten this round:
-        "wordpiece_encode": q_wordpiece_encode,
-        "dedup_clusters": q_dedup_clusters,
-        "lpa_communities": q_lpa_communities,
-        "pagerank_ranks": q_pagerank_ranks,
-        "khop_reach": q_khop_reach,
-        "kcore_2rounds": q_kcore_2rounds,
-        "modularity": q_modularity,
-        # (d) the r6-stale cohort fills the window: 15 of its 37 fit
-        # (alphabetical for auditability); the 22-gate overflow below the
-        # boundary (minhash_lsh_pairs, motif_paths, nation_flows,
-        # returned_revenue, ...) is the leading
-        # rotation target for round 10. Every spilled gate is re-verified
-        # locally this round via tools/check_oracle.py at sf0.01 (full
-        # sweep recorded in BASELINE.md round-9 notes).
-        "ann_topk": q_ann_topk,
-        "approx_sketches": q_approx_sketches,
-        "boilerplate_clean": q_boilerplate_clean,
-        "boilerplate_stats": q_boilerplate_stats,
-        "brand_supplier_count": q_brand_supplier_count,
-        "cosine_ngram_pairs": q_cosine_ngram_pairs,
-        "custdist": q_custdist,
-        "decontam": q_decontam,
-        "embedding_near_dups": q_embedding_near_dups,
-        "heavy_hitters": q_heavy_hitters,
-        "important_parts": q_important_parts,
-        "interface_jaccard": q_interface_jaccard,
-        "large_orders": q_large_orders,
-        "length_histogram": q_length_histogram,
-        "minhash_signatures": q_minhash_signatures,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r6-stale overflow (did not fit; round-10 rotation leads with
-        # these — minhash_lsh_pairs, motif_paths, nation_flows,
-        # order_priority, pack_texts, percentile_disc, pii_redact and
-        # pricing_summary were displaced from the window by the late-round
-        # round-9 gates):
+        "token_mix": q_token_mix,
+        "byte_kernel_fixture": q_byte_kernel_fixture,
+        # (c) the 22-gate r6-stale overflow (round-9 VERDICT item 1):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "motif_paths": q_motif_paths,
         "nation_flows": q_nation_flows,
@@ -2873,7 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "train_split": q_train_split,
         "triangle_count": q_triangle_count,
-        # r7 cohort (driver rows from r7):
+        # (d) r7 cohort, alphabetical (22 of 46 fit):
         "anti_join": q_anti_join,
         "argmax_customer": q_argmax_customer,
         "asof_attach": q_asof_attach,
@@ -2896,6 +2946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_tri": q_lm_perplexity_tri,
         "ngram_jaccard": q_ngram_jaccard,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r7-cohort overflow (24 gates; round-11 rotation leads with
+        # these — ngram_jaccard_capped through winnow_overlap were last
+        # driver-certified in r7):
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ohlc_bars": q_ohlc_bars,
         "ohlc_stream": q_ohlc_stream,
@@ -2920,7 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # r8 cohort (driver rows from r8, code unchanged since):
+        # r8 cohort (driver rows from r8):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -2964,6 +3018,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "tumbling_window": q_tumbling_window,
         "unigram_encode": q_unigram_encode,
+        # r9 cohort (driver rows from r9):
+        "sliding_window": q_sliding_window,
+        "map_funcs": q_map_funcs,
+        "lateral_topk": q_lateral_topk,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "min_cost_lineitem": q_min_cost_lineitem,
+        "waiting_supplier": q_waiting_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        "try_funcs": q_try_funcs,
+        "regexp_funcs": q_regexp_funcs,
+        "date_funcs": q_date_funcs,
+        "null_funcs": q_null_funcs,
+        "explode_outer": q_explode_outer,
+        "rep_stats": q_rep_stats,
+        "segment_stats": q_segment_stats,
+        "coreness_capped": q_coreness_capped,
+        "small_qty_avg": q_small_qty_avg,
+        "recent_part_suppliers": q_recent_part_suppliers,
+        "bpe_merges": q_bpe_merges,
+        "windowed_append": q_windowed_append,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "stream_join": q_stream_join,
+        "cluster_reps": q_cluster_reps,
+        "script_profile": q_script_profile,
+        "entropy_profile": q_entropy_profile,
+        "wordpiece_encode": q_wordpiece_encode,
+        "dedup_clusters": q_dedup_clusters,
+        "lpa_communities": q_lpa_communities,
+        "pagerank_ranks": q_pagerank_ranks,
+        "khop_reach": q_khop_reach,
+        "kcore_2rounds": q_kcore_2rounds,
+        "modularity": q_modularity,
+        "ann_topk": q_ann_topk,
+        "approx_sketches": q_approx_sketches,
+        "boilerplate_clean": q_boilerplate_clean,
+        "boilerplate_stats": q_boilerplate_stats,
+        "brand_supplier_count": q_brand_supplier_count,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
+        "custdist": q_custdist,
+        "decontam": q_decontam,
+        "embedding_near_dups": q_embedding_near_dups,
+        "heavy_hitters": q_heavy_hitters,
+        "important_parts": q_important_parts,
+        "interface_jaccard": q_interface_jaccard,
+        "large_orders": q_large_orders,
+        "length_histogram": q_length_histogram,
+        "minhash_signatures": q_minhash_signatures,
     }
 
 
@@ -3037,9 +3139,9 @@ def _simhash_oracle() -> str:
     )
 
 
-def _minhash_cross_oracle(threshold: float = 0.5) -> str:
-    """DuckDB replica of minhash_cross_pairs on the gate's synthetic new
-    batch vs the documents history: signatures on BOTH corpora (same
+def _minhash_cross_sql(new_sql: str, hist_sql: str, threshold: float) -> str:
+    """Parametrized DuckDB replica of minhash_cross_pairs over arbitrary
+    (doc_id, text) corpus subqueries: signatures on BOTH corpora (same
     affine family), bipartite band-equality candidates, exact Jaccard
     verification — the _minhash_lsh_oracle construction with two sides."""
     p = 2147483647
@@ -3061,12 +3163,9 @@ def _minhash_cross_oracle(threshold: float = 0.5) -> str:
         "FROM toks_{s}, UNNEST(range(1, greatest(len(w)-2,1)+1)) AS i(i))"
     )
     return f"""
-        WITH newdocs AS (
-            SELECT doc_id + 100000 AS doc_id, text || ' zzz extra token' AS text
-            FROM documents WHERE doc_id < 50
-            UNION ALL
-            SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id >= 450),
-        {shingles.format(s="h", src="documents")},
+        WITH newdocs AS ({new_sql}),
+        histdocs AS ({hist_sql}),
+        {shingles.format(s="h", src="histdocs")},
         {shingles.format(s="n", src="newdocs")},
         hx_h AS (SELECT id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {p} AS x FROM sh_h),
         hx_n AS (SELECT id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {p} AS x FROM sh_n),
@@ -3084,6 +3183,48 @@ def _minhash_cross_oracle(threshold: float = 0.5) -> str:
             SELECT new_id, hist_id, CAST(i AS DOUBLE)/(sn.sz+sh2.sz-i) AS j
             FROM inter JOIN sz_n sn ON sn.id=new_id JOIN sz_h sh2 ON sh2.id=hist_id)
         WHERE j >= {threshold}"""
+
+
+def _minhash_cross_oracle(threshold: float = 0.5) -> str:
+    """The cross_dedup gate's corpora: synthetic new batch vs the documents
+    history."""
+    return _minhash_cross_sql(
+        """SELECT doc_id + 100000 AS doc_id, text || ' zzz extra token' AS text
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id >= 450""",
+        "SELECT doc_id, text FROM documents",
+        threshold,
+    )
+
+
+_CROSS_B1_SQL = """SELECT doc_id + 100000 AS doc_id, text || ' zzz extra token' AS text
+            FROM documents WHERE doc_id < 25
+            UNION ALL
+            SELECT doc_id + 200000, md5(text)
+            FROM documents WHERE doc_id >= 450 AND doc_id < 475"""
+
+_CROSS_B2_SQL = """SELECT doc_id + 100000 AS doc_id, text || ' zzz extra token' AS text
+            FROM documents WHERE doc_id >= 25 AND doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id >= 475
+            UNION ALL
+            SELECT doc_id + 300000, text || ' zzz extra token qqq'
+            FROM documents WHERE doc_id < 5"""
+
+
+def _minhash_cross_stream_oracle(threshold: float = 0.5) -> str:
+    """cross_dedup_stream's incremental semantics in closed form:
+    pairs(B1, H0) ∪ pairs(B2, H0 ∪ B1) — batch 2 sees batch 1 as history."""
+    q1 = _minhash_cross_sql(
+        _CROSS_B1_SQL, "SELECT doc_id, text FROM documents", threshold
+    )
+    q2 = _minhash_cross_sql(
+        _CROSS_B2_SQL,
+        f"SELECT doc_id, text FROM documents UNION ALL {_CROSS_B1_SQL}",
+        threshold,
+    )
+    return f"SELECT * FROM ({q1}) UNION ALL SELECT * FROM ({q2})"
 
 
 def _minhash_lsh_oracle() -> str:
@@ -3849,6 +3990,52 @@ def _pagerank_oracle(num_iter: int = 5, damping: float = 0.85) -> str:
         )
     parts.append(f"\n        SELECT node, round(rank, 9) AS rank FROM r{num_iter}")
     return "".join(parts)
+
+
+def _ppr_oracle(num_iter: int = 4, damping: float = 0.85) -> str:
+    """Fixed-iteration PERSONALIZED PageRank unrolled as chained CTEs —
+    the _pagerank_oracle construction with the uniform 1/n terms replaced
+    by the source-masked reset vector rv (1/|S∩V| on seeds, 0 elsewhere);
+    teleport AND dangling mass both restart at the seeds, ranks start at
+    the reset vector. Seeds are intersected with graph nodes exactly as
+    personalized_pagerank does."""
+    d = damping
+    parts = [
+        """WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
+        sv AS (SELECT node FROM nodes WHERE node IN
+                  (SELECT DISTINCT 'c'||o_custkey FROM orders WHERE o_custkey % 97 = 0)),
+        ns AS (SELECT count(*)::DOUBLE AS m FROM sv),
+        rv AS (SELECT n.node,
+                      CASE WHEN s.node IS NOT NULL THEN 1.0/(SELECT m FROM ns)
+                           ELSE 0.0 END AS rv
+               FROM nodes n LEFT JOIN sv s ON s.node = n.node),
+        r0 AS (SELECT node, rv AS rank FROM rv)"""
+    ]
+    for i in range(1, num_iter + 1):
+        parts.append(
+            f""",
+        dm{i} AS (SELECT coalesce(sum(r.rank),0) AS dm FROM r{i - 1} r
+                  LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL),
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / o.od) AS s
+                 FROM e JOIN r{i - 1} r ON r.node = e.src
+                      JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+        r{i} AS (SELECT v.node,
+                        (1-{d}) * v.rv
+                        + {d} * (coalesce(c.s, 0) + (SELECT dm FROM dm{i}) * v.rv) AS rank
+                 FROM rv v LEFT JOIN c{i} c ON c.node = v.node)"""
+        )
+    parts.append(f"\n        SELECT node, round(rank, 9) AS rank FROM r{num_iter}")
+    return "".join(parts)
+
+
+_WAV_ENVELOPE_ORACLE = """
+        SELECT d.doc_id, i.i AS bin,
+               round(round(((d.doc_id * 31 + i.i) % 20) * 1638.4) / 32768
+                     + 1e-9, 6) AS rms
+        FROM documents d, range(16) i(i)"""
 
 
 _OHLC_ORACLE = """
@@ -5027,6 +5214,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY doc_id""",
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "cross_dedup": _minhash_cross_oracle(threshold=0.5),
+        "cross_dedup_stream": _minhash_cross_stream_oracle(threshold=0.5),
+        "ppr_ranks": _ppr_oracle(num_iter=4, damping=0.85),
+        "wav_envelope": _WAV_ENVELOPE_ORACLE,
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
             WITH v AS ({_simhash_oracle()})

@@ -99,6 +99,10 @@ HEADLINE = [
     # round-9 additions: the BPE trainer's merge table (2 distributed-or-
     # local rounds over the vocab) — extra beyond the comparable subtotal
     "bpe_merges",
+    # round-10 additions: the stdlib WAV codec roundtrip envelope and the
+    # foreachBatch incremental cross-corpus near-dup — extras, same policy
+    "wav_envelope",
+    "cross_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -112,6 +116,9 @@ HEADLINE = [
     # round-9: layered-peeling coreness (capped fixed-shape) — also a
     # localCheckpoint query, same end-of-run placement policy
     "coreness_capped",
+    # round-10: personalized PageRank (seed-set reset vector) — also a
+    # localCheckpoint query, same end-of-run placement policy
+    "ppr_ranks",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -133,6 +140,9 @@ COMPARABLE_29 = [
     "modularity",
     "bpe_merges",
     "coreness_capped",
+    "wav_envelope",
+    "cross_dedup_stream",
+    "ppr_ranks",
     }
 ]
 

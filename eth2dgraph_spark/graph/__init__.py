@@ -246,17 +246,22 @@ def pagerank(
     `tol` (optional) adds a convergence stop rule: iteration ends early once
     the L1 delta between successive rank vectors is <= tol. At scale a fixed
     iteration count is the wrong only-knob — a web-sized graph may converge
-    in 8 rounds or need 40 — so tol mode carries `_prev` through the eager
-    localCheckpoint and reads the L1 delta with one cheap agg job over the
-    ALREADY-MATERIALIZED partitions: the same probe-on-checkpointed-data
-    discipline as connected_components' fingerprint (a scan, no extra
-    shuffle beyond the 1-row agg). (DataFrame.observe was measured and
-    rejected: localCheckpoint materializes via an RDD job that never fires
-    the SQL-listener event that delivers observed metrics, so
-    Observation.get blocks forever.) Tol mode also adds one
-    prev-ranks join per round to pair old/new values; with tol=None the
-    plan is byte-identical to before. `stats`, if given a dict, receives
-    {"iterations": k, "last_delta": d} for observability.
+    in 8 rounds or need 40 — so tol mode reads the L1 delta with one PROBE
+    JOB per round: a join of the two ALREADY-MATERIALIZED checkpoint frames
+    (new ranks x prev ranks) feeding a 1-row agg — the same
+    probe-on-checkpointed-data discipline as connected_components'
+    fingerprint. (DataFrame.observe was measured and rejected:
+    localCheckpoint materializes via an RDD job that never fires the
+    SQL-listener event that delivers observed metrics, so Observation.get
+    blocks forever. Carrying `_prev` INSIDE the checkpointed frame — the
+    round-9 shape — was measured and rejected in round 10: embedding the
+    prev-ranks join in the frame that becomes the next round's input is
+    flat for ~17 rounds and then goes geometric, ~3x slower per round
+    (0.38s -> 41s by round 24 on a 5-node graph; both earlier soaks sat
+    under the onset), while the probe-join shape is flat for 26+ rounds at
+    ~0.5s — see BASELINE.md round-10 notes.) With tol on or off the
+    checkpointed plan is now byte-identical. `stats`, if given a dict,
+    receives {"iterations": k, "last_delta": d} for observability.
 
     Iteration cost discipline (this is the part that matters at scale):
       - ONE action per iteration: the dangling-mass scalar is folded into
@@ -312,24 +317,129 @@ def pagerank(
             * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
         ).alias("rank")
         base = nodes.join(contribs, "node", "left").join(F.broadcast(dangling_mass))
-        if tol is None:
-            ranks = _truncator(
-                base.select("node", "dangling", rank_expr), checkpoint_dir
+        nxt = _truncator(base.select("node", "dangling", rank_expr), checkpoint_dir)
+        iterations += 1
+        if tol is not None:
+            last_delta = (
+                nxt.join(ranks.select("node", F.col("rank").alias("_prev")), "node")
+                .agg(F.coalesce(F.sum(F.abs(F.col("rank") - F.col("_prev"))), F.lit(0.0)))
+                .first()[0]
             )
-            iterations += 1
-        else:
-            nxt = _truncator(
-                base.join(ranks.select("node", F.col("rank").alias("_prev")), "node")
-                .select("node", "dangling", rank_expr, "_prev"),
-                checkpoint_dir,
-            )
-            iterations += 1
-            last_delta = nxt.agg(
-                F.coalesce(F.sum(F.abs(F.col("rank") - F.col("_prev"))), F.lit(0.0))
-            ).first()[0]
-            ranks = nxt.drop("_prev")
+            ranks = nxt
             if last_delta <= tol:
                 break
+        else:
+            ranks = nxt
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["last_delta"] = last_delta
+    e.unpersist()
+    ej.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    damping: float = 0.85,
+    tol: "float | None" = None,
+    stats: "dict | None" = None,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Personalized PageRank: (node, rank) with the teleport (reset) vector
+    concentrated UNIFORMLY on `sources` (a frame with column `node`)
+    instead of spread over all nodes — the "importance relative to THESE
+    seeds" variant (random walk with restart; Jeh & Widom WWW'03; the
+    similar-contracts-to-this-one / related-documents query the uniform
+    kernel cannot express). Dangling mass also restarts at the sources
+    (the standard convention that keeps Σrank = 1 exactly:
+    (1-d)·Σreset + d·(Σcontribs + dm) = (1-d) + d = 1).
+
+    Update rule per iteration (vs pagerank's uniform 1/n terms):
+        rank(v) = (1-d)·reset(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + dm·reset(v))
+    with reset(v) = 1/|S∩V| for source nodes, 0 elsewhere; ranks start AT
+    the reset vector (walk of length 0). Sources not present in the graph
+    are ignored; an empty intersection raises ValueError (rank would be
+    all-zero noise).
+
+    Same iteration cost discipline as pagerank (one action per round via
+    the broadcast dangling-mass aggregate, edges pre-joined with out-degree
+    and hash-partitioned once, localCheckpoint lineage cuts); the reset
+    vector rides the persisted `nodes` frame as a static column, so
+    personalization adds ZERO per-iteration shuffles. `tol` adds the same
+    optional L1 early-stop as pagerank."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ej = e.join(outdeg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    srcs = sources.select(F.col("node").cast("string")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+        .withColumn("dangling", F.lit(True))
+        .unionByName(
+            outdeg.select(F.col("src").alias("node")).withColumn("dangling", F.lit(False))
+        )
+        # seed membership as a static column; the seed set is small by the
+        # query's nature (a handful of "like these" anchors) -> broadcast
+        .join(
+            F.broadcast(srcs.withColumn("_is_src", F.lit(True))), "node", "left"
+        )
+        .withColumn("_is_src", F.coalesce(F.col("_is_src"), F.lit(False)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_src = nodes.filter(F.col("_is_src")).count()
+    if n_src == 0:
+        e.unpersist()
+        ej.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            "personalized_pagerank: no source node is present in the graph"
+        )
+    reset = F.when(F.col("_is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("rank", reset)
+    iterations, last_delta = 0, None
+    for _ in range(num_iter):
+        contribs = (
+            ej.join(ranks, ej.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling_mass = ranks.filter(F.col("dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        rank_expr = (
+            F.lit(1.0 - damping) * reset
+            + F.lit(damping)
+            * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") * reset)
+        ).alias("rank")
+        base = nodes.join(contribs, "node", "left").join(F.broadcast(dangling_mass))
+        nxt = _truncator(
+            base.select("node", "dangling", "_is_src", rank_expr), checkpoint_dir
+        )
+        iterations += 1
+        if tol is not None:
+            # probe JOB over the two materialized checkpoint frames — never
+            # embed the prev-ranks join in the checkpointed frame itself
+            # (measured geometric blowup past ~17 rounds; see pagerank)
+            last_delta = (
+                nxt.join(ranks.select("node", F.col("rank").alias("_prev")), "node")
+                .agg(F.coalesce(F.sum(F.abs(F.col("rank") - F.col("_prev"))), F.lit(0.0)))
+                .first()[0]
+            )
+            ranks = nxt
+            if last_delta <= tol:
+                break
+        else:
+            ranks = nxt
     if stats is not None:
         stats["iterations"] = iterations
         stats["last_delta"] = last_delta

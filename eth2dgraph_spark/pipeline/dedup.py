@@ -920,3 +920,77 @@ def minhash_cross_pairs(
     ex_n.unpersist()
     ex_h.unpersist()
     return out
+
+
+def minhash_cross_pairs_stream(
+    new_stream: DataFrame,
+    initial_history: DataFrame,
+    work_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 600,
+    **minhash_kwargs,
+) -> DataFrame:
+    """PHYSICALLY-STREAMING incremental near-dup: execute
+    minhash_cross_pairs per micro-batch of `new_stream` (foreachBatch,
+    trigger=availableNow) against a history that STARTS as
+    `initial_history` and grows by each processed batch — so a doc in
+    batch 2 pairs against both the original corpus and everything that
+    arrived in batch 1. This is the op a 100 TB ingest actually runs: the
+    history lives as an append-only parquet table under `work_dir` (the
+    exact production shape — no driver-side state, no growing lineage;
+    each batch reads the table fresh), candidate pairs append to a second
+    parquet table, and the final result is one batch read of that table.
+
+    Semantics (deterministic given ordered input files): with batches
+    B1..Bk arriving in order over initial history H0,
+        result = ∪_i  minhash_cross_pairs(Bi, H0 ∪ B1 ∪ … ∪ B(i-1)).
+    Never new×new within one batch and never hist×hist — re-running the
+    SAME batch stream appends nothing new to history semantics; the
+    checkpoint under work_dir/ckpt makes replay after a crash skip
+    already-committed batches (foreachBatch delivers at-least-once per
+    epoch; the sinks here are idempotent per ingest because a restarted
+    epoch overwrites no committed files and re-pairing a batch yields the
+    identical rows).
+
+    Raises if the stream never made progress or missed the deadline (the
+    execute_stream_to_batch discipline: a silently-unexecuted stream can't
+    masquerade as a green gate). Returns the accumulated
+    (new_id, hist_id, jaccard) DataFrame."""
+    import os
+
+    spark = new_stream.sparkSession
+    hist_dir = os.path.join(work_dir, "history")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    initial_history.select(
+        F.col(id_col), F.col(text_col)
+    ).write.mode("overwrite").parquet(hist_dir)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        hist = sess.read.parquet(hist_dir)
+        pairs = minhash_cross_pairs(
+            batch_df, hist, id_col=id_col, text_col=text_col, **minhash_kwargs
+        )
+        # pairs first, THEN the history append: a batch must never see
+        # itself in history (that would create new x new pairs)
+        pairs.write.mode("append").parquet(pairs_dir)
+        batch_df.select(F.col(id_col), F.col(text_col)).write.mode("append").parquet(
+            hist_dir
+        )
+
+    q = (
+        new_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(f"cross-dedup stream did not finish within {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.lastProgress is None:
+        raise RuntimeError("cross-dedup stream terminated without making progress")
+    return spark.read.parquet(pairs_dir)

@@ -488,18 +488,34 @@ def _decode_audio_sf(payload: bytes | None) -> np.ndarray:
     import soundfile as sf  # worker-side import; _probe_soundfile vets it
 
     data, _sr = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
-    mono = data.mean(axis=1)
-    bins = np.array_split(mono, 16)
-    return np.array(
-        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bins],
-        dtype=np.float32,
-    )
+    from eth2dgraph_spark.functions.wav import rms_envelope
+
+    return rms_envelope(data)
+
+
+def _decode_audio_wav(payload: bytes | None) -> np.ndarray:
+    """Real codec path with ZERO external dependencies: the pure-stdlib
+    RIFF/WAVE PCM decoder (functions/wav.py — struct+numpy, 8/16-bit
+    integer PCM, 1..8 channels). Decode, mono-mix, 16-bin RMS energy
+    envelope — the exact feature math of the soundfile path (shared via
+    rms_envelope). Non-WAV or out-of-scope payloads raise, so
+    decode_features marks the row 'error' (data, not a crash)."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    from eth2dgraph_spark.functions.wav import decode_wav, rms_envelope
+
+    samples, _rate = decode_wav(payload)
+    return rms_envelope(samples)
 
 
 def default_audio_decoder() -> tuple[Callable[[bytes | None], np.ndarray], str]:
+    """soundfile when present (any libsndfile format); otherwise the stdlib
+    WAV-PCM codec — a REAL container-bytes decode path in every
+    environment, labeled 'ok' (the default_image_decoder discipline: the
+    byte-histogram stub remains available by explicit injection)."""
     if HAS_SOUNDFILE:
         return _decode_audio_sf, "ok"
-    return _decode_audio_stub, "stubbed"
+    return _decode_audio_wav, "ok"
 
 
 def decode_audio_features(

@@ -125,6 +125,43 @@ def execute_stream_append(
     return spark.table(name)
 
 
+def execute_stream_append_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Append-mode execution into a DURABLE parquet file sink (availableNow)
+    and return a batch read of the output directory. Unlike the memory-sink
+    bridge above, the file sink supports RESTART: re-invoking with the same
+    checkpoint_dir after a stop (or crash) resumes from the committed
+    offsets and appends only windows not yet emitted — the sink's
+    _spark_metadata transaction log plus the checkpoint give end-to-end
+    exactly-once, which is what a real cluster job relies on instead of the
+    reference's delete-then-reinsert idempotency
+    (src/extraction/stream.rs:70-166). The memory sink cannot do this
+    (Spark refuses checkpoint recovery for non-fault-tolerant sinks).
+
+    Returns the full emitted-so-far table; raises if the stream missed the
+    deadline. A no-new-data resume legitimately reports no progress, so
+    unlike the memory-sink helpers this one treats that as success."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(f"file-sink stream did not finish within {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
 def session_windows(
     events: DataFrame,
     key_col: str,

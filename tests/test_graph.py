@@ -15,6 +15,7 @@ from eth2dgraph_spark.graph import (
     duplicate_clusters,
     k_hop,
     pagerank,
+    personalized_pagerank,
 )
 
 
@@ -100,6 +101,99 @@ def test_pagerank_tol_early_exit(spark):
     r3 = {r["node"]: r["rank"] for r in pagerank(e2, num_iter=15, tol=0.05, stats=st3).collect()}
     assert 2 < st3["iterations"] < 15
     assert math.isclose(sum(r3.values()), 1.0, rel_tol=1e-6)
+
+
+def test_ppr_mass_stays_near_sources(spark):
+    # chain a->b->c plus a DISCONNECTED pair x->y: teleport only restarts
+    # at the source, so the x/y component gets exactly zero rank, the
+    # source holds the largest share, and Σrank = 1
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    srcs = spark.createDataFrame([("a",)], "node string")
+    ranks = {r["node"]: r["rank"] for r in personalized_pagerank(e, srcs, num_iter=20).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    assert ranks["x"] == 0.0 and ranks["y"] == 0.0
+    assert ranks["a"] == max(ranks.values())
+    assert ranks["a"] > ranks["b"] > ranks["c"] > 0
+
+
+def test_ppr_matches_pure_python_simulation(spark):
+    # randomized pin: replay the exact update rule in python on a random
+    # graph (incl. dangling nodes) and compare every rank
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    sources = ["n1", "n2", "n3"]
+    d, iters = 0.85, 6
+
+    out_adj: dict = {}
+    for u, v in pairs:
+        out_adj.setdefault(u, []).append(v)
+    graph_nodes = sorted({x for p in pairs for x in p})
+    in_graph = [s for s in sources if s in graph_nodes]
+    reset = {v: (1.0 / len(in_graph) if v in in_graph else 0.0) for v in graph_nodes}
+    rank = dict(reset)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in graph_nodes}
+        dm = 0.0
+        for u in graph_nodes:
+            outs = out_adj.get(u)
+            if not outs:
+                dm += rank[u]
+                continue
+            share = rank[u] / len(outs)
+            for v in outs:
+                contrib[v] += share
+        rank = {
+            v: (1 - d) * reset[v] + d * (contrib[v] + dm * reset[v])
+            for v in graph_nodes
+        }
+
+    e = _edges(spark, pairs)
+    srcs = spark.createDataFrame([(s,) for s in sources], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, srcs, num_iter=iters, damping=d).collect()
+    }
+    assert set(got) == set(graph_nodes)
+    for v in graph_nodes:
+        assert math.isclose(got[v], rank[v], rel_tol=1e-9, abs_tol=1e-12), v
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+def test_ppr_all_sources_equals_uniform_pagerank(spark):
+    # S = V makes the reset vector uniform 1/n -> identical to pagerank
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    e = _edges(spark, pairs)
+    allnodes = spark.createDataFrame([(x,) for x in "abcd"], "node string")
+    pr = {r["node"]: r["rank"] for r in pagerank(e, num_iter=8).collect()}
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, allnodes, num_iter=8).collect()
+    }
+    for v in pr:
+        assert math.isclose(ppr[v], pr[v], rel_tol=1e-12), v
+
+
+def test_ppr_edge_cases(spark):
+    e = _edges(spark, [("a", "b")])
+    # sources outside the graph are ignored; all-outside raises
+    srcs = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="no source node"):
+        personalized_pagerank(e, srcs, num_iter=2)
+    mixed = spark.createDataFrame([("zzz",), ("a",)], "node string")
+    ranks = {r["node"]: r["rank"] for r in personalized_pagerank(e, mixed, num_iter=10).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    # tol early-exit + stats parity with pagerank: on the single-source
+    # 3-cycle the L1 delta decays as 1.7 * 0.85^(k-1) (the rank mass
+    # rotates), crossing 0.3 at iteration 12 — strictly inside the cap
+    st = {}
+    cyc = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    s1 = spark.createDataFrame([("a",)], "node string")
+    personalized_pagerank(cyc, s1, num_iter=50, tol=0.3, stats=st).collect()
+    assert 2 < st["iterations"] < 50 and st["last_delta"] <= 0.3
 
 
 def test_k_hop_distances(spark):

@@ -521,22 +521,33 @@ def test_codec_probe_mismatch_fails_loudly(spark):
         df.collect()
 
 
-def test_audio_decode_stub_mode(spark):
+def test_audio_decode_default_real_codec(spark):
+    # the DEFAULT audio path decodes real container bytes in every
+    # environment (soundfile if present, else the stdlib WAV-PCM codec):
+    # a genuine WAV decodes 'ok', RIFF-prefixed garbage degrades to
+    # 'error' (data, not a crash), images are filtered, empty -> zeros
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import encode_wav
+
+    wav = encode_wav(np.full(1600, 0.5, dtype=np.float64), 8000)
     rows = [
-        (1, "audio", "audio/wav", bytearray(b"RIFF fake audio"), None, None, 2000),
+        (1, "audio", "audio/wav", bytearray(wav), None, None, 200),
         (2, "image", "image/png", bytearray(b"\x89PNG"), 2, 2, None),  # filtered out
         (3, "audio", "audio/wav", None, None, None, 0),
+        (4, "audio", "audio/wav", bytearray(b"RIFF fake audio"), None, None, 2000),
     ]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
     got = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
-    assert set(got) == {1, 3}  # modality filter applied
-    if not multimodal.HAS_SOUNDFILE:
-        assert got[1]["decode_ok"] == "stubbed"
-        assert len(got[1]["feature"]) == 16
-        # deterministic: same payload -> same feature on a re-run
-        again = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
-        assert got[1]["feature"] == again[1]["feature"]
+    assert set(got) == {1, 3, 4}  # modality filter applied
+    assert got[1]["decode_ok"] == "ok"
+    # constant 0.5 signal -> every RMS bin is 0.5 (16-bit quantized)
+    assert got[1]["feature"] == pytest.approx([0.5] * 16, abs=1e-3)
+    assert got[4]["decode_ok"] == "error" and got[4]["feature"] is None
     assert got[3]["feature"] == [0.0] * 16  # empty payload -> zeros
+    # deterministic: same payload -> same feature on a re-run
+    again = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
+    assert got[1]["feature"] == again[1]["feature"]
 
 
 def test_audio_injected_codec(spark):

@@ -326,3 +326,75 @@ def test_png_single_flip_rejected_or_valid(seed, pos, newbyte):
     except ValueError:
         return
     assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+@given(
+    st.integers(0, 500),
+    st.sampled_from([1, 2, 3, 8]),
+    st.sampled_from([8, 16]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_arbitrary_pcm(n, ch, bits, seed):
+    """encode -> decode is the identity (up to the documented integer
+    normalization) for every supported frame count / channel / depth."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    if bits == 16:
+        a = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    else:
+        a = rng.integers(0, 256, size=(n, ch), dtype=np.uint8)
+    out, rate = decode_wav(encode_wav(a, 22050, bits=bits))
+    assert rate == 22050 and out.shape == (n, ch)
+    back = (
+        np.round(out * 32768.0).astype(np.int16)
+        if bits == 16
+        else np.round(out * 128.0 + 128.0).astype(np.uint8)
+    )
+    assert (back == a).all()
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_wav_decode_never_crashes_on_garbage(raw):
+    """Arbitrary bytes either raise ValueError or decode to a valid float32
+    array — never an unhandled exception (the decode_audio_features seam
+    depends on this contract, exactly as the PNG path does)."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import decode_wav
+
+    try:
+        out, rate = decode_wav(raw)
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.float32 and rate > 0
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 400), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_wav_single_flip_rejected_or_decodes(seed, pos, newbyte):
+    """Flipping any one byte of a valid WAV either trips a strict
+    cross-field ValueError or still decodes (flips inside the pcm payload
+    are sample changes, not corruption — WAV has no CRC); survivors must
+    still produce a well-formed, in-range array."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32768, size=(rng.integers(1, 60), 2), dtype=np.int16)
+    enc = bytearray(encode_wav(a, 8000))
+    pos = pos % len(enc)
+    if enc[pos] == newbyte:
+        newbyte = (newbyte + 1) % 256
+    enc[pos] = newbyte
+    try:
+        out, _ = decode_wav(bytes(enc))
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.float32
+    assert np.abs(out).max() <= 1.0

@@ -324,3 +324,125 @@ def test_append_mode_late_row_merge_vs_drop(spark, tmp_path):
     assert got[(T0, "x")] == 1  # dropped; emitted exactly once
     # holdback: the tail window (30h) is newer than max - 2h -> withheld
     assert (T0 + 30 * h, "x") not in got
+
+
+def test_minhash_cross_pairs_stream_incremental_history(spark, tmp_path):
+    """foreachBatch incremental near-dup: batch 2 must pair against docs
+    that arrived in batch 1 (history grows per micro-batch), never against
+    its own batch (no new x new), and the accumulated result must equal the
+    closed-form union of per-batch BATCH runs."""
+    from eth2dgraph_spark.pipeline.dedup import (
+        minhash_cross_pairs,
+        minhash_cross_pairs_stream,
+    )
+
+    h = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = [(101, "alpha beta gamma delta epsilon zeta eta theta")]
+    # 201 is a near-dup of 101 (batch-1 doc, NOT in initial history);
+    # 202/203 are near-dups of EACH OTHER only -> must produce no pair
+    b2 = [
+        (201, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (202, "red orange yellow green blue indigo violet"),
+        (203, "red orange yellow green blue indigo violet ultraviolet"),
+    ]
+    glob = _ordered_landing(spark, tmp_path, [b1, b2], "doc_id long, text string")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    kw = dict(k=3, num_hashes=32, num_bands=8, threshold=0.3, max_band_bucket=None)
+    got = minhash_cross_pairs_stream(
+        stream, h, str(tmp_path / "work"), **kw
+    )
+    got_set = {(r["new_id"], r["hist_id"]) for r in got.collect()}
+
+    b1df = spark.createDataFrame(b1, "doc_id long, text string")
+    b2df = spark.createDataFrame(b2, "doc_id long, text string")
+    want = minhash_cross_pairs(b1df, h, **kw).unionByName(
+        minhash_cross_pairs(b2df, h.unionByName(b1df), **kw)
+    )
+    want_set = {(r["new_id"], r["hist_id"]) for r in want.collect()}
+    assert got_set == want_set
+    assert (201, 101) in got_set  # history grew: batch-2 doc paired a batch-1 doc
+    assert (201, 1) in got_set  # and still pairs the original history
+    assert not any(a in (202, 203) and b in (202, 203) for a, b in got_set)  # no new x new
+
+
+def test_append_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume proof for append mode: run the windowed aggregation
+    over batch 1 only, stop, then restart AGAINST THE SAME CHECKPOINT with
+    batch 2 landed. The union of the two runs' emissions must equal the
+    uninterrupted run, with zero overlap — no duplicate and no lost window
+    across the restart (the real-cluster failure the reference's
+    delete-then-reinsert guards against, src/extraction/stream.rs:70-166)."""
+    import os
+
+    from eth2dgraph_spark.streaming.windows import (
+        execute_stream_append,
+        execute_stream_append_to_files,
+    )
+
+    rows = [
+        (i, T0 + dt.timedelta(minutes=7 * i), "t%d" % (i % 2), float(i)) for i in range(40)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    half1, half2 = rows[:20], rows[20:]
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("v"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt", "v")
+        )
+
+    def read_landing(glob):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+    # uninterrupted reference run (memory-sink helper: the established
+    # semantics both sinks must agree on)
+    glob_full = _ordered_landing(spark, tmp_path / "full", [half1, half2], schema)
+    want = key(
+        execute_stream_append(
+            agg(read_landing(glob_full)),
+            checkpoint_dir=str(tmp_path / "ckpt_full"),
+            query_name="restart_ref",
+        )
+    )
+
+    # phase 1: only batch 1 exists; availableNow drains it and STOPS
+    landing2 = tmp_path / "resume"
+    glob2 = _ordered_landing(spark, landing2, [half1], schema)
+    ckpt = str(tmp_path / "ckpt_resume")
+    out = str(tmp_path / "out_resume")
+    p1 = key(execute_stream_append_to_files(agg(read_landing(glob2)), out, ckpt))
+    assert len(p1) > 0  # batch 1 closed at least one window before the stop
+
+    # phase 2: batch 2 lands; restart from the SAME checkpoint + sink
+    import time
+
+    b2dir = landing2 / "landing" / "b2"
+    spark.createDataFrame(half2, schema).coalesce(1).write.parquet(str(b2dir))
+    mt = int(time.time())
+    for fn in os.listdir(str(b2dir)):
+        os.utime(os.path.join(str(b2dir), fn), (mt, mt))
+    merged = key(execute_stream_append_to_files(agg(read_landing(glob2)), out, ckpt))
+
+    assert merged == want  # exactly-once across the restart: no dup, no loss
+    assert set(p1) <= set(merged)  # phase-1 emissions survived the restart
+    # idempotent re-resume with NO new data: nothing is re-emitted
+    again = key(execute_stream_append_to_files(agg(read_landing(glob2)), out, ckpt))
+    assert again == merged
