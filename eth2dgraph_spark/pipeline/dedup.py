@@ -276,9 +276,28 @@ def ngram_jaccard_pairs(
     # can be released here instead of pinning executor storage until the
     # session ends. Same contract as minhash_lsh_candidates: the returned
     # frame is already computed; downstream reads checkpointed blocks.
+    #
+    # shuffle_hash hints on BOTH size joins: neither side of these joins is
+    # broadcastable at scale — `inter` is the candidate-pair frame (bounded
+    # by cap^2 per posting: Catalyst's post-agg estimate undercounts it and
+    # picked BuildLeft BROADCAST of inter on the 1-hot-word skew corpus,
+    # collecting ~1 GiB to the driver and dying on maxResultSize; measured
+    # round 10), and `sizes` is one row per DOCUMENT (fine at 50k, billions
+    # of rows at corpus scale). A shuffled hash join keyed on the doc id is
+    # the only shape that survives both ends.
     out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -596,9 +615,15 @@ def minhash_dedup_pairs(
     # eager-checkpoint the verified pairs so the persisted shingle explode
     # (the widest intermediate of the whole pipeline) is released here
     # instead of pinning executor storage until the session ends
+    # shuffle_hash hints: same rationale as ngram_jaccard_pairs' size joins
+    # (measured round 10) — `cands` is a candidate-PAIR frame Catalyst can
+    # underestimate into a driver-killing broadcast, and a/b carry the
+    # per-doc shingle-hash ARRAYS (doc-count-sized, fat rows) which must
+    # never broadcast at corpus scale either; the shuffled hash join keyed
+    # on the doc id is the only shape safe from both ends.
     out = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -909,9 +934,11 @@ def minhash_cross_pairs(
         "id", "hist_id"
     )
     inter = F.size(F.array_intersect("hs_n", "hs_h"))
+    # shuffle_hash: the bipartite form of minhash_dedup_pairs' verification
+    # join — same scale rationale (pair frame x array-carrying doc frames)
     out = (
-        cands.join(sn, "new_id")
-        .join(sh, "hist_id")
+        cands.join(sn.hint("shuffle_hash"), "new_id")
+        .join(sh.hint("shuffle_hash"), "hist_id")
         .withColumn("jaccard", inter / (F.col("sz_n") + F.col("sz_h") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "hist_id", "jaccard")
