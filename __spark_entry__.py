@@ -1511,6 +1511,77 @@ def q_wav_envelope(spark, sf):  # the stdlib WAV-PCM codec driven
     )
 
 
+def q_avi_luma(spark, sf):  # the stdlib uncompressed-AVI codec driven
+    # end-to-end on REAL container bytes, one synthesized 2-frame 8x8 clip
+    # per document: pooled block b of frame f is the constant gray
+    # v = ((doc_id*31 + f*16 + b) % 32) * 8, encoded (functions/avi.py
+    # encode_avi, BI_RGB 24-bit bottom-up BGR + idx1), decoded back, and
+    # pooled to the two 16-bin BT.601 luma grids — all float64, and the
+    # integer-ratio luma (299v+587v+114v)/1000 of a gray plus the exact
+    # 2x2 block mean make every bin EXACTLY v/255, which the oracle
+    # replays in closed form (no rounding tolerance needed; bins are
+    # multiples of 8/255).
+    from eth2dgraph_spark.functions.avi import synthetic_luma_udf
+
+    avi_luma = synthetic_luma_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.select("doc_id", F.posexplode(avi_luma("doc_id"))).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("bin"),
+        _r6e("col").alias("luma"),
+    )
+
+
+def q_hits_scores(spark, sf):  # HITS hubs & authorities (Kleinberg) —
+    # the directed link-analysis companion to pagerank_ranks, on the same
+    # customer->supplier bipartite graph (hubs score customers,
+    # authorities suppliers). Oracle unrolls the 2 iterations as chained
+    # CTEs with the L2 norms as scalar subqueries, exactly mirroring
+    # graph.hits's update rule (auth <- A^T hub, normalize; hub <- A
+    # auth_new, normalize; hub0 = 1).
+    from eth2dgraph_spark.graph import hits
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(edges, num_iter=2)
+    return scores.select(
+        "node", F.round("auth", 9).alias("auth"), F.round("hub", 9).alias("hub")
+    )
+
+
+def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
+    # container bytes: one synthesized 3-frame AVI clip per document
+    # (functions/avi.py synthetic_clip_udf — bit-identical within group
+    # doc_id % 25), decoded by the stdlib codec, per-frame pHashed
+    # (multimodal.video_frame_phashes), and paired by the capped postings
+    # overlap (video_overlap_pairs, the winnow_overlap shape). Same-group
+    # pairs share all 3 frame hashes; the measured worst cross-group
+    # collision is ONE shared hash (see synthetic_clip_udf), so
+    # min_shared=2 makes the output exactly the closed-form same-group
+    # pair set with n_shared=3 — which the oracle replays as a doc_id
+    # self-join, no pHash math needed.
+    from eth2dgraph_spark.functions.avi import synthetic_clip_udf
+    from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
+
+    clip = synthetic_clip_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        clip("doc_id").alias("payload"),
+        F.lit(2500).cast("long").alias("duration_ms"),
+    )
+    return video_near_pairs(assets, every_ms=1000, min_shared=2)
+
+
 def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
     # EXECUTED as a foreachBatch stream over two ordered micro-batches,
     # history growing per batch (pipeline/dedup.minhash_cross_pairs_stream):
@@ -2878,14 +2949,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-10 window policy (VERDICT
-    # r9 item 1): (a) the 3 gates NEW this round (wav_envelope, ppr_ranks,
-    # cross_dedup_stream — first-ever driver rows); (b) the 3 whose CODE
+    # r9 item 1): (a) the 6 gates NEW this round (wav_envelope, avi_luma,
+    # video_near_dups, hits_scores, ppr_ranks, cross_dedup_stream —
+    # first-ever driver rows); (b) the 3 whose CODE
     # changed since their r9 driver row (cross_dedup now runs uncapped to
     # match its oracle, token_mix sits on the token_budget_mix NULL-coalesce
     # change, byte_kernel_fixture dropped its persist); (c) the full
     # 22-gate r6-stale overflow named at round 9's boundary (no driver row
     # since r6 — the oldest cohort); (d) the r7 cohort fills the window —
-    # 22 of its 46 fit (alphabetical), the 24-gate overflow is round 11's
+    # 19 of its 46 fit (alphabetical), the 27-gate overflow is round 11's
     # leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -2894,6 +2966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-10 window (entries 1-50) ---
         # (a) NEW this round:
         "wav_envelope": q_wav_envelope,
+        "avi_luma": q_avi_luma,
+        "video_near_dups": q_video_near_dups,
+        "hits_scores": q_hits_scores,
         "ppr_ranks": q_ppr_ranks,
         "cross_dedup_stream": q_cross_dedup_stream,
         # (b) code changed since their r9 driver row:
@@ -2943,13 +3018,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "interval_attach": q_interval_attach,
         "late_shipments": q_late_shipments,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r7-cohort overflow (27 gates; round-11 rotation leads with
+        # these — lm_perplexity through winnow_overlap were last
+        # driver-certified in r7; lm_perplexity, lm_perplexity_tri and
+        # ngram_jaccard slipped below the boundary when avi_luma,
+        # video_near_dups and hits_scores joined the new-gate block above):
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_tri": q_lm_perplexity_tri,
         "ngram_jaccard": q_ngram_jaccard,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r7-cohort overflow (24 gates; round-11 rotation leads with
-        # these — ngram_jaccard_capped through winnow_overlap were last
-        # driver-certified in r7):
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ohlc_bars": q_ohlc_bars,
         "ohlc_stream": q_ohlc_stream,
@@ -3992,6 +4069,39 @@ def _pagerank_oracle(num_iter: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _hits_oracle(num_iter: int = 2) -> str:
+    """Fixed-iteration HITS unrolled as chained CTEs — one (auth-raw,
+    auth-norm, auth, hub-raw, hub-norm, hub) layer per iteration, exactly
+    mirroring eth2dgraph_spark.graph.hits's update rule (L2 norms as
+    scalar subqueries; hub0 = 1 on every node)."""
+    parts = [
+        """WITH e AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey=l_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, num_iter + 1):
+        parts.append(
+            f""",
+        ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS s
+                  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+        an{i} AS (SELECT sqrt(sum(s*s)) AS nm FROM ar{i}),
+        a{i} AS (SELECT n.node, coalesce(ar.s, 0)/(SELECT nm FROM an{i}) AS auth
+                 FROM nodes n LEFT JOIN ar{i} ar ON ar.node = n.node),
+        hr{i} AS (SELECT e.src AS node, sum(a.auth) AS s
+                  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+        hn{i} AS (SELECT sqrt(sum(s*s)) AS nm FROM hr{i}),
+        h{i} AS (SELECT n.node, coalesce(hr.s, 0)/(SELECT nm FROM hn{i}) AS hub
+                 FROM nodes n LEFT JOIN hr{i} hr ON hr.node = n.node)"""
+        )
+    parts.append(
+        f"""
+        SELECT a.node, round(a.auth, 9) AS auth, round(h.hub, 9) AS hub
+        FROM a{num_iter} a JOIN h{num_iter} h ON h.node = a.node"""
+    )
+    return "".join(parts)
+
+
 def _ppr_oracle(num_iter: int = 4, damping: float = 0.85) -> str:
     """Fixed-iteration PERSONALIZED PageRank unrolled as chained CTEs —
     the _pagerank_oracle construction with the uniform 1/n terms replaced
@@ -4036,6 +4146,18 @@ _WAV_ENVELOPE_ORACLE = """
                round(round(((d.doc_id * 31 + i.i) % 20) * 1638.4) / 32768
                      + 1e-9, 6) AS rms
         FROM documents d, range(16) i(i)"""
+
+
+_AVI_LUMA_ORACLE = """
+        SELECT d.doc_id, i.i AS bin,
+               round(((d.doc_id * 31 + i.i) % 32) * 8 / 255.0 + 1e-9, 6) AS luma
+        FROM documents d, range(32) i(i)"""
+
+
+_VIDEO_NEAR_DUPS_ORACLE = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 3::BIGINT AS n_shared
+        FROM documents a JOIN documents b
+          ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id"""
 
 
 _OHLC_ORACLE = """
@@ -5217,6 +5339,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup_stream": _minhash_cross_stream_oracle(threshold=0.5),
         "ppr_ranks": _ppr_oracle(num_iter=4, damping=0.85),
         "wav_envelope": _WAV_ENVELOPE_ORACLE,
+        "avi_luma": _AVI_LUMA_ORACLE,
+        "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
+        "hits_scores": _hits_oracle(num_iter=2),
         "ann_topk": _ann_topk_oracle(),
         "simhash_dup_groups": f"""
             WITH v AS ({_simhash_oracle()})

@@ -841,3 +841,93 @@ def modularity(
     result = result.localCheckpoint(eager=True)
     e.unpersist()
     return result
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    stats: "dict | None" = None,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(node, auth, hub) after `num_iter` HITS iterations (Kleinberg,
+    JACM 1999): auth <- A^T hub then L2-normalize, hub <- A auth(new) then
+    L2-normalize, starting from hub = 1 on every node. The standard
+    companion kernel to pagerank for directed link analysis — on a
+    bipartite graph (customers->suppliers, deployers->contracts) hubs
+    score the left side and authorities the right.
+
+    Iteration cost discipline (the pagerank contract):
+      - ONE action per iteration: both L2 norms ride broadcast 1-row
+        aggregates folded into the plan; the eager lineage cut
+        (_truncator: localCheckpoint, or reliable checkpoint under
+        `checkpoint_dir`) is the only materialization. The auth subplan
+        feeds both the output columns and the hub update — identical
+        exchanges, which AQE reuses rather than recomputing.
+      - The edge frame is persisted once, hash-partitioned by src (the
+        auth join key); the hub-side join reuses the same frame with the
+        scores side — the O(nodes) side — moving, never the edges.
+      - Lineage is cut every round so the plan stays O(1) deep (the
+        3^rounds lazy-plan blowup measured on pagerank in round 8).
+
+    Parallel edges contribute multiplicity, exactly like pagerank — pass
+    .distinct() edges for simple-graph semantics. `stats`, if given a
+    dict, receives {"iterations": k}."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
+    ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if nodes.isEmpty():
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
+        )
+    scores = nodes.select("node", F.lit(1.0).alias("hub"))
+    iterations = 0
+    for _ in range(num_iter):
+        araw = (
+            e.join(scores, e.src == scores.node)
+            .select(F.col("dst").alias("node"), F.col("hub").alias("h"))
+            .groupBy("node")
+            .agg(F.sum("h").alias("s"))
+        )
+        anorm = araw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_an"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .join(F.broadcast(anorm))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_an")).alias("auth"),
+            )
+        )
+        hraw = (
+            e.join(auth, e.dst == auth.node)
+            .select(F.col("src").alias("node"), F.col("auth").alias("a"))
+            .groupBy("node")
+            .agg(F.sum("a").alias("s"))
+        )
+        hnorm = hraw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_hn"))
+        nxt = (
+            nodes.join(auth, "node")
+            .join(hraw.withColumnRenamed("s", "_hs"), "node", "left")
+            .join(F.broadcast(hnorm))
+            .select(
+                "node",
+                "auth",
+                (F.coalesce(F.col("_hs"), F.lit(0.0)) / F.col("_hn")).alias("hub"),
+            )
+        )
+        scores = _truncator(nxt, checkpoint_dir)
+        iterations += 1
+    if stats is not None:
+        stats["iterations"] = iterations
+    e.unpersist()
+    nodes.unpersist()
+    return scores.select("node", "auth", "hub")

@@ -4,12 +4,14 @@ Codec availability is a FEATURE FLAG per modality: Pillow for images,
 soundfile for audio, PyAV for video. On a real cluster with the codec
 installed the decode kernels run it. For IMAGES the fallback is itself a
 REAL codec: the pure-stdlib PNG decoder (functions/png.py — zlib+struct,
-all five scanline filters), so one genuine container format decodes
-end-to-end in every environment, no pip required; non-PNG payloads degrade
-to 'error' rows. Audio/video fall back to a deterministic stub that
-preserves the full Spark-side contract — schemas, Arrow batch shapes,
-mapInPandas signatures and partitioning are identical in all modes, and
-`decode_ok` records which path produced each row ('ok' | 'stubbed' |
+all five scanline filters); for AUDIO the stdlib RIFF/WAVE PCM decoder
+(functions/wav.py); for VIDEO the stdlib uncompressed-AVI decoder
+(functions/avi.py) — so one genuine container format PER MODALITY decodes
+end-to-end in every environment, no pip required; out-of-scope payloads
+degrade to 'error' rows. Deterministic stubs remain available by explicit
+injection, and every mode preserves the full Spark-side contract — schemas,
+Arrow batch shapes, mapInPandas signatures and partitioning are identical,
+and `decode_ok` records which path produced each row ('ok' | 'stubbed' |
 'error'). Tests cover every mode by injecting the decoder callable.
 
 Driver/worker mismatch safety: the flags above are the DRIVER's view, used
@@ -623,10 +625,40 @@ def _decode_video_frames_av(payload: bytes | None, ts_list: list[int]) -> list[n
     return feats
 
 
+def _decode_video_frames_avi(payload: bytes | None, ts_list: list[int]) -> list[np.ndarray]:
+    """Real codec path with ZERO external dependencies: the pure-stdlib
+    uncompressed-AVI decoder (functions/avi.py — struct+numpy, single-stream
+    BI_RGB 24-bit DIB frames). The container is decoded ONCE; the frame on
+    screen at each sampled ts is picked by integer frame arithmetic
+    (idx = ts_ms*fps/1000, clamped to the last frame — the same
+    at-or-before-ts semantics as the PyAV seek path) and pooled to the
+    16-dim luminance grid shared with that path via luma_grid16. Non-AVI or
+    out-of-scope payloads raise, so decode_video_frames marks every row of
+    the schedule 'error' (data, not a crash)."""
+    from eth2dgraph_spark.functions.avi import decode_avi, luma_grid16
+
+    if not payload:
+        return [np.zeros(16, dtype=np.float32) for _ in ts_list]
+    frames, fps = decode_avi(payload)
+    n = frames.shape[0]
+    grids: dict[int, np.ndarray] = {}
+    out = []
+    for ts_ms in ts_list:
+        idx = min(n - 1, int(ts_ms * fps / 1000.0))
+        if idx not in grids:
+            grids[idx] = luma_grid16(frames[idx]).astype(np.float32)
+        out.append(grids[idx])
+    return out
+
+
 def default_video_decoder() -> tuple[Callable[[bytes | None, list[int]], list[np.ndarray]], str]:
+    """PyAV when present (any ffmpeg container); otherwise the stdlib
+    uncompressed-AVI codec — a REAL container-bytes decode path in every
+    environment, labeled 'ok' (the default_audio_decoder discipline: the
+    rotated-histogram stub remains available by explicit injection)."""
     if HAS_AV:
         return _decode_video_frames_av, "ok"
-    return _decode_video_frames_stub, "stubbed"
+    return _decode_video_frames_avi, "ok"
 
 
 def decode_video_frames(
@@ -689,4 +721,147 @@ def decode_video_frames(
         assets.filter(F.col("modality") == "video")
         .select("asset_id", "payload", "duration_ms")
         .mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+    )
+
+
+# ------------------------------------------------------- video near-dup
+
+def _decode_video_gray_avi(payload: "bytes | None", ts_list: list[int]) -> list[np.ndarray]:
+    """Full-resolution grayscale frames (float64 0..255, Rec.601 weights) at
+    the sampled timestamps from the stdlib AVI codec — the perceptual-hash
+    counterpart of _decode_video_frames_avi (which pools to 16 bins and
+    would destroy the spatial structure pHash needs). Same frame-pick
+    arithmetic: the frame on screen at ts, clamped to the last frame."""
+    from eth2dgraph_spark.functions.avi import decode_avi
+
+    if not payload:
+        raise ValueError("avi: empty payload")
+    frames, fps = decode_avi(payload)
+    f = frames.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    n = luma.shape[0]
+    return [luma[min(n - 1, int(ts * fps / 1000.0))] for ts in ts_list]
+
+
+def video_frame_phashes(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    hash_size: int = 8,
+    dct_size: int = 16,
+    decoder: "Callable[[bytes | None, list[int]], list[np.ndarray]] | None" = None,
+    ok_label: str | None = None,
+    probe: "Callable[[], None] | None" = None,
+) -> DataFrame:
+    """(asset_id, frame_ts_ms, phash, decode_ok): the video fingerprint —
+    one 64-bit perceptual hash per sampled frame, on the frame_sample_plan
+    schedule (0..duration_ms step every_ms). The decoder contract returns
+    one full-res grayscale array per sampled ts; by default the pure-stdlib
+    AVI codec (functions/avi.py), so REAL container bytes fingerprint
+    end-to-end in every environment — out-of-scope payloads degrade to
+    'error' rows across the full schedule (data, not a crash). pHash
+    absorbs pixel-level noise (re-encode, mild filtering), so downstream
+    overlap counting can match frames EXACTLY on the hash — the property
+    that makes video near-dup a postings problem instead of a pairwise
+    image-distance problem at 100 TB."""
+    if decoder is None:
+        decoder, ok_label = _decode_video_gray_avi, "ok"
+    elif ok_label is None:
+        ok_label = "ok"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if probe is not None:
+            probe()
+        for pdf in batches:
+            aid_out, ts_out, h_out, ok_out = [], [], [], []
+            for aid, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur_ms = 0 if dur is None or pd.isna(dur) else max(int(dur), 0)
+                ts_list = list(range(0, dur_ms + 1, every_ms))
+                try:
+                    grays = decoder(payload, ts_list)
+                    hashes = [
+                        signed64(phash64(g, hash_size, dct_size)) for g in grays
+                    ]
+                    status = ok_label
+                except Exception:  # noqa: BLE001 — undecodable container is data
+                    hashes = [None] * len(ts_list)
+                    status = "error"
+                for ts, h in zip(ts_list, hashes):
+                    aid_out.append(aid)
+                    ts_out.append(ts)
+                    h_out.append(h)
+                    ok_out.append(status)
+            yield pd.DataFrame(
+                {
+                    "asset_id": aid_out,
+                    "frame_ts_ms": ts_out,
+                    "phash": h_out,
+                    "decode_ok": ok_out,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload", "duration_ms")
+        .mapInPandas(
+            kernel,
+            schema="asset_id long, frame_ts_ms long, phash long, decode_ok string",
+        )
+    )
+
+
+def video_overlap_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): video pairs sharing >= min_shared distinct
+    frame pHashes — near-duplicate clips (re-encodes, clips sharing scenes).
+    The text.winnow_overlap_pairs shape applied to video fingerprints: one
+    shuffle of the distinct (asset_id, phash) frame keyed on phash with a
+    spillable count-over-window enforcing `max_posting` BEFORE the pair
+    join (hot hashes — black frames, title cards shared by every clip —
+    would otherwise emit O(f^2) pair rows on single keys; dropped postings
+    only UNDERCOUNT n_shared), then the triangular self-join on the
+    surviving postings. NULL hashes ('error' frames) never post."""
+    from pyspark.sql.window import Window
+
+    fps_ = (
+        frame_hashes.filter(F.col("phash").isNotNull())
+        .select(F.col("asset_id").alias("id"), "phash")
+        .distinct()
+    )
+    capped = (
+        fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("phash")))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_posting))
+        .drop("_n")
+    )
+    a = capped.select(F.col("id").alias("id_a"), "phash")
+    b = capped.select(F.col("id").alias("id_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def video_near_pairs(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+    hash_size: int = 8,
+    dct_size: int = 16,
+    decoder: "Callable[[bytes | None, list[int]], list[np.ndarray]] | None" = None,
+) -> DataFrame:
+    """End-to-end video near-dup: real container bytes -> per-frame pHash
+    fingerprints -> capped postings overlap. Composition of
+    video_frame_phashes and video_overlap_pairs."""
+    return video_overlap_pairs(
+        video_frame_phashes(assets, every_ms, hash_size, dct_size, decoder),
+        min_shared=min_shared,
+        max_posting=max_posting,
     )

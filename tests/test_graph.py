@@ -542,3 +542,66 @@ def test_cluster_representatives_keep_best(spark):
     asc = {r["doc_id"] for r in
            cluster_representatives(docs, pairs, "score", descending=False).collect()}
     assert asc == {1, 4, 5}
+
+
+def _hits_ref(edges, num_iter):
+    """Pure-python HITS reference: auth <- A^T hub, L2-normalize; hub <- A
+    auth_new, L2-normalize; hub0 = 1."""
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(num_iter):
+        araw = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            araw[v] += hub[u]
+        an = math.sqrt(sum(x * x for x in araw.values()))
+        auth = {n: araw[n] / an for n in nodes}
+        hraw = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            hraw[u] += auth[v]
+        hn = math.sqrt(sum(x * x for x in hraw.values()))
+        hub = {n: hraw[n] / hn for n in nodes}
+    return auth, hub
+
+
+def test_hits_matches_reference(spark):
+    from eth2dgraph_spark.graph import hits
+
+    edges = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"), ("c", "z"),
+             ("x", "a")]  # one back-edge so both sides score nonzero
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    got = {r["node"]: r for r in hits(df, num_iter=3, stats=stats).collect()}
+    auth, hub = _hits_ref(edges, 3)
+    assert stats["iterations"] == 3
+    for n in auth:
+        assert got[n]["auth"] == pytest.approx(auth[n], abs=1e-12), n
+        assert got[n]["hub"] == pytest.approx(hub[n], abs=1e-12), n
+    # L2 norms are 1 after the final iteration
+    assert sum(v["auth"] ** 2 for v in got.values()) == pytest.approx(1.0)
+    assert sum(v["hub"] ** 2 for v in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_parallel_edges_weight_contributions(spark):
+    # pagerank's multiplicity contract: a duplicated edge counts twice;
+    # .distinct() input restores simple-graph semantics
+    from eth2dgraph_spark.graph import hits
+
+    dup = [("a", "x"), ("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(dup, "src string, dst string")
+    got = {r["node"]: r["auth"] for r in hits(df, num_iter=1).collect()}
+    auth, _ = _hits_ref(dup, 1)  # ref also counts the duplicate
+    assert got["x"] == pytest.approx(auth["x"])
+    assert got["x"] > got["y"]  # 2 parallel contributions beat 1
+    simple = {r["node"]: r["auth"]
+              for r in hits(df.distinct(), num_iter=1).collect()}
+    assert simple["x"] == pytest.approx(simple["y"])
+
+
+def test_hits_empty_graph(spark):
+    from eth2dgraph_spark.graph import hits
+
+    df = spark.createDataFrame([], "src string, dst string")
+    out = hits(df, num_iter=2)
+    assert out.columns == ["node", "auth", "hub"]
+    assert out.count() == 0

@@ -584,16 +584,21 @@ def test_video_frame_decode_matches_plan_schedule(spark):
         (r["asset_id"], r["frame_ts_ms"]) for r in plan
     )
     if not multimodal.HAS_AV:
-        by_ts = {r["frame_ts_ms"]: r for r in frames}
-        assert all(r["decode_ok"] == "stubbed" for r in frames)
-        assert all(len(r["feature"]) == 16 for r in frames)
-        # frames of one asset are distinct but deterministic (rotated stub)
+        # default path is now the REAL stdlib AVI codec (functions/avi.py):
+        # a fake mp4 payload is undecodable data — every scheduled row is
+        # emitted with decode_ok='error' and a null feature, never a crash
+        assert all(r["decode_ok"] == "error" and r["feature"] is None for r in frames)
+        # the rotated-histogram stub is still available by explicit injection
+        stub = multimodal.decode_video_frames(
+            assets,
+            every_ms=1000,
+            decoder=multimodal._decode_video_frames_stub,
+            ok_label="stubbed",
+        ).collect()
+        by_ts = {r["frame_ts_ms"]: r for r in stub}
+        assert all(r["decode_ok"] == "stubbed" for r in stub)
+        assert all(len(r["feature"]) == 16 for r in stub)
         assert by_ts[0]["feature"] != by_ts[1000]["feature"]
-        again = {
-            r["frame_ts_ms"]: r
-            for r in multimodal.decode_video_frames(assets, every_ms=1000).collect()
-        }
-        assert by_ts[2000]["feature"] == again[2000]["feature"]
 
 
 def test_video_injected_codec_error_path(spark):

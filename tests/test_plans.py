@@ -55,10 +55,13 @@ def test_relational_queries_stay_jvm_side(spark):
     # no gate query may use a scalar pandas UDF; Arrow-batched GROUP kernels
     # (FlatMapGroupsInPandas — the blocked-GEMM cosine path) are allowed,
     # same class as the MapInPandas allowance in the global sweep below.
-    # byte_kernel_fixture is the documented exception: skeleton/keccak are
-    # byte-level kernels Spark SQL cannot express — Arrow-batched scalar
-    # UDFs are exactly the sanctioned path for them (SURVEY §7 hard part b)
-    arrow_ok = {"byte_kernel_fixture"}
+    # documented exceptions — byte-level kernels Spark SQL cannot express,
+    # where Arrow-batched scalar UDFs are exactly the sanctioned path
+    # (SURVEY §7 hard part b): skeleton/keccak (byte_kernel_fixture) and
+    # the three codec-roundtrip gates, whose kernels run a REAL container
+    # encode->decode per row (wav.synthetic_envelope_udf,
+    # avi.synthetic_luma_udf, avi.synthetic_clip_udf)
+    arrow_ok = {"byte_kernel_fixture", "wav_envelope", "avi_luma", "video_near_dups"}
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
