@@ -99,9 +99,12 @@ HEADLINE = [
     # round-9 additions: the BPE trainer's merge table (2 distributed-or-
     # local rounds over the vocab) — extra beyond the comparable subtotal
     "bpe_merges",
-    # round-10 additions: the stdlib WAV codec roundtrip envelope and the
-    # foreachBatch incremental cross-corpus near-dup — extras, same policy
+    # round-10 additions: the stdlib WAV/AVI codec roundtrips, the
+    # pHash-postings video near-dup, the HITS kernel, and the foreachBatch
+    # incremental cross-corpus near-dup — extras, same policy
     "wav_envelope",
+    "avi_luma",
+    "video_near_dups",
     "cross_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
@@ -116,9 +119,10 @@ HEADLINE = [
     # round-9: layered-peeling coreness (capped fixed-shape) — also a
     # localCheckpoint query, same end-of-run placement policy
     "coreness_capped",
-    # round-10: personalized PageRank (seed-set reset vector) — also a
-    # localCheckpoint query, same end-of-run placement policy
+    # round-10: personalized PageRank (seed-set reset vector) and HITS —
+    # also localCheckpoint queries, same end-of-run placement policy
     "ppr_ranks",
+    "hits_scores",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -141,6 +145,9 @@ COMPARABLE_29 = [
     "bpe_merges",
     "coreness_capped",
     "wav_envelope",
+    "avi_luma",
+    "video_near_dups",
+    "hits_scores",
     "cross_dedup_stream",
     "ppr_ranks",
     }

@@ -195,3 +195,37 @@ def synthetic_envelope_udf():
         return pd.Series(out)
 
     return wav_env
+
+
+def synthetic_clip_udf():
+    """pandas UDF factory: doc_id -> real WAV container bytes, a
+    deterministic 3-frame clip (rate 1000 Hz, 200 ms frames, 8 constant
+    25-sample segments per frame) whose amplitudes depend only on
+    group = doc_id % 25 — every document in a group carries a
+    bit-identical clip, so per-frame quantized energy signatures
+    (multimodal.audio_fingerprints) match exactly within a group and the
+    audio-near-dup gate's oracle is the closed-form same-group pair set.
+    Segment 0 pins the group (amplitude g*10/255) and segment 1 the frame
+    index (f*80/255), so no two distinct (group, frame) signatures can
+    collide AT ALL (the byte is recovered exactly: 16-bit PCM quantization
+    error <= 1/65536, and round(rms*255) undoes it). The video sibling is
+    avi.synthetic_clip_udf."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def wav_clip(doc_ids: pd.Series) -> pd.Series:
+        cache: dict[int, bytes] = {}
+        out = []
+        for d in doc_ids:
+            g = int(d) % 25
+            if g not in cache:
+                amps = []
+                for f in range(3):
+                    for b in range(8):
+                        v = g * 10 if b == 0 else (f * 80 if b == 1 else (g * 31 + f * 16 + b * 7) % 256)
+                        amps.extend([v / 255.0] * 25)
+                cache[g] = encode_wav(np.array(amps), 1000)
+            out.append(cache[g])
+        return pd.Series(out)
+
+    return wav_clip

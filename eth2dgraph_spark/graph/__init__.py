@@ -858,17 +858,23 @@ def hits(
     bipartite graph (customers->suppliers, deployers->contracts) hubs
     score the left side and authorities the right.
 
-    Iteration cost discipline (the pagerank contract):
-      - ONE action per iteration: both L2 norms ride broadcast 1-row
-        aggregates folded into the plan; the eager lineage cut
-        (_truncator: localCheckpoint, or reliable checkpoint under
-        `checkpoint_dir`) is the only materialization. The auth subplan
-        feeds both the output columns and the hub update — identical
-        exchanges, which AQE reuses rather than recomputing.
+    Iteration cost discipline (the pagerank contract, adapted to HITS's
+    two half-steps):
+      - TWO actions per iteration, one per half-step: the auth vector is
+        lineage-cut (_truncator: localCheckpoint, or reliable checkpoint
+        under `checkpoint_dir`) before the hub update reads it. The
+        single-cut shape — auth as a lazy subplan feeding BOTH the output
+        columns and the hub join — was measured and rejected in round 10:
+        the auth exchange is NOT reused across the two consumers (8.38 s
+        vs 5.06 s for 2 iterations on the sf0.1 bipartite graph, best-of-2
+        same session), so one extra sub-second cut beats recomputing the
+        edge-join half of the iteration.
+      - Both L2 norms ride broadcast 1-row aggregates folded into their
+        half-step's plan — no standalone norm actions.
       - The edge frame is persisted once, hash-partitioned by src (the
-        auth join key); the hub-side join reuses the same frame with the
-        scores side — the O(nodes) side — moving, never the edges.
-      - Lineage is cut every round so the plan stays O(1) deep (the
+        auth join key); both joins move only the O(nodes) scores side,
+        never the edges.
+      - Lineage is cut every half-step so the plan stays O(1) deep (the
         3^rounds lazy-plan blowup measured on pagerank in round 8).
 
     Parallel edges contribute multiplicity, exactly like pagerank — pass
@@ -899,13 +905,14 @@ def hits(
             .agg(F.sum("h").alias("s"))
         )
         anorm = araw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_an"))
-        auth = (
+        auth = _truncator(
             nodes.join(araw, "node", "left")
             .join(F.broadcast(anorm))
             .select(
                 "node",
                 (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_an")).alias("auth"),
-            )
+            ),
+            checkpoint_dir,
         )
         hraw = (
             e.join(auth, e.dst == auth.node)
@@ -915,8 +922,7 @@ def hits(
         )
         hnorm = hraw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_hn"))
         nxt = (
-            nodes.join(auth, "node")
-            .join(hraw.withColumnRenamed("s", "_hs"), "node", "left")
+            auth.join(hraw.withColumnRenamed("s", "_hs"), "node", "left")
             .join(F.broadcast(hnorm))
             .select(
                 "node",

@@ -321,7 +321,12 @@ def phash_from_arrays(
                     continue
                 px = np.asarray(v, dtype=np.float64).reshape(height, width)
                 out.append(signed64(phash64(px, hash_size, dct_size, coef_dp)))
-            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+            # dtype=object: a batch mixing ints and None must NOT let
+            # pandas infer float64 — int64 hashes past 2^53 would silently
+            # round to multiples of 512 (caught by the audio near-dup test)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: pd.Series(out, dtype="object")}
+            )
 
     return df.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"{id_col} long, {out_col} long"
@@ -369,7 +374,7 @@ def phash_features(
         if probe is not None:
             probe()
         for pdf in batches:
-            hashes, status = [], []  # object dtype below: keeps int64 + None
+            hashes, status = [], []  # emitted as dtype=object below
             for p in pdf["payload"]:
                 try:
                     hashes.append(signed64(phash64(pixel_decoder(p), hash_size, dct_size)))
@@ -377,8 +382,14 @@ def phash_features(
                 except Exception:  # noqa: BLE001 — undecodable payload is data
                     hashes.append(None)
                     status.append("error")
+            # dtype=object, NOT inference: pandas converts an int+None
+            # list to float64, silently rounding int64 hashes past 2^53
             yield pd.DataFrame(
-                {"asset_id": pdf["asset_id"], "phash": hashes, "decode_ok": status}
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": pd.Series(hashes, dtype="object"),
+                    "decode_ok": status,
+                }
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -418,36 +429,48 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize behind the same feature flag: with Pillow the kernel
-    decodes, resizes, and re-encodes PNG; without it the kernel raises
-    NotImplementedError when EXECUTED (plan building always succeeds, so the
-    API surface and schema stay stable in this container). The import
+    decodes, resizes (bicubic), and re-encodes PNG; without it the
+    pure-stdlib PNG codec resizes by NEAREST-NEIGHBOR index mapping and
+    re-encodes (functions/png.py decode_png -> numpy index pick ->
+    encode_png) — a REAL resize path in every environment. The two paths
+    produce different pixels by design (different resampling kernels);
+    both produce a decodable PNG of the requested geometry. The import
     happens inside the kernel on the WORKER, so the decision reflects each
-    executor's actual environment, and a driver/worker mismatch names itself
-    instead of surfacing as a NoneType dereference."""
-    driver_had_pil = HAS_PIL  # only used to word the error message
+    executor's actual environment. Pillow-path decode failures propagate
+    (any-format scope); stdlib-path out-of-scope payloads degrade to a
+    NULL payload (non-PNG bytes are data on the zero-dep path, not a job
+    crash)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"resize target must be >= 1x1, got {width}x{height}")
+    use_pil = HAS_PIL
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image
-        except ImportError as e:
-            msg = (
-                "image resize requires Pillow, which the driver had but this "
-                "worker does not — driver/worker environment mismatch"
-                if driver_had_pil
-                else "image resize requires Pillow (not in this container); "
-                "install it on the cluster and this kernel runs as-is"
-            )
-            raise NotImplementedError(msg) from e
+        if use_pil:
+            _probe_pil()
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
                 if p is None:
                     out.append(None)
                     continue
-                img = Image.open(io.BytesIO(p)).resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
+                if use_pil:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(p)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                    continue
+                from eth2dgraph_spark.functions.png import decode_png, encode_png
+
+                try:
+                    arr = decode_png(p)
+                    h, w = arr.shape[:2]
+                    ri = (np.arange(height) * h // height).astype(np.int64)
+                    ci = (np.arange(width) * w // width).astype(np.int64)
+                    out.append(encode_png(arr[ri][:, ci]))
+                except Exception:  # noqa: BLE001 — undecodable payload is data
+                    out.append(None)
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": out})
 
     return assets.select("asset_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
@@ -792,11 +815,13 @@ def video_frame_phashes(
                     ts_out.append(ts)
                     h_out.append(h)
                     ok_out.append(status)
+            # phash as dtype=object: mixed int/None batches must not
+            # decay to float64 (lossy past 2^53 — see phash_features)
             yield pd.DataFrame(
                 {
                     "asset_id": aid_out,
                     "frame_ts_ms": ts_out,
-                    "phash": h_out,
+                    "phash": pd.Series(h_out, dtype="object"),
                     "decode_ok": ok_out,
                 }
             )
@@ -811,41 +836,54 @@ def video_frame_phashes(
     )
 
 
-def video_overlap_pairs(
+def fingerprint_overlap_pairs(
     frame_hashes: DataFrame,
     min_shared: int = 2,
     max_posting: int = 1024,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
 ) -> DataFrame:
-    """(id_a, id_b, n_shared): video pairs sharing >= min_shared distinct
-    frame pHashes — near-duplicate clips (re-encodes, clips sharing scenes).
-    The text.winnow_overlap_pairs shape applied to video fingerprints: one
-    shuffle of the distinct (asset_id, phash) frame keyed on phash with a
-    spillable count-over-window enforcing `max_posting` BEFORE the pair
-    join (hot hashes — black frames, title cards shared by every clip —
+    """(id_a, id_b, n_shared): asset pairs sharing >= min_shared distinct
+    per-frame fingerprints — the generic near-dup postings kernel behind
+    video_near_pairs (frame pHashes) and audio_near_pairs (quantized
+    energy signatures). The text.winnow_overlap_pairs shape: one shuffle
+    of the distinct (id, hash) frame keyed on the hash with a spillable
+    count-over-window enforcing `max_posting` BEFORE the pair join (hot
+    hashes — black frames, title cards, silence shared by every asset —
     would otherwise emit O(f^2) pair rows on single keys; dropped postings
     only UNDERCOUNT n_shared), then the triangular self-join on the
     surviving postings. NULL hashes ('error' frames) never post."""
     from pyspark.sql.window import Window
 
     fps_ = (
-        frame_hashes.filter(F.col("phash").isNotNull())
-        .select(F.col("asset_id").alias("id"), "phash")
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("_fh"))
         .distinct()
     )
     capped = (
-        fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("phash")))
+        fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_fh")))
         .filter((F.col("_n") > 1) & (F.col("_n") <= max_posting))
         .drop("_n")
     )
-    a = capped.select(F.col("id").alias("id_a"), "phash")
-    b = capped.select(F.col("id").alias("id_b"), "phash")
+    a = capped.select(F.col("id").alias("id_a"), "_fh")
+    b = capped.select(F.col("id").alias("id_b"), "_fh")
     return (
-        a.join(b, "phash")
+        a.join(b, "_fh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def video_overlap_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+) -> DataFrame:
+    """Video naming of fingerprint_overlap_pairs — pairs over (asset_id,
+    phash) frame-hash rows (video_frame_phashes output)."""
+    return fingerprint_overlap_pairs(frame_hashes, min_shared, max_posting)
 
 
 def video_near_pairs(
@@ -864,4 +902,124 @@ def video_near_pairs(
         video_frame_phashes(assets, every_ms, hash_size, dct_size, decoder),
         min_shared=min_shared,
         max_posting=max_posting,
+    )
+
+
+# ------------------------------------------------------- audio near-dup
+
+def _decode_audio_samples_wav(payload: "bytes | None") -> "tuple[np.ndarray, int]":
+    """(samples (n, ch) float32, rate) from the stdlib WAV codec — the
+    fingerprint-grade decode (decode_audio_features pools the whole clip
+    to one envelope; fingerprinting needs the raw timeline)."""
+    from eth2dgraph_spark.functions.wav import decode_wav
+
+    if not payload:
+        raise ValueError("wav: empty payload")
+    return decode_wav(payload)
+
+
+def audio_fingerprints(
+    assets: DataFrame,
+    frame_ms: int = 1000,
+    n_bins: int = 8,
+    decoder: "Callable[[bytes | None], tuple[np.ndarray, int]] | None" = None,
+    ok_label: str | None = None,
+    probe: "Callable[[], None] | None" = None,
+) -> DataFrame:
+    """(asset_id, frame_idx, ahash, decode_ok): the audio fingerprint —
+    one 64-bit quantized energy signature per `frame_ms` frame. Per frame
+    the mono mix is split into `n_bins` (<= 8) equal segments, each
+    segment's RMS is quantized to 8 bits (round(rms*255), clipped), and
+    the bytes pack into one long — the shape of an acoustic fingerprint
+    (coarse spectral/energy signature per time slice, matched EXACTLY so
+    downstream near-dup is a postings problem, the video_frame_phashes
+    contract). Decoder contract returns (samples (n, ch), rate); default
+    is the pure-stdlib WAV codec, so REAL container bytes fingerprint in
+    every environment. Only COMPLETE frames post (the tail partial frame
+    is dropped — two clips differing only by a trailing fraction of a
+    frame still share every full-frame hash); out-of-scope payloads emit
+    ONE 'error' row with a NULL hash (audio has no duration-driven
+    schedule to replay, unlike video's frame_sample_plan)."""
+    if not 1 <= n_bins <= 8:
+        raise ValueError(f"n_bins must be 1..8, got {n_bins}")
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    if decoder is None:
+        decoder, ok_label = _decode_audio_samples_wav, "ok"
+    elif ok_label is None:
+        ok_label = "ok"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if probe is not None:
+            probe()
+        for pdf in batches:
+            aid_out, idx_out, h_out, ok_out = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    samples, rate = decoder(payload)
+                    mono = np.asarray(samples, dtype=np.float64)
+                    if mono.ndim == 2:
+                        mono = mono.mean(axis=1)
+                    flen = max(int(rate * frame_ms / 1000), 1)
+                    n_frames = len(mono) // flen
+                    for fi in range(n_frames):
+                        fr = mono[fi * flen : (fi + 1) * flen]
+                        h = 0
+                        for b, seg in enumerate(np.array_split(fr, n_bins)):
+                            rms = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                            q = min(max(int(round(rms * 255.0)), 0), 255)
+                            h |= q << (8 * b)
+                        aid_out.append(aid)
+                        idx_out.append(fi)
+                        # signed64: bin 7 >= 128 would overflow Arrow int64
+                        h_out.append(signed64(h))
+                        ok_out.append(ok_label)
+                    continue
+                except Exception:  # noqa: BLE001 — undecodable bytes are data
+                    aid_out.append(aid)
+                    idx_out.append(0)
+                    h_out.append(None)
+                    ok_out.append("error")
+            # ahash as dtype=object: a batch mixing valid hashes and an
+            # error-row None must not decay to float64 — int64 values past
+            # 2^53 would silently round to multiples of 512, making
+            # identical clips in different batches hash DIFFERENTLY (found
+            # by test_audio_near_pairs_end_to_end)
+            yield pd.DataFrame(
+                {
+                    "asset_id": aid_out,
+                    "frame_idx": idx_out,
+                    "ahash": pd.Series(h_out, dtype="object"),
+                    "decode_ok": ok_out,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema="asset_id long, frame_idx long, ahash long, decode_ok string",
+        )
+    )
+
+
+def audio_near_pairs(
+    assets: DataFrame,
+    frame_ms: int = 1000,
+    n_bins: int = 8,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+    decoder: "Callable[[bytes | None], tuple[np.ndarray, int]] | None" = None,
+) -> DataFrame:
+    """End-to-end audio near-dup: real container bytes -> per-frame
+    quantized energy signatures -> capped postings overlap. Composition of
+    audio_fingerprints and fingerprint_overlap_pairs — the audio member of
+    the per-modality near-dup family (images: phash_near_pairs, video:
+    video_near_pairs)."""
+    return fingerprint_overlap_pairs(
+        audio_fingerprints(assets, frame_ms, n_bins, decoder),
+        min_shared=min_shared,
+        max_posting=max_posting,
+        hash_col="ahash",
     )

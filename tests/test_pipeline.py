@@ -624,9 +624,37 @@ def test_resize_behavior_by_flag(spark):
         with pytest.raises(Exception):  # garbage bytes: codec error surfaces
             multimodal.resize_images(assets, 64, 64).collect()
     else:
-        # no codec: plan builds, execution raises NotImplementedError
-        with pytest.raises(Exception):
-            multimodal.resize_images(assets, 64, 64).collect()
+        # stdlib path: garbage bytes degrade to a NULL payload, never crash
+        [r] = multimodal.resize_images(assets, 64, 64).collect()
+        assert r["payload"] is None
+    with pytest.raises(ValueError, match="resize target"):
+        multimodal.resize_images(assets, 0, 4)
+
+
+def test_resize_stdlib_png_roundtrip(spark):
+    """The zero-dep resize path: real PNG in, nearest-neighbor resized
+    real PNG out — decodable by the same codec with the exact picked
+    pixels. A 1-px NULL-payload row passes through as NULL."""
+    if multimodal.HAS_PIL:
+        pytest.skip("stdlib path only runs without Pillow")
+    import numpy as np
+
+    from eth2dgraph_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "image/png", bytearray(encode_png(src)), 6, 8, None),
+        (2, "image", "image/png", None, None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.resize_images(assets, 3, 4).collect()}
+    out = decode_png(bytes(got[1]["payload"]))
+    assert out.shape == (4, 3, 3)
+    ri = (np.arange(4) * 8 // 4).astype(int)
+    ci = (np.arange(3) * 6 // 3).astype(int)
+    assert (out == src[ri][:, ci]).all()  # exact nearest-neighbor picks
+    assert got[2]["payload"] is None
 
 
 @pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
@@ -1300,3 +1328,115 @@ def test_minhash_cross_pairs_bipartite_and_star_cap(spark):
     uncapped = {(r["new_id"], r["hist_id"]) for r in dedup.minhash_cross_pairs(
         new_hot, hist_hot, k=3, threshold=0.8, max_band_bucket=None).collect()}
     assert uncapped == {(100, i) for i in range(1, 6)}
+
+
+def test_line_profile_known_values(spark):
+    """Hand-computed line-level signals; blank lines dropped; NULL/empty
+    docs emit zeros, never NULLs or division errors."""
+    from eth2dgraph_spark.pipeline.text import line_profile
+
+    rows = [
+        (1, "Hello world.\n- bullet one\n* bullet two\nNAV MENU\nHello world.\n\n  \nlast line?"),
+        (2, None),
+        (3, ""),
+        (4, "single line no punct"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in line_profile(d).collect()}
+    r1 = got[1]
+    # 6 non-blank lines; ".", ".", "?" endings; 2 bullets; 1 all-caps;
+    # "Hello world." twice -> 1 dup; mean len (12+12+12+8+12+10)/6 = 11
+    assert r1["n_lines"] == 6
+    assert r1["mean_line_len"] == pytest.approx(11.0)
+    assert r1["frac_lines_end_punct"] == pytest.approx(3 / 6)
+    assert r1["frac_lines_bullet"] == pytest.approx(2 / 6)
+    assert r1["frac_lines_upper"] == pytest.approx(1 / 6)
+    assert r1["frac_dup_lines"] == pytest.approx(1 / 6)
+    for i in (2, 3):
+        assert got[i]["n_lines"] == 0
+        assert got[i]["frac_dup_lines"] == 0.0 and got[i]["mean_line_len"] == 0.0
+    assert got[4]["n_lines"] == 1 and got[4]["frac_lines_end_punct"] == 0.0
+    # unicode bullets and all-caps-with-digits both count; lowercase Greek
+    # is NOT upper (the \p{Ll} class, not ASCII)
+    d2 = spark.createDataFrame(
+        [(9, "• dot bullet\nHEADER 42\nαβγ line")], "doc_id long, text string"
+    )
+    r9 = {r["id"]: r for r in line_profile(d2).collect()}[9]
+    assert r9["frac_lines_bullet"] == pytest.approx(1 / 3)
+    assert r9["frac_lines_upper"] == pytest.approx(1 / 3)
+
+
+def _wav_group_clip(g, n_frames=3, n_bins=8, rate=1000, frame_ms=200):
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import encode_wav
+
+    flen = rate * frame_ms // 1000
+    seg = flen // n_bins
+    amps = []
+    for f in range(n_frames):
+        for b in range(n_bins):
+            v = g * 10 if b == 0 else (f * 80 if b == 1 else (g * 31 + f * 16 + b * 7) % 256)
+            amps.extend([v / 255.0] * seg)
+    return encode_wav(np.array(amps), rate)
+
+
+def test_audio_fingerprints_exact_and_error_rows(spark):
+    """Real WAV bytes -> per-frame packed energy signatures, EXACT through
+    the 16-bit PCM quantization roundtrip; identical clips share every
+    hash; undecodable payloads emit one 'error' row with a NULL hash."""
+    from eth2dgraph_spark.pipeline import multimodal
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(_wav_group_clip(0)), None, None, None),
+        (2, "audio", "audio/wav", bytearray(_wav_group_clip(0)), None, None, None),
+        (3, "audio", "audio/wav", bytearray(b"junk"), None, None, None),
+        (9, "image", "image/png", bytearray(b"x"), 1, 1, None),  # filtered out
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = multimodal.audio_fingerprints(assets, frame_ms=200).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["asset_id"], []).append((r["frame_idx"], r["ahash"], r["decode_ok"]))
+    assert set(by) == {1, 2, 3}
+
+    def want(g, f):
+        h = 0
+        for b in range(8):
+            v = g * 10 if b == 0 else (f * 80 if b == 1 else (g * 31 + f * 16 + b * 7) % 256)
+            h |= v << (8 * b)
+        return multimodal.signed64(h)
+
+    assert sorted(h for _, h, _ in by[1]) == sorted(want(0, f) for f in range(3))
+    assert sorted(by[1]) == sorted(by[2])  # bit-identical clips
+    assert by[3] == [(0, None, "error")]
+    # partial trailing frame is dropped: 2.5-frame clip posts 2 hashes
+    import numpy as np
+
+    from eth2dgraph_spark.functions.wav import encode_wav
+
+    half = spark.createDataFrame(
+        [(5, "audio", "audio/wav",
+          bytearray(encode_wav(np.full(500, 0.25), 1000)), None, None, None)],
+        multimodal.ASSET_SCHEMA,
+    )
+    fh = multimodal.audio_fingerprints(half, frame_ms=200).collect()
+    assert len(fh) == 2  # 500 samples @ 200ms frames = 2 full + dropped tail
+    with pytest.raises(ValueError, match="n_bins"):
+        multimodal.audio_fingerprints(assets, n_bins=9)
+
+
+def test_audio_near_pairs_end_to_end(spark):
+    from eth2dgraph_spark.pipeline import multimodal
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(_wav_group_clip(0)), None, None, None),
+        (2, "audio", "audio/wav", bytearray(_wav_group_clip(0)), None, None, None),
+        (3, "audio", "audio/wav", bytearray(_wav_group_clip(5)), None, None, None),
+        (4, "audio", "audio/wav", bytearray(_wav_group_clip(5)), None, None, None),
+        (5, "audio", "audio/wav", bytearray(b"junk"), None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in multimodal.audio_near_pairs(assets, frame_ms=200).collect()}
+    assert got == {(1, 2): 3, (3, 4): 3}

@@ -61,7 +61,13 @@ def test_relational_queries_stay_jvm_side(spark):
     # the three codec-roundtrip gates, whose kernels run a REAL container
     # encode->decode per row (wav.synthetic_envelope_udf,
     # avi.synthetic_luma_udf, avi.synthetic_clip_udf)
-    arrow_ok = {"byte_kernel_fixture", "wav_envelope", "avi_luma", "video_near_dups"}
+    arrow_ok = {
+        "byte_kernel_fixture",
+        "wav_envelope",
+        "avi_luma",
+        "video_near_dups",
+        "audio_near_dups",
+    }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"

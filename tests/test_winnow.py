@@ -170,3 +170,35 @@ def test_winnow_overlap_pairs_reference_and_cap(spark):
     # an error (underreport, the similarity cap contract)
     capped = T.winnow_overlap_pairs(df, k=k, w=w, min_shared=2, max_posting=8).collect()
     assert capped == []
+
+
+def test_shared_run_guarantee_holds_under_xxhash64(spark):
+    """hash64='xxhash64' (the measured 100 TB option — 48.9 -> 38.3 s on
+    the 500k soak, BASELINE.md round-10) selects a DIFFERENT fingerprint
+    sample, but the winnowing guarantee is hash-independent: any shared
+    w+k-1 run still shares a fingerprint, and overlap pairs still surface."""
+    import random
+
+    rng = random.Random(777)
+    k, w = 4, 5
+    shared = " ".join(rng.choice("abcdefgh") for _ in range(k + w - 1))
+    rows = []
+    for i in range(12):
+        pre = " ".join(rng.choice("qrstuv") + str(i) for _ in range(rng.randint(0, 12)))
+        rows.append((i, f"{pre} {shared}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in T.winnow_fingerprints(df, k=k, w=w, hash64="xxhash64").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    base = fps[0]
+    for i in range(1, 12):
+        assert fps[i] & base, i
+    # the sample genuinely differs from the md5 sample (different hash order)
+    md5_fps = {r["fp"] for r in T.winnow_fingerprints(df, k=k, w=w).collect()}
+    assert md5_fps != set().union(*fps.values())
+    # and the overlap-pair op threads the option through
+    pairs = T.winnow_overlap_pairs(df, k=k, w=w, min_shared=1, hash64="xxhash64")
+    assert pairs.count() == 12 * 11 / 2  # every doc pair shares the run
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash64"):
+        T.winnow_fingerprints(df, hash64="sha1")
