@@ -1606,6 +1606,79 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
+    # PHYSICALLY EXECUTED as a foreachBatch stream over two ordered
+    # micro-batches of ASSETS (multimodal.fingerprint_cross_pairs_stream):
+    # per batch, clips are fingerprinted through the stdlib WAV codec and
+    # paired against a fingerprint history that starts as H0 and grows per
+    # batch. Group design proves the history actually grew: H0 holds only
+    # groups 0..19, batch 1 introduces groups 20..24 (pairs with NOTHING
+    # in H0 — the negative control), batch 2's group-20..24 clips pair
+    # ONLY against batch 1's, and batch 2 also re-sends four group-0/1
+    # clips that pair against H0. Oracle = the closed-form group joins
+    # (pairs(B1,H0) = empty; pairs(B2, H0 ∪ B1) by group), n_shared=3.
+    import os
+    import tempfile
+    import time
+
+    from eth2dgraph_spark.functions.wav import synthetic_clip_udf
+    from eth2dgraph_spark.pipeline.multimodal import (
+        audio_fingerprints,
+        fingerprint_cross_pairs_stream,
+    )
+
+    clip = synthetic_clip_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def assets(ids):
+        return ids.select(
+            F.col("aid").alias("asset_id"),
+            F.lit("audio").alias("modality"),
+            clip("aid").alias("payload"),
+        )
+
+    g = F.col("doc_id") % 25
+    h0 = assets(d.filter(g < 20).select(F.col("doc_id").alias("aid")))
+    b1 = assets(
+        d.filter((g >= 20) & (F.col("doc_id") < 250)).select(
+            (F.col("doc_id") + 100000).alias("aid")
+        )
+    )
+    b2 = assets(
+        d.filter((g >= 20) & (F.col("doc_id") >= 250))
+        .select((F.col("doc_id") + 100000).alias("aid"))
+        .unionByName(
+            d.filter((g < 2) & (F.col("doc_id") < 50)).select(
+                (F.col("doc_id") + 200000).alias("aid")
+            )
+        )
+    )
+    hist_hashes = audio_fingerprints(h0, frame_ms=200).select("asset_id", "ahash")
+    tmp = tempfile.mkdtemp(prefix="audio_dedup_stream_")
+    landing = os.path.join(tmp, "landing")
+    for sub, frame in (("b1", b1), ("b2", b2)):
+        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+    now = int(time.time())
+    for i, sub in enumerate(("b1", "b2")):
+        dd = os.path.join(landing, sub)
+        mt = now - 120 + i * 30
+        for fn in os.listdir(dd):
+            os.utime(os.path.join(dd, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(landing, "*"))
+    )
+    out = fingerprint_cross_pairs_stream(
+        stream,
+        hist_hashes,
+        os.path.join(tmp, "work"),
+        fingerprinter=lambda df: audio_fingerprints(df, frame_ms=200),
+        min_shared=2,
+    )
+    return out.select("new_id", "hist_id", "n_shared")
+
+
 def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
     # EXECUTED as a foreachBatch stream over two ordered micro-batches,
     # history growing per batch (pipeline/dedup.minhash_cross_pairs_stream):
@@ -3008,15 +3081,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-10 window policy (VERDICT
-    # r9 item 1): (a) the 8 gates NEW this round (wav_envelope, avi_luma,
+    # r9 item 1): (a) the 9 gates NEW this round (wav_envelope, avi_luma,
     # video_near_dups, audio_near_dups, hits_scores, line_profile,
-    # ppr_ranks, cross_dedup_stream — first-ever driver rows); (b) the 3 whose CODE
+    # ppr_ranks, cross_dedup_stream, audio_dedup_stream — first-ever
+    # driver rows); (b) the 3 whose CODE
     # changed since their r9 driver row (cross_dedup now runs uncapped to
     # match its oracle, token_mix sits on the token_budget_mix NULL-coalesce
     # change, byte_kernel_fixture dropped its persist); (c) the full
     # 22-gate r6-stale overflow named at round 9's boundary (no driver row
     # since r6 — the oldest cohort); (d) the r7 cohort fills the window —
-    # 17 of its 46 fit (alphabetical), the 29-gate overflow is round 11's
+    # 16 of its 46 fit (alphabetical), the 30-gate overflow is round 11's
     # leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -3032,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_profile": q_line_profile,
         "ppr_ranks": q_ppr_ranks,
         "cross_dedup_stream": q_cross_dedup_stream,
+        "audio_dedup_stream": q_audio_dedup_stream,
         # (b) code changed since their r9 driver row:
         "cross_dedup": q_cross_dedup,
         "token_mix": q_token_mix,
@@ -3076,13 +3151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "dsir_weights": q_dsir_weights,
         "filter_agg": q_filter_agg,
-        "graph_degrees": q_graph_degrees,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r7-cohort overflow (29 gates; round-11 rotation leads with
-        # these — interval_attach through winnow_overlap were last
-        # driver-certified in r7; interval_attach, late_shipments,
-        # lm_perplexity, lm_perplexity_tri and ngram_jaccard slipped below
-        # the boundary as the new-gate block above grew to 8):
+        # r7-cohort overflow (30 gates; round-11 rotation leads with
+        # these — graph_degrees through winnow_overlap were last
+        # driver-certified in r7; graph_degrees, interval_attach,
+        # late_shipments, lm_perplexity, lm_perplexity_tri and
+        # ngram_jaccard slipped below the boundary as the new-gate block
+        # above grew to 9):
+        "graph_degrees": q_graph_degrees,
         "interval_attach": q_interval_attach,
         "late_shipments": q_late_shipments,
         "lm_perplexity": q_lm_perplexity,
@@ -4249,6 +4325,22 @@ _LINE_PROFILE_ORACLE = """
                      THEN 1.0 - len(list_distinct(ls)) / len(ls)
                      ELSE 0.0 END + 1e-9, 6) AS frac_dup_lines
         FROM l"""
+
+
+_AUDIO_DEDUP_STREAM_ORACLE = """
+        WITH h0 AS (SELECT doc_id AS aid, doc_id % 25 AS g FROM documents
+                    WHERE doc_id % 25 < 20),
+        b1 AS (SELECT doc_id + 100000 AS aid, doc_id % 25 AS g FROM documents
+               WHERE doc_id % 25 >= 20 AND doc_id < 250),
+        b2a AS (SELECT doc_id + 100000 AS aid, doc_id % 25 AS g FROM documents
+                WHERE doc_id % 25 >= 20 AND doc_id >= 250),
+        b2b AS (SELECT doc_id + 200000 AS aid, doc_id % 25 AS g FROM documents
+                WHERE doc_id % 25 < 2 AND doc_id < 50)
+        SELECT a.aid AS new_id, b.aid AS hist_id, 3::BIGINT AS n_shared
+        FROM b2a a JOIN b1 b ON b.g = a.g
+        UNION ALL
+        SELECT a.aid AS new_id, h.aid AS hist_id, 3::BIGINT AS n_shared
+        FROM b2b a JOIN h0 h ON h.g = a.g"""
 
 
 _VIDEO_NEAR_DUPS_ORACLE = """
@@ -5439,6 +5531,7 @@ def oracle_sql() -> dict[str, str]:
         "avi_luma": _AVI_LUMA_ORACLE,
         "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
         "audio_near_dups": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form: group pairs, n_shared=3
+        "audio_dedup_stream": _AUDIO_DEDUP_STREAM_ORACLE,
         "line_profile": _LINE_PROFILE_ORACLE,
         "hits_scores": _hits_oracle(num_iter=2),
         "ann_topk": _ann_topk_oracle(),

@@ -105,6 +105,8 @@ HEADLINE = [
     "wav_envelope",
     "avi_luma",
     "video_near_dups",
+    "audio_near_dups",
+    "line_profile",
     "cross_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
@@ -147,6 +149,8 @@ COMPARABLE_29 = [
     "wav_envelope",
     "avi_luma",
     "video_near_dups",
+    "audio_near_dups",
+    "line_profile",
     "hits_scores",
     "cross_dedup_stream",
     "ppr_ranks",

@@ -1023,3 +1023,120 @@ def audio_near_pairs(
         max_posting=max_posting,
         hash_col="ahash",
     )
+
+
+# -------------------------------------------- incremental asset near-dup
+
+def fingerprint_cross_pairs(
+    new_hashes: DataFrame,
+    hist_hashes: DataFrame,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """(new_id, hist_id, n_shared): NEW assets vs an existing fingerprint
+    HISTORY — the ingest-time question ("which arriving clips duplicate
+    the corpus?") as a bipartite postings join, never new x new and never
+    hist x hist (the dedup.minhash_cross_pairs discipline applied to
+    per-frame fingerprints). The posting cap binds on the HISTORY side per
+    hash — a boilerplate frame present in the whole corpus (title card,
+    silence) would otherwise pair every arriving clip with f history rows
+    on one key; capped hashes drop and only UNDERCOUNT n_shared. NULL
+    hashes never post. History carries (id, hash) rows ONLY — payloads
+    never enter the join, the fingerprint-table-not-text contract."""
+    from pyspark.sql.window import Window
+
+    nf = (
+        new_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("new_id"), F.col(hash_col).alias("_fh"))
+        .distinct()
+    )
+    hf = (
+        hist_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("hist_id"), F.col(hash_col).alias("_fh"))
+        .distinct()
+    )
+    capped = (
+        hf.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_fh")))
+        .filter(F.col("_n") <= max_posting)
+        .drop("_n")
+    )
+    return (
+        nf.join(capped, "_fh")
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def fingerprint_cross_pairs_stream(
+    new_assets_stream: DataFrame,
+    initial_hist_hashes: DataFrame,
+    work_dir: str,
+    fingerprinter: "Callable[[DataFrame], DataFrame]",
+    min_shared: int = 2,
+    max_posting: int = 1024,
+    hash_col: str = "ahash",
+    timeout_s: int = 600,
+) -> DataFrame:
+    """PHYSICALLY-STREAMING incremental asset near-dup: per micro-batch of
+    arriving assets (foreachBatch, trigger=availableNow), fingerprint the
+    batch with `fingerprinter` (audio_fingerprints / video_frame_phashes —
+    any callable producing (asset_id, ..., hash_col) rows), pair it
+    against a fingerprint history that STARTS as `initial_hist_hashes` and
+    grows by each processed batch, and append the batch's own hashes to
+    the history AFTER pairing (a batch must never see itself). This is the
+    multimodal sibling of dedup.minhash_cross_pairs_stream, and the shape
+    a 100 TB asset ingest actually runs: the history is an append-only
+    parquet table of (asset_id, hash) longs under `work_dir` — payload
+    bytes are fingerprinted once on arrival and never stored or reshuffled
+    — candidate pairs append to a second table, and the result is one
+    batch read of it.
+
+    Semantics (deterministic given ordered input): with batches B1..Bk
+    over initial history H0,
+        result = ∪_i fingerprint_cross_pairs(fp(Bi), H0 ∪ fp(B1..B(i-1))).
+    The checkpoint under work_dir/ckpt makes crash replay skip committed
+    batches. Raises if the stream never made progress or missed the
+    deadline (the execute_stream_to_batch discipline)."""
+    import os
+
+    spark = new_assets_stream.sparkSession
+    hist_dir = os.path.join(work_dir, "history")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    initial_hist_hashes.select("asset_id", hash_col).write.mode("overwrite").parquet(
+        hist_dir
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fh = fingerprinter(batch_df)
+        # fingerprint ONCE per batch: the pair join and the history append
+        # both read this frame; without the cut the mapInPandas decode
+        # would run twice per batch
+        fh = fh.select("asset_id", hash_col).localCheckpoint(eager=True)
+        hist = sess.read.parquet(hist_dir)
+        pairs = fingerprint_cross_pairs(
+            fh, hist, min_shared=min_shared, max_posting=max_posting,
+            hash_col=hash_col,
+        )
+        # pairs first, THEN the history append (a batch never sees itself)
+        pairs.write.mode("append").parquet(pairs_dir)
+        fh.write.mode("append").parquet(hist_dir)
+
+    q = (
+        new_assets_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(f"asset ingest stream did not finish within {timeout_s}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.lastProgress is None:
+        raise RuntimeError("asset ingest stream terminated without making progress")
+    return spark.read.parquet(pairs_dir)

@@ -446,3 +446,59 @@ def test_append_stream_restart_from_checkpoint(spark, tmp_path):
     # idempotent re-resume with NO new data: nothing is re-emitted
     again = key(execute_stream_append_to_files(agg(read_landing(glob2)), out, ckpt))
     assert again == merged
+
+
+def test_fingerprint_cross_pairs_stream_incremental_history(spark, tmp_path):
+    """Multimodal ingest near-dup: batch-2 clips must pair against clips
+    that arrived in batch 1 (fingerprint history grows per micro-batch),
+    never against their own batch, and the accumulated result must equal
+    the closed-form union of per-batch BATCH runs. Real WAV bytes end to
+    end — the history stores only (asset_id, ahash) longs."""
+    from tests.test_pipeline import _wav_group_clip
+
+    from eth2dgraph_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        audio_fingerprints,
+        fingerprint_cross_pairs,
+        fingerprint_cross_pairs_stream,
+    )
+
+    def asset(aid, g):
+        return (aid, "audio", "audio/wav", bytearray(_wav_group_clip(g)), None, None, None)
+
+    h_rows = [asset(1, 0), asset(2, 1)]
+    b1 = [asset(101, 7)]          # group 7: NOT in initial history
+    b2 = [
+        asset(201, 7),            # pairs ONLY if history grew with 101
+        asset(202, 0),            # pairs the original history (asset 1)
+        asset(203, 9), asset(204, 9),  # same-batch dup: must NOT pair
+    ]
+    h = spark.createDataFrame(h_rows, ASSET_SCHEMA)
+    hist_hashes = audio_fingerprints(h, frame_ms=200).select("asset_id", "ahash")
+    glob = _ordered_landing(
+        spark, tmp_path, [b1, b2], ASSET_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    fp = lambda df: audio_fingerprints(df, frame_ms=200)  # noqa: E731
+    got = fingerprint_cross_pairs_stream(
+        stream, hist_hashes, str(tmp_path / "work"), fingerprinter=fp, min_shared=2
+    )
+    got_set = {(r["new_id"], r["hist_id"], r["n_shared"]) for r in got.collect()}
+
+    b1df = spark.createDataFrame(b1, ASSET_SCHEMA)
+    b2df = spark.createDataFrame(b2, ASSET_SCHEMA)
+    want = fingerprint_cross_pairs(fp(b1df), hist_hashes, min_shared=2).unionByName(
+        fingerprint_cross_pairs(
+            fp(b2df), hist_hashes.unionByName(fp(b1df).select("asset_id", "ahash")),
+            min_shared=2,
+        )
+    )
+    want_set = {(r["new_id"], r["hist_id"], r["n_shared"]) for r in want.collect()}
+    assert got_set == want_set
+    assert (201, 101, 3) in got_set  # history grew across micro-batches
+    assert (202, 1, 3) in got_set  # original history still pairs
+    assert not any(a in (203, 204) or b == 203 for a, b, _ in got_set)  # no new x new
