@@ -1606,6 +1606,38 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def q_asset_cluster_reps(spark, sf):  # the full multimodal dedup POLICY
+    # composed end-to-end: real AVI bytes -> per-frame pHash -> capped
+    # postings near-dup pairs (video_near_pairs) -> connected components
+    # -> keep ONE representative per cluster (cluster_representatives,
+    # keep-min-asset_id policy). Every stage is individually gated
+    # (video_near_dups, cluster_reps); this gate pins the COMPOSITION a
+    # production asset-dedup run executes. Clusters are exactly the clip
+    # groups doc_id % 25, so the kept set is the closed-form per-group
+    # min id + group size. `component` (a lexicographic-min string label)
+    # is dropped from the output so the oracle stays closed-form.
+    from eth2dgraph_spark.functions.avi import synthetic_clip_udf
+    from eth2dgraph_spark.graph import cluster_representatives
+    from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
+
+    clip = synthetic_clip_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        clip("doc_id").alias("payload"),
+        F.lit(2500).cast("long").alias("duration_ms"),
+    )
+    pairs = video_near_pairs(assets, every_ms=1000, min_shared=2)
+    meta = d.select(F.col("doc_id").alias("asset_id"))
+    reps = cluster_representatives(
+        meta, pairs, "asset_id", id_col="asset_id", descending=False
+    )
+    return reps.select(
+        "asset_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
 def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
     # PHYSICALLY EXECUTED as a foreachBatch stream over two ordered
     # micro-batches of ASSETS (multimodal.fingerprint_cross_pairs_stream):
@@ -3081,16 +3113,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-10 window policy (VERDICT
-    # r9 item 1): (a) the 9 gates NEW this round (wav_envelope, avi_luma,
+    # r9 item 1): (a) the 10 gates NEW this round (wav_envelope, avi_luma,
     # video_near_dups, audio_near_dups, hits_scores, line_profile,
-    # ppr_ranks, cross_dedup_stream, audio_dedup_stream — first-ever
-    # driver rows); (b) the 3 whose CODE
+    # ppr_ranks, cross_dedup_stream, audio_dedup_stream,
+    # asset_cluster_reps — first-ever driver rows); (b) the 3 whose CODE
     # changed since their r9 driver row (cross_dedup now runs uncapped to
     # match its oracle, token_mix sits on the token_budget_mix NULL-coalesce
     # change, byte_kernel_fixture dropped its persist); (c) the full
     # 22-gate r6-stale overflow named at round 9's boundary (no driver row
     # since r6 — the oldest cohort); (d) the r7 cohort fills the window —
-    # 16 of its 46 fit (alphabetical), the 30-gate overflow is round 11's
+    # 15 of its 46 fit (alphabetical), the 31-gate overflow is round 11's
     # leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -3107,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_ranks": q_ppr_ranks,
         "cross_dedup_stream": q_cross_dedup_stream,
         "audio_dedup_stream": q_audio_dedup_stream,
+        "asset_cluster_reps": q_asset_cluster_reps,
         # (b) code changed since their r9 driver row:
         "cross_dedup": q_cross_dedup,
         "token_mix": q_token_mix,
@@ -3150,14 +3183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter": q_disjunctive_filter,
         "dsir_select": q_dsir_select,
         "dsir_weights": q_dsir_weights,
-        "filter_agg": q_filter_agg,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r7-cohort overflow (30 gates; round-11 rotation leads with
-        # these — graph_degrees through winnow_overlap were last
-        # driver-certified in r7; graph_degrees, interval_attach,
-        # late_shipments, lm_perplexity, lm_perplexity_tri and
-        # ngram_jaccard slipped below the boundary as the new-gate block
-        # above grew to 9):
+        # r7-cohort overflow (31 gates; round-11 rotation leads with
+        # these — filter_agg through winnow_overlap were last
+        # driver-certified in r7; filter_agg, graph_degrees,
+        # interval_attach, late_shipments, lm_perplexity,
+        # lm_perplexity_tri and ngram_jaccard slipped below the boundary
+        # as the new-gate block above grew to 10):
+        "filter_agg": q_filter_agg,
         "graph_degrees": q_graph_degrees,
         "interval_attach": q_interval_attach,
         "late_shipments": q_late_shipments,
@@ -4325,6 +4358,11 @@ _LINE_PROFILE_ORACLE = """
                      THEN 1.0 - len(list_distinct(ls)) / len(ls)
                      ELSE 0.0 END + 1e-9, 6) AS frac_dup_lines
         FROM l"""
+
+
+_ASSET_CLUSTER_REPS_ORACLE = """
+        SELECT doc_id % 25 AS asset_id, count(*)::BIGINT AS cluster_size
+        FROM documents GROUP BY doc_id % 25"""
 
 
 _AUDIO_DEDUP_STREAM_ORACLE = """
@@ -5532,6 +5570,7 @@ def oracle_sql() -> dict[str, str]:
         "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
         "audio_near_dups": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form: group pairs, n_shared=3
         "audio_dedup_stream": _AUDIO_DEDUP_STREAM_ORACLE,
+        "asset_cluster_reps": _ASSET_CLUSTER_REPS_ORACLE,
         "line_profile": _LINE_PROFILE_ORACLE,
         "hits_scores": _hits_oracle(num_iter=2),
         "ann_topk": _ann_topk_oracle(),

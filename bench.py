@@ -108,6 +108,7 @@ HEADLINE = [
     "audio_near_dups",
     "line_profile",
     "cross_dedup_stream",
+    "audio_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -125,6 +126,8 @@ HEADLINE = [
     # also localCheckpoint queries, same end-of-run placement policy
     "ppr_ranks",
     "hits_scores",
+    # round-10: composed multimodal dedup policy (runs CC) — same policy
+    "asset_cluster_reps",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -153,6 +156,8 @@ COMPARABLE_29 = [
     "line_profile",
     "hits_scores",
     "cross_dedup_stream",
+    "audio_dedup_stream",
+    "asset_cluster_reps",
     "ppr_ranks",
     }
 ]

@@ -67,6 +67,7 @@ def test_relational_queries_stay_jvm_side(spark):
         "avi_luma",
         "video_near_dups",
         "audio_near_dups",
+        "asset_cluster_reps",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
