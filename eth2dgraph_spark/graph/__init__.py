@@ -848,6 +848,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     num_iter: int = 10,
+    tol: "float | None" = None,
     stats: "dict | None" = None,
     checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
@@ -877,9 +878,18 @@ def hits(
       - Lineage is cut every half-step so the plan stays O(1) deep (the
         3^rounds lazy-plan blowup measured on pagerank in round 8).
 
+    `tol` (optional) adds pagerank's convergence stop rule: iteration
+    ends early once the combined L1 delta of the hub AND auth vectors
+    between successive iterations is <= tol, read with one PROBE JOIN of
+    the two already-materialized checkpoint frames per round (the
+    measured-safe shape — embedding the prev-join in the iterated frame
+    goes geometric after ~17 rounds, BASELINE.md round-10 pagerank
+    analysis; the checkpointed plan is byte-identical with tol on or
+    off).
+
     Parallel edges contribute multiplicity, exactly like pagerank — pass
     .distinct() edges for simple-graph semantics. `stats`, if given a
-    dict, receives {"iterations": k}."""
+    dict, receives {"iterations": k, "last_delta": d}."""
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
     ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -895,8 +905,10 @@ def hits(
         return nodes.select(
             "node", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
         )
-    scores = nodes.select("node", F.lit(1.0).alias("hub"))
-    iterations = 0
+    scores = nodes.select(
+        "node", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub")
+    )
+    iterations, last_delta = 0, None
     for _ in range(num_iter):
         araw = (
             e.join(scores, e.src == scores.node)
@@ -930,10 +942,37 @@ def hits(
                 (F.coalesce(F.col("_hs"), F.lit(0.0)) / F.col("_hn")).alias("hub"),
             )
         )
-        scores = _truncator(nxt, checkpoint_dir)
+        nxt = _truncator(nxt, checkpoint_dir)
         iterations += 1
+        if tol is not None:
+            last_delta = (
+                nxt.join(
+                    scores.select(
+                        "node",
+                        F.col("auth").alias("_pa"),
+                        F.col("hub").alias("_ph"),
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.abs(F.col("auth") - F.col("_pa"))
+                            + F.abs(F.col("hub") - F.col("_ph"))
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+                .first()[0]
+            )
+            scores = nxt
+            if last_delta <= tol:
+                break
+        else:
+            scores = nxt
     if stats is not None:
         stats["iterations"] = iterations
+        stats["last_delta"] = last_delta
     e.unpersist()
     nodes.unpersist()
     return scores.select("node", "auth", "hub")

@@ -605,3 +605,28 @@ def test_hits_empty_graph(spark):
     out = hits(df, num_iter=2)
     assert out.columns == ["node", "auth", "hub"]
     assert out.count() == 0
+
+
+def test_hits_tol_early_stop_and_equivalence(spark):
+    """tol mode: the probe-join early stop (the pagerank tol discipline)
+    converges on a symmetric graph in few rounds and, when it does not
+    trigger, produces EXACTLY the fixed-iteration scores."""
+    from eth2dgraph_spark.graph import hits
+
+    edges = [("a", "x"), ("b", "x"), ("x", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # no early stop (tol=0): identical to the fixed-iteration run
+    stats = {}
+    got_tol = {r["node"]: (r["auth"], r["hub"])
+               for r in hits(df, num_iter=3, tol=0.0, stats=stats).collect()}
+    got_fix = {r["node"]: (r["auth"], r["hub"])
+               for r in hits(df, num_iter=3).collect()}
+    assert got_tol == got_fix
+    assert stats["iterations"] == 3 and stats["last_delta"] > 0.0
+    # a 1-round-converging shape: pure bipartite star (a,b)->x; scores are
+    # stationary after round 1, so round 2's delta is 0 -> stop at 2 of 50
+    bip = spark.createDataFrame([("a", "x"), ("b", "x")], "src string, dst string")
+    stats2 = {}
+    hits(bip, num_iter=50, tol=1e-12, stats=stats2).collect()
+    assert stats2["iterations"] < 50
+    assert stats2["last_delta"] <= 1e-12
