@@ -398,3 +398,69 @@ def test_wav_single_flip_rejected_or_decodes(seed, pos, newbyte):
         return
     assert isinstance(out, np.ndarray) and out.dtype == np.float32
     assert np.abs(out).max() <= 1.0
+
+
+@given(
+    st.integers(1, 4),
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 60),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_arbitrary_clips(n, h, w, fps, seed):
+    """encode -> decode is the identity for every supported clip shape,
+    including widths that force DIB stride padding."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    out, got_fps = decode_avi(encode_avi(a, fps=fps))
+    assert got_fps == float(fps)
+    assert out.shape == a.shape and (out == a).all()
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_avi_decode_never_crashes_on_garbage(raw):
+    """Arbitrary bytes either raise ValueError or decode to a valid uint8
+    frame array — never an unhandled exception (the decode_video_frames
+    seam depends on this contract, exactly as the PNG/WAV paths do)."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.avi import decode_avi
+
+    try:
+        out, fps = decode_avi(raw)
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8 and fps > 0
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 800), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_avi_single_flip_rejected_or_decodes(seed, pos, newbyte):
+    """Flipping any one byte of a valid AVI either trips a strict
+    cross-field ValueError or still decodes (flips inside the frame pixel
+    payload are pixel changes, not corruption — AVI has no CRC);
+    survivors must still produce a well-formed frame array of the
+    original geometry."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(2, 6, 5, 3), dtype=np.uint8)
+    enc = bytearray(encode_avi(a, fps=10))
+    pos = pos % len(enc)
+    if enc[pos] == newbyte:
+        newbyte = (newbyte + 1) % 256
+    enc[pos] = newbyte
+    try:
+        out, _ = decode_avi(bytes(enc))
+    except ValueError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+    assert out.shape == a.shape

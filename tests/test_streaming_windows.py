@@ -502,3 +502,44 @@ def test_fingerprint_cross_pairs_stream_incremental_history(spark, tmp_path):
     assert (201, 101, 3) in got_set  # history grew across micro-batches
     assert (202, 1, 3) in got_set  # original history still pairs
     assert not any(a in (203, 204) or b == 203 for a, b, _ in got_set)  # no new x new
+
+
+def test_fingerprint_cross_pairs_stream_video_fingerprinter(spark, tmp_path):
+    """The ingest stream is fingerprinter-generic: plugging
+    video_frame_phashes (hash_col='phash') in place of audio works
+    unchanged — real AVI bytes, history grows across micro-batches."""
+    import numpy as np
+
+    from eth2dgraph_spark.functions.avi import encode_avi
+    from eth2dgraph_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        fingerprint_cross_pairs_stream,
+        video_frame_phashes,
+    )
+
+    def clip(seed):
+        rng = np.random.default_rng(seed)
+        return encode_avi(
+            rng.integers(0, 256, size=(3, 16, 16, 3), dtype=np.uint8), fps=1
+        )
+
+    def asset(aid, seed):
+        return (aid, "video", "video/avi", bytearray(clip(seed)), None, None, 2500)
+
+    h = spark.createDataFrame([asset(1, 11)], ASSET_SCHEMA)
+    fp = lambda df: video_frame_phashes(df, every_ms=1000)  # noqa: E731
+    hist_hashes = fp(h).select("asset_id", "phash")
+    b1 = [asset(101, 77)]                 # new clip, not in history
+    b2 = [asset(201, 77), asset(202, 11)]  # dup of b1's 101 AND of history's 1
+    glob = _ordered_landing(spark, tmp_path, [b1, b2], ASSET_SCHEMA)
+    stream = (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    got = fingerprint_cross_pairs_stream(
+        stream, hist_hashes, str(tmp_path / "work"),
+        fingerprinter=fp, min_shared=2, hash_col="phash",
+    )
+    got_set = {(r["new_id"], r["hist_id"], r["n_shared"]) for r in got.collect()}
+    assert got_set == {(201, 101, 3), (202, 1, 3)}
