@@ -1606,6 +1606,47 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def q_video_near_frames(spark, sf):  # Hamming-TOLERANT frame matching
+    # (fingerprint_overlap_pairs_hamming): asset pairs whose per-frame
+    # fingerprints match within hamming 2, the re-encode-drift case exact
+    # matching misses. Frame hashes are synthesized CLOSED-FORM from
+    # doc_id (group base (g*2654435761) % 2^59, per-doc 1-bit
+    # perturbation for doc_id%4==0, frame bits 40/48) so the oracle can
+    # replay the ENTIRE pipeline in SQL: same hash formula, brute-force
+    # XOR-popcount value matching (valid against the banded engine by the
+    # chunk-combination exact-recall guarantee, the simhash_near_pairs
+    # oracle discipline), the same symmetrized+identity match table, the
+    # same postings join and distinct-unordered-pair count. pHash itself
+    # is separately gated (phash_bits); this gate pins the tolerant
+    # MATCHING machinery cross-engine. max_bucket=None (cap-parity rule).
+    from eth2dgraph_spark.pipeline.multimodal import (
+        fingerprint_overlap_pairs_hamming,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    base = F.expr(
+        "(doc_id % 25) * 2654435761L % 576460752303423488L"
+    )
+    pert = F.expr(
+        "CASE WHEN doc_id % 4 = 0 THEN shiftleft(1L, cast(doc_id % 16 AS int)) "
+        "ELSE 0L END"
+    )
+    bp = base.bitwiseXOR(pert)
+    fh = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(
+            F.array(
+                bp,
+                bp.bitwiseXOR(F.lit(1099511627776)),  # frame 1: bit 40
+                bp.bitwiseXOR(F.lit(281474976710656)),  # frame 2: bit 48
+            )
+        ).alias("phash"),
+    )
+    return fingerprint_overlap_pairs_hamming(
+        fh, max_hamming=2, min_shared=2, max_bucket=None
+    )
+
+
 def q_asset_cluster_reps(spark, sf):  # the full multimodal dedup POLICY
     # composed end-to-end: real AVI bytes -> per-frame pHash -> capped
     # postings near-dup pairs (video_near_pairs) -> connected components
@@ -3113,16 +3154,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-10 window policy (VERDICT
-    # r9 item 1): (a) the 10 gates NEW this round (wav_envelope, avi_luma,
-    # video_near_dups, audio_near_dups, hits_scores, line_profile,
-    # ppr_ranks, cross_dedup_stream, audio_dedup_stream,
+    # r9 item 1): (a) the 11 gates NEW this round (wav_envelope, avi_luma,
+    # video_near_dups, audio_near_dups, video_near_frames, hits_scores,
+    # line_profile, ppr_ranks, cross_dedup_stream, audio_dedup_stream,
     # asset_cluster_reps — first-ever driver rows); (b) the 3 whose CODE
     # changed since their r9 driver row (cross_dedup now runs uncapped to
     # match its oracle, token_mix sits on the token_budget_mix NULL-coalesce
     # change, byte_kernel_fixture dropped its persist); (c) the full
     # 22-gate r6-stale overflow named at round 9's boundary (no driver row
     # since r6 — the oldest cohort); (d) the r7 cohort fills the window —
-    # 15 of its 46 fit (alphabetical), the 31-gate overflow is round 11's
+    # 14 of its 46 fit (alphabetical), the 32-gate overflow is round 11's
     # leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
@@ -3140,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_stream": q_cross_dedup_stream,
         "audio_dedup_stream": q_audio_dedup_stream,
         "asset_cluster_reps": q_asset_cluster_reps,
+        "video_near_frames": q_video_near_frames,
         # (b) code changed since their r9 driver row:
         "cross_dedup": q_cross_dedup,
         "token_mix": q_token_mix,
@@ -3182,14 +3224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "disjunctive_filter": q_disjunctive_filter,
         "dsir_select": q_dsir_select,
-        "dsir_weights": q_dsir_weights,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r7-cohort overflow (31 gates; round-11 rotation leads with
-        # these — filter_agg through winnow_overlap were last
-        # driver-certified in r7; filter_agg, graph_degrees,
+        # r7-cohort overflow (32 gates; round-11 rotation leads with
+        # these — dsir_weights through winnow_overlap were last
+        # driver-certified in r7; dsir_weights, filter_agg, graph_degrees,
         # interval_attach, late_shipments, lm_perplexity,
         # lm_perplexity_tri and ngram_jaccard slipped below the boundary
-        # as the new-gate block above grew to 10):
+        # as the new-gate block above grew to 11):
+        "dsir_weights": q_dsir_weights,
         "filter_agg": q_filter_agg,
         "graph_degrees": q_graph_degrees,
         "interval_attach": q_interval_attach,
@@ -4358,6 +4400,30 @@ _LINE_PROFILE_ORACLE = """
                      THEN 1.0 - len(list_distinct(ls)) / len(ls)
                      ELSE 0.0 END + 1e-9, 6) AS frac_dup_lines
         FROM l"""
+
+
+_VIDEO_NEAR_FRAMES_ORACLE = """
+        WITH f AS (
+          SELECT doc_id AS aid,
+                 xor(xor((doc_id % 25) * 2654435761 % 576460752303423488,
+                         CASE WHEN doc_id % 4 = 0
+                              THEN (1::BIGINT << CAST(doc_id % 16 AS INT))
+                              ELSE 0 END),
+                     fb.b) AS h
+          FROM documents,
+               (VALUES (0::BIGINT), (1099511627776::BIGINT),
+                       (281474976710656::BIGINT)) fb(b)),
+        p AS (SELECT DISTINCT aid, h FROM f),
+        v AS (SELECT DISTINCT h FROM p),
+        m AS (SELECT a.h AS h1, b.h AS h2 FROM v a JOIN v b
+              ON bit_count(xor(a.h, b.h)) <= 2)
+        SELECT pa.aid AS id_a, pb.aid AS id_b,
+               count(DISTINCT (least(m.h1, m.h2), greatest(m.h1, m.h2)))::BIGINT
+                 AS n_shared
+        FROM p pa JOIN m ON m.h1 = pa.h JOIN p pb ON pb.h = m.h2
+        WHERE pa.aid < pb.aid
+        GROUP BY pa.aid, pb.aid
+        HAVING count(DISTINCT (least(m.h1, m.h2), greatest(m.h1, m.h2))) >= 2"""
 
 
 _ASSET_CLUSTER_REPS_ORACLE = """
@@ -5571,6 +5637,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form: group pairs, n_shared=3
         "audio_dedup_stream": _AUDIO_DEDUP_STREAM_ORACLE,
         "asset_cluster_reps": _ASSET_CLUSTER_REPS_ORACLE,
+        "video_near_frames": _VIDEO_NEAR_FRAMES_ORACLE,
         "line_profile": _LINE_PROFILE_ORACLE,
         "hits_scores": _hits_oracle(num_iter=2),
         "ann_topk": _ann_topk_oracle(),

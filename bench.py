@@ -107,6 +107,7 @@ HEADLINE = [
     "video_near_dups",
     "audio_near_dups",
     "line_profile",
+    "video_near_frames",
     "cross_dedup_stream",
     "audio_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
@@ -155,6 +156,7 @@ COMPARABLE_29 = [
     "audio_near_dups",
     "line_profile",
     "hits_scores",
+    "video_near_frames",
     "cross_dedup_stream",
     "audio_dedup_stream",
     "asset_cluster_reps",

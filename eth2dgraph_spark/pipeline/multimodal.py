@@ -1140,3 +1140,75 @@ def fingerprint_cross_pairs_stream(
     if q.lastProgress is None:
         raise RuntimeError("asset ingest stream terminated without making progress")
     return spark.read.parquet(pairs_dir)
+
+
+def fingerprint_overlap_pairs_hamming(
+    frame_hashes: DataFrame,
+    max_hamming: int = 2,
+    min_shared: int = 2,
+    max_posting: int = 1024,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): asset pairs whose per-frame fingerprints
+    match within Hamming distance `max_hamming` — the tolerant variant of
+    fingerprint_overlap_pairs for content that drifts a few pHash bits
+    between copies (re-encodes, mild filtering, subtitle burns). n_shared
+    counts DISTINCT matched unordered hash-value pairs, so max_hamming=0
+    degenerates exactly to the equality semantics.
+
+    Scale shape: the Hamming matching runs over DISTINCT HASH VALUES, not
+    postings — dedup.simhash_near_pairs' chunk-combination banding (Manku
+    WWW'07; exact recall for <= max_hamming, full-64-bit popcount
+    verification) keyed on the value itself, so the near-match cost scales
+    with the fingerprint vocabulary, not the corpus. The value-pair table
+    (symmetrized + identity) then joins the capped postings twice — two
+    hash-keyed shuffles, no pairwise asset work. Unlike the exact kernel,
+    singleton postings are kept (a hash posted once can still match a NEAR
+    hash posted elsewhere); `max_posting` bounds hot hashes the same way.
+    `max_bucket=None` leaves banding uncapped (vocabulary-sized buckets);
+    pass dedup.DEFAULT_MAX_BAND_BUCKET for adversarial vocabularies."""
+    from pyspark.sql.window import Window
+
+    from .dedup import simhash_near_pairs
+
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    fps_ = (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("_fh"))
+        .distinct()
+    )
+    capped = (
+        fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_fh")))
+        .filter(F.col("_n") <= max_posting)
+        .drop("_n")
+    )
+    vals = capped.select("_fh").distinct()
+    ident = vals.select(F.col("_fh").alias("_h1"), F.col("_fh").alias("_h2"))
+    if max_hamming == 0:
+        matches = ident
+    else:
+        near = simhash_near_pairs(
+            vals.select(F.col("_fh").alias("id"), F.col("_fh").alias("simhash")),
+            max_hamming=max_hamming,
+            max_bucket=max_bucket,
+        ).select(F.col("id_a").alias("_h1"), F.col("id_b").alias("_h2"))
+        matches = ident.unionByName(near).unionByName(
+            near.select(F.col("_h2").alias("_h1"), F.col("_h1").alias("_h2"))
+        )
+    a = capped.select(F.col("id").alias("id_a"), F.col("_fh").alias("_h1"))
+    b = capped.select(F.col("id").alias("id_b"), F.col("_fh").alias("_h2"))
+    return (
+        a.join(matches, "_h1")
+        .join(b, "_h2")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct(
+                F.least("_h1", "_h2"), F.greatest("_h1", "_h2")
+            ).alias("n_shared")
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -259,3 +259,61 @@ def test_video_near_pairs_end_to_end(spark):
     got = {(r["id_a"], r["id_b"]): r["n_shared"]
            for r in multimodal.video_near_pairs(assets, every_ms=1000).collect()}
     assert got == {(1, 2): 3, (1, 5): 3, (2, 5): 3, (3, 4): 3}
+
+
+def test_fingerprint_overlap_pairs_hamming_semantics(spark):
+    """Hamming-tolerant frame matching: near hash values (1 flipped bit)
+    count as shared; max_hamming=0 degenerates to the exact kernel;
+    singleton postings can still match near hashes (unlike the exact
+    kernel's >1 posting filter); NULLs never post."""
+    from eth2dgraph_spark.pipeline.multimodal import (
+        fingerprint_overlap_pairs,
+        fingerprint_overlap_pairs_hamming,
+    )
+
+    rows = [
+        (1, 0, 100, "ok"), (1, 1, 1 << 20, "ok"),
+        (2, 0, 100, "ok"), (2, 1, (1 << 20) | 1, "ok"),  # hamming 1 to 1's
+        (3, 0, 1 << 50, "ok"),
+        (4, 0, None, "error"),
+    ]
+    fh = spark.createDataFrame(
+        rows, "asset_id long, frame_ts_ms long, phash long, decode_ok string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in fingerprint_overlap_pairs_hamming(fh, max_hamming=1, min_shared=2).collect()}
+    assert got == {(1, 2): 2}  # exact 100 + near (1<<20 ~ (1<<20)|1)
+    # h=0 == exact semantics on the same input (min_shared=1 to see both)
+    h0 = {(r["id_a"], r["id_b"]): r["n_shared"]
+          for r in fingerprint_overlap_pairs_hamming(fh, max_hamming=0, min_shared=1).collect()}
+    ex = {(r["id_a"], r["id_b"]): r["n_shared"]
+          for r in fingerprint_overlap_pairs(fh, min_shared=1).collect()}
+    assert h0 == ex == {(1, 2): 1}
+    with pytest.raises(ValueError, match="max_hamming"):
+        fingerprint_overlap_pairs_hamming(fh, max_hamming=-1)
+
+
+def test_hamming_overlap_end_to_end_flipped_pixel_clip(spark):
+    """Real bytes: a clip whose frames differ from another clip's by a
+    single pixel produces pHashes within small hamming — the tolerant
+    matcher pairs them where exact matching cannot."""
+    from eth2dgraph_spark.pipeline import multimodal
+
+    base = _clip(n=3, h=16, w=16, seed=99)
+    drift = base.copy()
+    drift[:, 0, 0, :] ^= 3  # one pixel nudged in every frame
+    rows = [
+        (1, "video", "video/avi", bytearray(encode_avi(base, fps=1)), None, None, 2500),
+        (2, "video", "video/avi", bytearray(encode_avi(drift, fps=1)), None, None, 2500),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    fh = multimodal.video_frame_phashes(assets, every_ms=1000)
+    exact = multimodal.fingerprint_overlap_pairs(fh, min_shared=2).collect()
+    ham = multimodal.fingerprint_overlap_pairs_hamming(
+        fh, max_hamming=4, min_shared=2
+    ).collect()
+    # the drifted clip's hashes may coincide or drift by a few bits; the
+    # tolerant matcher must pair them, and must find at least as much as
+    # the exact matcher
+    assert {(r["id_a"], r["id_b"]) for r in ham} == {(1, 2)}
+    assert len(ham) >= len(exact)
