@@ -110,6 +110,11 @@ HEADLINE = [
     "video_near_frames",
     "cross_dedup_stream",
     "audio_dedup_stream",
+    # round-11 additions: the PNG image near-dup (closing the modality
+    # asymmetry) and the hamming-tolerant audio matcher — extras, same
+    # policy
+    "image_near_dups",
+    "audio_near_frames",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -129,6 +134,9 @@ HEADLINE = [
     "hits_scores",
     # round-10: composed multimodal dedup policy (runs CC) — same policy
     "asset_cluster_reps",
+    # round-11: weighted SSSP (frontier relaxation, two localCheckpoint
+    # cuts per round) — same end-of-run placement policy
+    "sssp_dists",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -161,6 +169,9 @@ COMPARABLE_29 = [
     "audio_dedup_stream",
     "asset_cluster_reps",
     "ppr_ranks",
+    "image_near_dups",
+    "audio_near_frames",
+    "sssp_dists",
     }
 ]
 

@@ -24,6 +24,7 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -185,3 +186,37 @@ def luminance(arr: np.ndarray) -> np.ndarray:
     if a.shape[2] == 2:  # gray + alpha
         return a[:, :, 0]
     return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
+def synthetic_image_udf():
+    """pandas UDF factory: doc_id -> real PNG container bytes, a
+    deterministic 32x32 grayscale image whose pattern depends only on
+    group = doc_id % 25 — every document in a group carries a bit-identical
+    image, so pHashes (multimodal.phash_features, the stdlib decode path)
+    match exactly within a group and the image-near-dup gate's oracle is
+    the closed-form same-group pair set. The pattern is an 8x8
+    seeded-random grid (np.random.RandomState(g*7919 + 17) — the frozen
+    legacy generator, bit-stable across numpy versions) upscaled 4x:
+    structured arithmetic grids (the AVI clip pattern) land too CLOSE in
+    pHash space — the DCT hash is brightness-invariant, and measured
+    cross-group collisions reached hamming 0 — while random grids measure
+    min cross-group hamming 22 over groups 0..24 (hash_size=8,
+    dct_size=32), so max_hamming=2 separates same-group pairs (hamming 0)
+    from cross-group noise deterministically. The video sibling is
+    avi.synthetic_clip_udf, the audio one wav.synthetic_clip_udf."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def png_image(doc_ids: pd.Series) -> pd.Series:
+        cache: dict[int, bytes] = {}
+        out = []
+        for d in doc_ids:
+            g = int(d) % 25
+            if g not in cache:
+                rs = np.random.RandomState(g * 7919 + 17)
+                grid = rs.randint(0, 256, size=(8, 8), dtype=np.uint8)
+                cache[g] = encode_png(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
+            out.append(cache[g])
+        return pd.Series(out)
+
+    return png_image

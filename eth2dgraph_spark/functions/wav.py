@@ -229,3 +229,52 @@ def synthetic_clip_udf():
         return pd.Series(out)
 
     return wav_clip
+
+
+def synthetic_drift_clip_udf():
+    """pandas UDF factory: doc_id -> real WAV container bytes, a
+    deterministic 2-frame clip (rate 1000 Hz, 200 ms frames, 8 constant
+    25-sample segments per frame) for the Hamming-TOLERANT audio matching
+    gate: the clip pattern depends on group = doc_id % 25, and documents
+    with doc_id % 4 == 0 carry a one-quantization-step DRIFT in segment 2
+    (v -> v+1) — the re-encode-drift case exact fingerprint matching
+    misses. All base segment bytes are EVEN (and byte 7 < 128, clear of
+    the int64 sign), so the +1 drift flips exactly ONE bit (bit 16) of
+    the packed 64-bit energy signature, and every quantized byte
+    roundtrips the 16-bit PCM codec exactly (round(rms*255) == v, the
+    synthetic_clip_udf argument — verified for the odd drift bytes too).
+    Byte formula: b=0 -> g*10 (pins group), b=1 -> f*80 (pins frame),
+    b=7 -> 2*((g*31 + f*16 + 49) % 64), else 2*((g*31 + f*16 + b*7) % 128).
+    Measured over groups 0..24: min cross-group base hamming 4 (so a
+    cross pair is >= 3 apart even when exactly one side drifts — the two
+    drift bits are BOTH bit 16 and cancel when both sides drift) and min
+    within-group cross-frame hamming 10, so max_hamming=1 matches exactly
+    the same-group same-frame fingerprints, drifted or not."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def wav_drift_clip(doc_ids: pd.Series) -> pd.Series:
+        cache: dict[tuple[int, bool], bytes] = {}
+        out = []
+        for d in doc_ids:
+            g, drift = int(d) % 25, int(d) % 4 == 0
+            if (g, drift) not in cache:
+                amps = []
+                for f in range(2):
+                    for b in range(8):
+                        if b == 0:
+                            v = g * 10
+                        elif b == 1:
+                            v = f * 80
+                        elif b == 7:
+                            v = 2 * ((g * 31 + f * 16 + 49) % 64)
+                        else:
+                            v = 2 * ((g * 31 + f * 16 + b * 7) % 128)
+                        if drift and b == 2:
+                            v += 1
+                        amps.extend([v / 255.0] * 25)
+                cache[(g, drift)] = encode_wav(np.array(amps), 1000)
+            out.append(cache[(g, drift)])
+        return pd.Series(out)
+
+    return wav_drift_clip

@@ -492,6 +492,78 @@ def k_hop(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: "str | None" = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths — (node, dist) with dist =
+    min total edge weight from any row of `sources` (column `node`). Directed
+    edges, NON-NEGATIVE weights (`weight` column name; None = hop count 1.0).
+    Sources appear with dist 0.0; unreachable vertices don't appear.
+
+    Dgraph exposes shortest-path as a first-class traversal (the reference's
+    query surface, dgraph/contracts.schema — `shortest` blocks in DQL); here
+    it is distributed delta-stepping-flavored Bellman-Ford: each round joins
+    the EDGE list against only the frontier of vertices whose tentative
+    distance improved last round, takes the map-side-combined min per dst
+    (one shuffle), and keeps strict improvements (second shuffle against the
+    O(V) dist table). Rounds are bounded by the hop count of the weighted
+    shortest-path tree, not graph size — the Bellman-Ford invariant: after k
+    rounds, dist = exact min over all paths of <= k edges, which is what the
+    gate's k-unrolled recursive-CTE oracle checks.
+
+    Per-round cost discipline (same as k_hop/pagerank): the improved DELTA is
+    eagerly checkpointed first and the emptiness probe reads the materialized
+    partitions; the dist table is checkpointed per round so its lineage stays
+    O(1) deep instead of accumulating one union+groupBy layer per round (the
+    geometric-blowup class root-caused on pagerank's tol mode in round 10).
+    Two cuts per round is the measured-right shape for two-table iterations
+    (HITS two-cut 5.06 s vs single-cut 8.38 s, BASELINE.md round 10)."""
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        wcol.alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dist = _truncator(
+        sources.select(F.col("node").cast("string")).distinct().withColumn(
+            "dist", F.lit(0.0)
+        ),
+        checkpoint_dir,
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = _truncator(
+            cand.join(dist.select("node", F.col("dist").alias("_cur")), "node", "left")
+            .filter(F.col("_cur").isNull() | (F.col("d") < F.col("_cur")))
+            .select("node", F.col("d").alias("dist")),
+            checkpoint_dir,
+        )
+        if improved.isEmpty():  # reads the checkpointed partitions — no recompute
+            break
+        # merge strict improvements into the running dist table; min() keeps
+        # the old value for untouched vertices (improved rows always win by
+        # construction, but min() makes the merge order-free)
+        dist = _truncator(
+            dist.unionByName(improved).groupBy("node").agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
+        )
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph — 1-row (n_triangles).
 

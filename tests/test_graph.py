@@ -630,3 +630,101 @@ def test_hits_tol_early_stop_and_equivalence(spark):
     hits(bip, num_iter=50, tol=1e-12, stats=stats2).collect()
     assert stats2["iterations"] < 50
     assert stats2["last_delta"] <= 1e-12
+
+
+def test_shortest_paths_known_graph(spark):
+    """Multi-edge path beats the direct edge; unreachable nodes absent;
+    sources at dist 0. Dgraph's `shortest` traversal is the reference
+    query surface this kernel mirrors (dgraph/contracts.schema)."""
+    from eth2dgraph_spark.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 5.0), ("a", "c", 1.0), ("c", "b", 1.0), ("b", "d", 1.0),
+         ("x", "y", 1.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, srcs, weight="w").collect()}
+    assert got == {"a": 0.0, "c": 1.0, "b": 2.0, "d": 3.0}  # x, y unreachable
+
+
+def test_shortest_paths_default_weight_is_hop_count(spark):
+    from eth2dgraph_spark.graph import k_hop, shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("b", "c", 9.0), ("c", "d", 9.0), ("b", "a", 9.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    hops = {r["node"]: float(r["hops"]) for r in k_hop(e, srcs, k=10).collect()}
+    dists = {r["node"]: r["dist"] for r in shortest_paths(e, srcs).collect()}
+    assert dists == hops
+
+
+def test_shortest_paths_max_iter_is_edge_budget(spark):
+    """Bellman-Ford invariant: after k rounds, dist = exact min over paths
+    of <= k edges — what the sssp_dists gate's k-unrolled oracle checks."""
+    from eth2dgraph_spark.graph import shortest_paths
+
+    # chain a->b->c->d (w 1 each) plus a direct a->d shortcut of weight 10
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("a", "d", 10.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    one = {r["node"]: r["dist"] for r in shortest_paths(e, srcs, "w", max_iter=1).collect()}
+    assert one == {"a": 0.0, "b": 1.0, "d": 10.0}  # c needs 2 edges
+    full = {r["node"]: r["dist"] for r in shortest_paths(e, srcs, "w", max_iter=3).collect()}
+    assert full == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}  # 3-edge path wins
+
+
+def test_shortest_paths_randomized_dijkstra_pin(spark):
+    """Randomized pin against a pure-Python multi-source Dijkstra: same
+    graph, same integer weights, exact float equality (integer-valued
+    doubles, no accumulation-order noise)."""
+    import heapq
+    import random
+
+    from eth2dgraph_spark.graph import shortest_paths
+
+    rng = random.Random(4177)
+    n = 40
+    edges = [
+        (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}", float(rng.randint(1, 10)))
+        for _ in range(150)
+    ]
+    seeds = ["v0", "v7"]
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0.0 for s in seeds}
+    pq = [(0.0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        dcur, u = heapq.heappop(pq)
+        if dcur > dist.get(u, math.inf):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dcur + w
+            if nd < dist.get(v, math.inf):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    srcs = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, srcs, weight="w").collect()}
+    assert got == dist
+
+
+def test_shortest_paths_returns_materialized_plan(spark):
+    """The returned dist table is a checkpointed frame — no join lineage
+    left to re-execute (the k_hop materialization discipline)."""
+    from eth2dgraph_spark.graph import shortest_paths
+
+    e = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, w double")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = shortest_paths(e, srcs, weight="w", max_iter=5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan
+    assert {r["node"]: r["dist"] for r in out.collect()} == {"a": 0.0, "b": 1.0}

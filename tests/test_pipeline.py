@@ -1440,3 +1440,61 @@ def test_audio_near_pairs_end_to_end(spark):
     got = {(r["id_a"], r["id_b"]): r["n_shared"]
            for r in multimodal.audio_near_pairs(assets, frame_ms=200).collect()}
     assert got == {(1, 2): 3, (3, 4): 3}
+
+
+def test_image_near_pairs_end_to_end(spark):
+    """Real PNG bytes -> stdlib decode -> pHash -> banded Hamming pairs:
+    same-group images (synthetic_image_udf is bit-identical per group)
+    pair at hamming 0; the measured min cross-group margin is 22 bits
+    (see the UDF docstring), so max_hamming=2 emits same-group pairs
+    only. Closes the image side of the per-modality near-dup family
+    (video/audio got their e2e tests in round 10)."""
+    from eth2dgraph_spark.functions.png import synthetic_image_udf
+    from eth2dgraph_spark.pipeline import multimodal
+
+    img = synthetic_image_udf()
+    d = spark.createDataFrame([(i,) for i in (0, 25, 50, 3, 28, 7)], "doc_id long")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), img("doc_id").alias("payload")
+    )
+    hashes = multimodal.phash_features(assets)
+    assert {r["decode_ok"] for r in hashes.collect()} == {"ok"}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_pairs(hashes, max_hamming=2).collect()
+    }
+    assert got == {(0, 25): 0, (0, 50): 0, (25, 50): 0, (3, 28): 0}
+
+
+def test_audio_near_frames_drift_matching(spark):
+    """The drifted clip (doc % 4 == 0: one quantization step in segment 2,
+    exactly bit 16 of the packed signature) pairs with its undrifted
+    group-mates ONLY under hamming-tolerant matching — exact matching
+    (max_hamming=0) misses it, which is the whole point of the kernel."""
+    from eth2dgraph_spark.functions.wav import synthetic_drift_clip_udf
+    from eth2dgraph_spark.pipeline import multimodal
+
+    clip = synthetic_drift_clip_udf()
+    # 4 and 29: group 4, doc 4 drifted (4 % 4 == 0); 7 and 57: group 7,
+    # neither drifted (7 % 4 == 3, 57 % 4 == 1)
+    d = spark.createDataFrame([(4,), (29,), (7,), (57,)], "doc_id long")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        clip("doc_id").alias("payload"),
+    )
+    fh = multimodal.audio_fingerprints(assets, frame_ms=200)
+    tolerant = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in multimodal.fingerprint_overlap_pairs_hamming(
+            fh, max_hamming=1, min_shared=2, hash_col="ahash", max_bucket=None
+        ).collect()
+    }
+    assert tolerant == {(4, 29): 2, (7, 57): 2}
+    exact = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in multimodal.fingerprint_overlap_pairs_hamming(
+            fh, max_hamming=0, min_shared=2, hash_col="ahash", max_bucket=None
+        ).collect()
+    }
+    assert exact == {(7, 57): 2}  # the drifted pair (4, 29) is missed
