@@ -3258,8 +3258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
     # in r7, the oldest cohort); (b) the 3 gates NEW this round
     # (sssp_dists, image_near_dups, audio_near_frames — first-ever driver
-    # rows); (c) the r8 cohort fills the window — 15 of its 41 fit
-    # (alphabetical); the 26-gate overflow (incr_curate_bloom ..
+    # rows); (c) the 2 whose CODE changed since their r10 driver row
+    # (cross_dedup_stream, audio_dedup_stream — their history/pairs sinks
+    # became _batch-partitioned dynamic-overwrite for idempotent
+    # kill-and-resume); (d) the r8 cohort fills the window — 13 of its 41
+    # fit (alphabetical); the 28-gate overflow (hll_distinct ..
     # unigram_encode) is round 12's leading rotation target (named at the
     # boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3271,7 +3274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_dists": q_sssp_dists,
         "image_near_dups": q_image_near_dups,
         "audio_near_frames": q_audio_near_frames,
-        # (b) the 32-gate r7-stale overflow (round-10 VERDICT item 1):
+        # (b) code changed since their r10 driver row:
+        "cross_dedup_stream": q_cross_dedup_stream,
+        "audio_dedup_stream": q_audio_dedup_stream,
+        # (c) the 32-gate r7-stale overflow (round-10 VERDICT item 1):
         "dsir_weights": q_dsir_weights,
         "filter_agg": q_filter_agg,
         "graph_degrees": q_graph_degrees,
@@ -3304,7 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # (c) r8 cohort, alphabetical (15 of 41 fit):
+        # (d) r8 cohort, alphabetical (13 of 41 fit):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -3318,12 +3324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_roundtrips": q_format_roundtrips,
         "gas_stats": q_gas_stats,
         "gopher_rep": q_gopher_rep,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r8-cohort overflow (28 gates; round-12 rotation leads with
+        # these — hll_distinct through unigram_encode were last
+        # driver-certified in r8):
         "hll_distinct": q_hll_distinct,
         "incr_curate": q_incr_curate,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (26 gates; round-12 rotation leads with
-        # these — incr_curate_bloom through unigram_encode were last
-        # driver-certified in r8):
         "incr_curate_bloom": q_incr_curate_bloom,
         "int8_quant": q_int8_quant,
         "ivf_topk": q_ivf_topk,
@@ -3408,8 +3414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "line_profile": q_line_profile,
         "ppr_ranks": q_ppr_ranks,
-        "cross_dedup_stream": q_cross_dedup_stream,
-        "audio_dedup_stream": q_audio_dedup_stream,
         "asset_cluster_reps": q_asset_cluster_reps,
         "video_near_frames": q_video_near_frames,
         "cross_dedup": q_cross_dedup,

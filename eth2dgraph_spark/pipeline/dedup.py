@@ -972,13 +972,19 @@ def minhash_cross_pairs_stream(
     Semantics (deterministic given ordered input files): with batches
     B1..Bk arriving in order over initial history H0,
         result = ∪_i  minhash_cross_pairs(Bi, H0 ∪ B1 ∪ … ∪ B(i-1)).
-    Never new×new within one batch and never hist×hist — re-running the
-    SAME batch stream appends nothing new to history semantics; the
-    checkpoint under work_dir/ckpt makes replay after a crash skip
-    already-committed batches (foreachBatch delivers at-least-once per
-    epoch; the sinks here are idempotent per ingest because a restarted
-    epoch overwrites no committed files and re-pairing a batch yields the
-    identical rows).
+    Never new×new within one batch and never hist×hist. The checkpoint
+    under work_dir/ckpt makes replay after a crash skip already-committed
+    batches (foreachBatch delivers at-least-once per epoch), and BOTH
+    sinks are idempotent per epoch: every write lands in a `_batch`
+    partition keyed by the epoch id under DYNAMIC partition overwrite, so
+    a replayed epoch replaces its own partition instead of appending a
+    duplicate, a killed-and-resumed run keeps the history partitions of
+    already-committed batches (the initial history lives in partition -1
+    and re-overwrites only itself on restart), and a half-written epoch's
+    own history partition is excluded from its pair join on replay (a
+    batch never sees itself, even mid-crash). Kill-and-resume therefore
+    equals the uninterrupted run exactly — proven by
+    test_minhash_cross_pairs_stream_kill_and_resume.
 
     Raises if the stream never made progress or missed the deadline (the
     execute_stream_to_batch discipline: a silently-unexecuted stream can't
@@ -989,21 +995,41 @@ def minhash_cross_pairs_stream(
     spark = new_stream.sparkSession
     hist_dir = os.path.join(work_dir, "history")
     pairs_dir = os.path.join(work_dir, "pairs")
-    initial_history.select(
-        F.col(id_col), F.col(text_col)
-    ).write.mode("overwrite").parquet(hist_dir)
+    (
+        initial_history.select(F.col(id_col), F.col(text_col))
+        .withColumn("_batch", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(hist_dir)
+    )
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        hist = sess.read.parquet(hist_dir)
+        hist = (
+            sess.read.parquet(hist_dir)
+            .filter(F.col("_batch") != batch_id)  # crash-replay: never self
+            .select(id_col, text_col)
+        )
         pairs = minhash_cross_pairs(
             batch_df, hist, id_col=id_col, text_col=text_col, **minhash_kwargs
         )
-        # pairs first, THEN the history append: a batch must never see
+        # pairs first, THEN the history write: a batch must never see
         # itself in history (that would create new x new pairs)
-        pairs.write.mode("append").parquet(pairs_dir)
-        batch_df.select(F.col(id_col), F.col(text_col)).write.mode("append").parquet(
-            hist_dir
+        (
+            pairs.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(pairs_dir)
+        )
+        (
+            batch_df.select(F.col(id_col), F.col(text_col))
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(hist_dir)
         )
 
     q = (
@@ -1020,4 +1046,14 @@ def minhash_cross_pairs_stream(
             q.stop()
     if q.lastProgress is None:
         raise RuntimeError("cross-dedup stream terminated without making progress")
-    return spark.read.parquet(pairs_dir)
+    try:
+        return spark.read.parquet(pairs_dir).drop("_batch")
+    except Exception:  # noqa: BLE001 — every batch paired nothing: a
+        # zero-row partitioned write leaves no parquet footer to infer
+        # from, so rebuild the (new_id, hist_id, jaccard) schema from an
+        # analysis-only probe plan (no job runs) and return it empty
+        probe = minhash_cross_pairs(
+            initial_history, initial_history,
+            id_col=id_col, text_col=text_col, **minhash_kwargs,
+        )
+        return spark.createDataFrame([], probe.schema)

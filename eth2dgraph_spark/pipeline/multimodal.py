@@ -1098,32 +1098,64 @@ def fingerprint_cross_pairs_stream(
     over initial history H0,
         result = ∪_i fingerprint_cross_pairs(fp(Bi), H0 ∪ fp(B1..B(i-1))).
     The checkpoint under work_dir/ckpt makes crash replay skip committed
-    batches. Raises if the stream never made progress or missed the
-    deadline (the execute_stream_to_batch discipline)."""
+    batches, and BOTH sinks are idempotent per epoch: every write lands in
+    a `_batch` partition keyed by the epoch id under DYNAMIC partition
+    overwrite, so a replayed epoch replaces its own partition instead of
+    appending a duplicate, a killed-and-resumed run keeps the history
+    partitions of already-committed batches (the initial history lives in
+    partition -1 and re-overwrites only itself on restart — nothing else
+    is touched), and a half-written epoch's own history partition is
+    excluded from its pair join on replay (a batch never sees itself,
+    even mid-crash). Kill-and-resume therefore equals the uninterrupted
+    run exactly — proven by
+    test_fingerprint_cross_pairs_stream_kill_and_resume. Raises if the
+    stream never made progress or missed the deadline (the
+    execute_stream_to_batch discipline)."""
     import os
 
     spark = new_assets_stream.sparkSession
     hist_dir = os.path.join(work_dir, "history")
     pairs_dir = os.path.join(work_dir, "pairs")
-    initial_hist_hashes.select("asset_id", hash_col).write.mode("overwrite").parquet(
-        hist_dir
+    (
+        initial_hist_hashes.select("asset_id", hash_col)
+        .withColumn("_batch", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(hist_dir)
     )
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         fh = fingerprinter(batch_df)
         # fingerprint ONCE per batch: the pair join and the history append
         # both read this frame; without the cut the mapInPandas decode
         # would run twice per batch
         fh = fh.select("asset_id", hash_col).localCheckpoint(eager=True)
-        hist = sess.read.parquet(hist_dir)
+        hist = (
+            sess.read.parquet(hist_dir)
+            .filter(F.col("_batch") != batch_id)  # crash-replay: never self
+            .select("asset_id", hash_col)
+        )
         pairs = fingerprint_cross_pairs(
             fh, hist, min_shared=min_shared, max_posting=max_posting,
             hash_col=hash_col,
         )
-        # pairs first, THEN the history append (a batch never sees itself)
-        pairs.write.mode("append").parquet(pairs_dir)
-        fh.write.mode("append").parquet(hist_dir)
+        # pairs first, THEN the history write (a batch never sees itself)
+        (
+            pairs.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(pairs_dir)
+        )
+        (
+            fh.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(hist_dir)
+        )
 
     q = (
         new_assets_stream.writeStream.foreachBatch(process)
@@ -1139,7 +1171,18 @@ def fingerprint_cross_pairs_stream(
             q.stop()
     if q.lastProgress is None:
         raise RuntimeError("asset ingest stream terminated without making progress")
-    return spark.read.parquet(pairs_dir)
+    try:
+        return spark.read.parquet(pairs_dir).drop("_batch")
+    except Exception:  # noqa: BLE001 — every batch paired nothing: a
+        # zero-row partitioned write leaves no parquet footer to infer
+        # from, so rebuild the (new_id, hist_id, n_shared) schema from an
+        # analysis-only probe plan (no job runs) and return it empty
+        probe = fingerprint_cross_pairs(
+            initial_hist_hashes.select("asset_id", hash_col),
+            initial_hist_hashes.select("asset_id", hash_col),
+            min_shared=min_shared, max_posting=max_posting, hash_col=hash_col,
+        )
+        return spark.createDataFrame([], probe.schema)
 
 
 def fingerprint_overlap_pairs_hamming(

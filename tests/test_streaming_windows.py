@@ -543,3 +543,126 @@ def test_fingerprint_cross_pairs_stream_video_fingerprinter(spark, tmp_path):
     )
     got_set = {(r["new_id"], r["hist_id"], r["n_shared"]) for r in got.collect()}
     assert got_set == {(201, 101, 3), (202, 1, 3)}
+
+
+def _land_later_batch(spark, landing, name, rows, schema):
+    """Land one more parquet batch with a NOW mtime so a resumed file
+    stream sees it after everything already processed."""
+    import os
+    import time
+
+    d = landing / "landing" / name
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+    mt = int(time.time())
+    for fn in os.listdir(str(d)):
+        os.utime(os.path.join(str(d), fn), (mt, mt))
+
+
+def test_minhash_cross_pairs_stream_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume proof for the HISTORY-TABLE stream: drain batch 1
+    (availableNow stops the query), land batch 2, re-invoke against the
+    SAME work_dir (checkpoint + history + pairs). The resumed run must not
+    re-pair batch 1 (no duplicates), must not lose it (batch 2 pairs
+    against batch-1 docs via the history that survived the restart), and
+    must not wipe the grown history back to the initial corpus — the
+    resume bug the _batch-partitioned dynamic-overwrite sinks fix."""
+    from eth2dgraph_spark.pipeline.dedup import (
+        minhash_cross_pairs,
+        minhash_cross_pairs_stream,
+    )
+
+    schema = "doc_id long, text string"
+    h = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")], schema
+    )
+    b1 = [(101, "alpha beta gamma delta epsilon zeta eta theta")]
+    b2 = [(201, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    kw = dict(k=3, num_hashes=32, num_bands=8, threshold=0.3, max_band_bucket=None)
+
+    def read_landing(glob):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+
+    # uninterrupted reference run over both batches
+    glob_full = _ordered_landing(spark, tmp_path / "full", [b1, b2], schema)
+    want = minhash_cross_pairs_stream(
+        read_landing(glob_full), h, str(tmp_path / "work_full"), **kw
+    )
+    want_set = sorted(map(tuple, want.collect()))
+    assert (201, 101) in {(a, b) for a, b, *_ in want_set}  # cross-batch pair
+
+    # phase 1: only batch 1 exists; availableNow drains it and stops
+    glob = _ordered_landing(spark, tmp_path / "res", [b1], schema)
+    work = str(tmp_path / "work_res")
+    p1 = minhash_cross_pairs_stream(read_landing(glob), h, work, **kw)
+    p1_set = sorted(map(tuple, p1.collect()))
+    assert {(a, b) for a, b, *_ in p1_set} == {(101, 1)}
+
+    # phase 2: batch 2 lands; resume against the same checkpoint + tables
+    _land_later_batch(spark, tmp_path / "res", "b2", b2, schema)
+    merged = minhash_cross_pairs_stream(read_landing(glob), h, work, **kw)
+    assert sorted(map(tuple, merged.collect())) == want_set
+
+    # idempotent re-resume with NO new data: nothing is re-emitted
+    again = minhash_cross_pairs_stream(read_landing(glob), h, work, **kw)
+    assert sorted(map(tuple, again.collect())) == want_set
+
+
+def test_fingerprint_cross_pairs_stream_kill_and_resume(spark, tmp_path):
+    """Same kill-and-resume contract for the multimodal ingest stream:
+    fingerprints of committed batches survive the restart in the history
+    table, committed pair partitions are not re-appended, and the resumed
+    total equals the uninterrupted run exactly."""
+    from tests.test_pipeline import _wav_group_clip
+
+    from eth2dgraph_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        audio_fingerprints,
+        fingerprint_cross_pairs_stream,
+    )
+
+    def asset(aid, g):
+        return (aid, "audio", "audio/wav", bytearray(_wav_group_clip(g)), None, None, None)
+
+    h = spark.createDataFrame([asset(1, 0)], ASSET_SCHEMA)
+    hist_hashes = audio_fingerprints(h, frame_ms=200).select("asset_id", "ahash")
+    b1 = [asset(101, 7)]
+    b2 = [asset(201, 7), asset(202, 0)]  # 201 pairs batch-1's 101; 202 pairs 1
+
+    def read_landing(glob):
+        return (
+            spark.readStream.schema(ASSET_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(glob)
+        )
+
+    fp = lambda df: audio_fingerprints(df, frame_ms=200)  # noqa: E731
+
+    glob_full = _ordered_landing(spark, tmp_path / "full", [b1, b2], ASSET_SCHEMA)
+    want = fingerprint_cross_pairs_stream(
+        read_landing(glob_full), hist_hashes, str(tmp_path / "work_full"),
+        fingerprinter=fp, min_shared=2,
+    )
+    want_set = sorted(map(tuple, want.collect()))
+    assert (201, 101, 3) in want_set  # cross-batch pair exists in the reference
+
+    glob = _ordered_landing(spark, tmp_path / "res", [b1], ASSET_SCHEMA)
+    work = str(tmp_path / "work_res")
+    p1 = fingerprint_cross_pairs_stream(
+        read_landing(glob), hist_hashes, work, fingerprinter=fp, min_shared=2
+    )
+    assert sorted(map(tuple, p1.collect())) == []  # group 7 unseen so far
+
+    _land_later_batch(spark, tmp_path / "res", "b2", b2, ASSET_SCHEMA)
+    merged = fingerprint_cross_pairs_stream(
+        read_landing(glob), hist_hashes, work, fingerprinter=fp, min_shared=2
+    )
+    assert sorted(map(tuple, merged.collect())) == want_set
+
+    again = fingerprint_cross_pairs_stream(
+        read_landing(glob), hist_hashes, work, fingerprinter=fp, min_shared=2
+    )
+    assert sorted(map(tuple, again.collect())) == want_set
