@@ -1314,12 +1314,14 @@ def q_khop_reach(spark, sf):  # J4 multi-hop traversal (BFS) with min distance
 def q_sssp_dists(spark, sf):  # weighted SSSP traversal (Dgraph `shortest` parity)
     # Graph: supplier keys as vertices, a +1 "local" edge with weight
     # (key % 7) + 1 and a +5 "skip" edge with weight 3 (kept only where the
-    # destination key exists). Seeds every 25th key. max_iter=8 BINDS: the
-    # worst offset inside a seed gap is 24 = 4 skips + 4 locals = exactly 8
-    # edges, and the oracle unrolls the same 8 rounds (Bellman-Ford after k
-    # rounds == min over paths of <= k edges, so engine and oracle agree on
-    # cyclic-free and cyclic inputs alike). Integer-valued weights keep every
-    # path sum exact in double — no float-noise boundary in the hash.
+    # destination key exists). Seeds every 25th key. This gate certifies the
+    # k-BOUNDED relaxation invariant with k=8 on BOTH sides: after k rounds
+    # Bellman-Ford holds the exact min over paths of <= k edges, and the
+    # oracle unrolls the same 8 rounds — 8 REACHES every node (worst in-gap
+    # offset 24 = 4 skips + 4 locals), though final convergence takes 9
+    # (cross-gap routes — see sssp_paths, which certifies the CONVERGED
+    # answer). Integer-valued weights keep every path sum exact in double —
+    # no float-noise boundary in the hash.
     from eth2dgraph_spark.graph import shortest_paths
 
     s = _t(spark, sf, "supplier").select("s_suppkey")
@@ -1347,6 +1349,58 @@ def q_sssp_dists(spark, sf):  # weighted SSSP traversal (Dgraph `shortest` parit
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.round(F.col("dist") + 1e-9, 6).alias("dist"),
+    )
+
+
+def q_sssp_paths(spark, sf):  # SSSP with PATH RECONSTRUCTION (Dgraph's
+    # `shortest` returns the path, not the length): same graph/seeds as
+    # sssp_dists but through graph.shortest_path_tree, which also emits
+    # pred = the lexicographically-smallest previous hop on a shortest
+    # path (NULL at seeds). Ids are zero-padded to 7 so the engine's
+    # string tie-break equals the oracle's numeric min(src). Unlike
+    # sssp_dists (deliberately k-BOUNDED relaxation, k=8 both sides),
+    # this gate certifies FULL convergence: the graph's weight pattern
+    # repeats mod lcm(25,7)=175, and measured Bellman-Ford convergence is
+    # 9 rounds at every size (8 at 100 nodes; cross-gap 9-edge routes
+    # from the PREVIOUS seed's gap undercut within-gap paths — two gaps
+    # back costs >= 30 and never pays). max_iter=12 = 9 dist rounds + 1
+    # pred-settle round + margin; the oracle unrolls 12 (any K >= 9
+    # yields the converged minimum). The oracle derives pred in closed
+    # form from the final dist table: min src over edges with
+    # dist(src) + w = dist(dst) — exact equality is safe, every path sum
+    # is an integer in double.
+    from eth2dgraph_spark.graph import shortest_path_tree
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    cand = (
+        s.select(
+            pad(F.col("s_suppkey")).alias("src"),
+            pad(F.col("s_suppkey") + 1).alias("dst"),
+            ((F.col("s_suppkey") % 7) + 1).cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                pad(F.col("s_suppkey")).alias("src"),
+                pad(F.col("s_suppkey") + 5).alias("dst"),
+                F.lit(3.0).alias("w"),
+            )
+        )
+    )
+    edges = cand.join(
+        s.select(pad(F.col("s_suppkey")).alias("dst")), "dst", "left_semi"
+    )
+    seeds = s.filter(F.col("s_suppkey") % 25 == 0).select(
+        pad(F.col("s_suppkey")).alias("node")
+    )
+    out = shortest_path_tree(edges, seeds, weight="w", max_iter=12)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("dist") + 1e-9, 6).alias("dist"),
+        F.col("pred").cast("long").alias("pred"),
     )
 
 
@@ -3256,13 +3310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-11 window policy (VERDICT
     # r10 item 1): (a) the full 32-gate r7-stale overflow named at round
     # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
-    # in r7, the oldest cohort); (b) the 3 gates NEW this round
-    # (sssp_dists, image_near_dups, audio_near_frames — first-ever driver
-    # rows); (c) the 2 whose CODE changed since their r10 driver row
-    # (cross_dedup_stream, audio_dedup_stream — their history/pairs sinks
-    # became _batch-partitioned dynamic-overwrite for idempotent
-    # kill-and-resume); (d) the r8 cohort fills the window — 13 of its 41
-    # fit (alphabetical); the 28-gate overflow (hll_distinct ..
+    # in r7, the oldest cohort); (b) the 4 gates NEW this round
+    # (sssp_dists, sssp_paths, image_near_dups, audio_near_frames —
+    # first-ever driver rows); (c) the 2 whose CODE changed since their
+    # r10 driver row (cross_dedup_stream, audio_dedup_stream — their
+    # history/pairs sinks became _batch-partitioned dynamic-overwrite for
+    # idempotent kill-and-resume); (d) the r8 cohort fills the window —
+    # 12 of its 41 fit (alphabetical); the 29-gate overflow (gopher_rep ..
     # unigram_encode) is round 12's leading rotation target (named at the
     # boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3272,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 window (entries 1-50) ---
         # (a) NEW this round:
         "sssp_dists": q_sssp_dists,
+        "sssp_paths": q_sssp_paths,
         "image_near_dups": q_image_near_dups,
         "audio_near_frames": q_audio_near_frames,
         # (b) code changed since their r10 driver row:
@@ -3310,7 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # (d) r8 cohort, alphabetical (13 of 41 fit):
+        # (d) r8 cohort, alphabetical (12 of 41 fit):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -3323,11 +3378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_per_key": q_first_per_key,
         "format_roundtrips": q_format_roundtrips,
         "gas_stats": q_gas_stats,
-        "gopher_rep": q_gopher_rep,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (28 gates; round-12 rotation leads with
-        # these — hll_distinct through unigram_encode were last
+        # r8-cohort overflow (29 gates; round-12 rotation leads with
+        # these — gopher_rep through unigram_encode were last
         # driver-certified in r8):
+        "gopher_rep": q_gopher_rep,
         "hll_distinct": q_hll_distinct,
         "incr_curate": q_incr_curate,
         "incr_curate_bloom": q_incr_curate_bloom,
@@ -4973,6 +5028,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.hops < 8)
             SELECT node::BIGINT AS node, round(min(dist) + 1e-9, 6) AS dist
             FROM walk GROUP BY node""",
+        "sssp_paths": """
+            WITH RECURSIVE e0 AS (
+                SELECT s_suppkey AS src, s_suppkey + 1 AS dst,
+                       CAST(s_suppkey % 7 + 1 AS DOUBLE) AS w FROM supplier
+                UNION ALL
+                SELECT s_suppkey, s_suppkey + 5, 3.0 FROM supplier),
+            e AS (SELECT e0.* FROM e0 JOIN supplier s ON e0.dst = s.s_suppkey),
+            seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0),
+            walk(node, dist, hops) AS (
+                SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seeds
+                UNION ALL
+                SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 12),
+            d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+            p AS (SELECT e.dst AS node, min(e.src) AS pred
+                  FROM e JOIN d du ON du.node = e.src JOIN d dv ON dv.node = e.dst
+                  WHERE du.dist + e.w = dv.dist
+                  GROUP BY e.dst)
+            SELECT d.node::BIGINT AS node, round(d.dist + 1e-9, 6) AS dist,
+                   p.pred::BIGINT AS pred
+            FROM d LEFT JOIN p ON p.node = d.node""",
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,

@@ -135,8 +135,10 @@ HEADLINE = [
     # round-10: composed multimodal dedup policy (runs CC) — same policy
     "asset_cluster_reps",
     # round-11: weighted SSSP (frontier relaxation, two localCheckpoint
-    # cuts per round) — same end-of-run placement policy
+    # cuts per round) and its path-reconstruction variant — same
+    # end-of-run placement policy
     "sssp_dists",
+    "sssp_paths",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -172,6 +174,7 @@ COMPARABLE_29 = [
     "image_near_dups",
     "audio_near_frames",
     "sssp_dists",
+    "sssp_paths",
     }
 ]
 

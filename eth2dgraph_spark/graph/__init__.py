@@ -564,6 +564,106 @@ def shortest_paths(
     return dist
 
 
+def shortest_path_tree(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: "str | None" = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """shortest_paths plus PATH RECONSTRUCTION — (node, dist, pred) where
+    pred is the previous hop on a shortest path (NULL at sources). Dgraph's
+    `shortest` DQL block returns the path, not just its length; following
+    pred from any node back to a source reconstructs one shortest path
+    without storing paths as rows (paths are O(V * diameter) materialized —
+    the tree is O(V)).
+
+    Determinism: among equal-cost predecessors, the LEXICOGRAPHICALLY
+    SMALLEST node id wins (ids are strings here — zero-pad numeric ids if
+    numeric order matters), so the tree is a pure function of the graph.
+    The tie rule rides the same frontier loop: a candidate improves on
+    (dist, pred) lexicographic order, not dist alone. Tie improvements
+    never re-enter the frontier — v's candidate toward a neighbor is
+    (dist(v) + w, v), which does not mention v's OWN pred, so a pred-only
+    change cannot cascade; only strict dist improvements relax. Every
+    minimizing predecessor u relaxes v in the round after u's dist
+    finalizes, so pred converges at most ONE round after dist (size
+    max_iter accordingly: the sssp_paths gate uses dist-rounds + 2).
+    Sources carry pred '' internally ('' sorts before every id, so a
+    zero-weight cycle through a source can never displace its NULL) and
+    NULL in the output."""
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        wcol.alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dist = _truncator(
+        sources.select(F.col("node").cast("string"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .withColumn("pred", F.lit("")),
+        checkpoint_dir,
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                    F.col("src").alias("pred"),
+                ).alias("dp"),
+            )
+            .groupBy("node")
+            .agg(F.min("dp").alias("dp"))  # lexicographic (dist, pred) min
+        )
+        improved = _truncator(
+            cand.join(
+                dist.select(
+                    "node",
+                    F.col("dist").alias("_cd"),
+                    F.col("pred").alias("_cp"),
+                ),
+                "node",
+                "left",
+            )
+            .withColumn(
+                "_strict", F.col("_cd").isNull() | (F.col("dp.dist") < F.col("_cd"))
+            )
+            .filter(
+                F.col("_strict")
+                | (
+                    (F.col("dp.dist") == F.col("_cd"))
+                    & (F.col("dp.pred") < F.col("_cp"))
+                )
+            )
+            .select(
+                "node",
+                F.col("dp.dist").alias("dist"),
+                F.col("dp.pred").alias("pred"),
+                "_strict",
+            ),
+            checkpoint_dir,
+        )
+        if improved.isEmpty():
+            break
+        dist = _truncator(
+            dist.withColumn("_strict", F.lit(False))
+            .unionByName(improved)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "pred")).alias("m"))
+            .select("node", F.col("m.dist").alias("dist"), F.col("m.pred").alias("pred")),
+            checkpoint_dir,
+        )
+        frontier = improved.filter(F.col("_strict"))
+    e.unpersist()
+    return dist.select("node", "dist", F.nullif(F.col("pred"), F.lit("")).alias("pred"))
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph — 1-row (n_triangles).
 

@@ -320,6 +320,20 @@ def test_reliable_checkpoint_results_identical(spark, tmp_path):
     kb = {tuple(r) for r in k_hop(e, src, 3, checkpoint_dir=ck).collect()}
     assert ka == kb
 
+    from eth2dgraph_spark.graph import shortest_path_tree, shortest_paths
+
+    we = spark.createDataFrame(
+        [(u, v, float(1 + (len(u) + len(v)) % 3)) for u, v in pairs],
+        "src string, dst string, w double",
+    )
+    sa = {tuple(r) for r in shortest_paths(we, src, weight="w").collect()}
+    sb = {tuple(r) for r in shortest_paths(we, src, weight="w", checkpoint_dir=ck).collect()}
+    assert sa == sb
+
+    ta = {tuple(r) for r in shortest_path_tree(we, src, weight="w").collect()}
+    tb = {tuple(r) for r in shortest_path_tree(we, src, weight="w", checkpoint_dir=ck).collect()}
+    assert ta == tb
+
     import os
 
     assert any(os.scandir(ck))  # reliable checkpoints actually landed
@@ -728,3 +742,100 @@ def test_shortest_paths_returns_materialized_plan(spark):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "Join" not in plan
     assert {r["node"]: r["dist"] for r in out.collect()} == {"a": 0.0, "b": 1.0}
+
+
+def test_shortest_path_tree_known_graph_and_tie_break(spark):
+    """pred reconstructs a shortest path; among equal-cost predecessors
+    the lexicographically smallest node id wins (the deterministic tree
+    contract the sssp_paths oracle replays numerically via padded ids)."""
+    from eth2dgraph_spark.graph import shortest_path_tree
+
+    # two equal-cost routes into d: via b (1+1) and via c (1+1) -> pred=b
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "d", 1.0), ("c", "d", 1.0),
+         ("d", "e", 2.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: (r["dist"], r["pred"])
+           for r in shortest_path_tree(e, srcs, weight="w").collect()}
+    assert got == {
+        "a": (0.0, None), "b": (1.0, "a"), "c": (1.0, "a"),
+        "d": (2.0, "b"), "e": (4.0, "d"),
+    }
+    # pred chain reconstructs a->b->d->e
+    path, cur = [], "e"
+    while cur is not None:
+        path.append(cur)
+        cur = got[cur][1]
+    assert path == ["e", "d", "b", "a"]
+
+
+def test_shortest_path_tree_pred_arrives_after_dist_converges(spark):
+    """A minimizing predecessor whose OWN dist finalizes late must still
+    win the tie: u's relaxation of v happens one round after u's dist
+    settles, which is why the kernel's pred needs (dist rounds + 1)."""
+    from eth2dgraph_spark.graph import shortest_path_tree
+
+    # v is first reached via the long direct edge (pred z), then at equal
+    # cost through the chain ending at "0" (lexicographically smaller)
+    e = spark.createDataFrame(
+        [("a", "z", 1.0), ("z", "v", 3.0),
+         ("a", "m", 1.0), ("m", "0", 1.0), ("0", "v", 2.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: (r["dist"], r["pred"])
+           for r in shortest_path_tree(e, srcs, weight="w").collect()}
+    assert got["v"] == (4.0, "0")  # tie (via z also 4.0) broken to min id
+
+
+def test_shortest_path_tree_matches_dists_and_reference(spark):
+    """Randomized pin: dists equal shortest_paths exactly, and every pred
+    is the minimum id among minimizing predecessors per the pure-Python
+    reference."""
+    import heapq
+    import random
+
+    from eth2dgraph_spark.graph import shortest_path_tree, shortest_paths
+
+    rng = random.Random(911)
+    n = 30
+    edges = [
+        (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}",
+         float(rng.randint(1, 9)))
+        for _ in range(120)
+    ]
+    seeds = ["v00", "v05"]
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0.0 for s in seeds}
+    pq = [(0.0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        dcur, u = heapq.heappop(pq)
+        if dcur > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if dcur + w < dist.get(v, float("inf")):
+                dist[v] = dcur + w
+                heapq.heappush(pq, (dcur + w, v))
+    pred = {}
+    for u, vs in adj.items():
+        if u not in dist:
+            continue
+        for v, w in vs:
+            if v in dist and dist[u] + w == dist[v]:
+                pred[v] = min(pred.get(v, u), u)
+    for s in seeds:
+        pred[s] = None
+
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    srcs = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r["node"]: (r["dist"], r["pred"])
+           for r in shortest_path_tree(e, srcs, weight="w").collect()}
+    assert got == {k: (dist[k], pred[k]) for k in dist}
+    only_d = {r["node"]: r["dist"]
+              for r in shortest_paths(e, srcs, weight="w").collect()}
+    assert only_d == dist
