@@ -1699,6 +1699,69 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def _sssp_weighted_edges(spark, sf):
+    """Padded-id weighted supplier graph shared by the MSF gates: tree
+    edges (s, s+1, 10 + s%7) and skip edges (s, s+5, 100 + s%13). Every
+    skip edge is the unique maximum of its cycle (>= 100 vs <= 16 tree
+    weights), so by the cycle property the minimum spanning forest is
+    EXACTLY the tree-edge set — closed form for the oracle — while the
+    Borůvka kernel still needs multiple merge rounds to discover it
+    (round 1 only links each node to its cheapest neighbor)."""
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    cand = (
+        s.select(
+            pad(F.col("s_suppkey")).alias("src"),
+            pad(F.col("s_suppkey") + 1).alias("dst"),
+            (F.lit(10) + F.col("s_suppkey") % 7).cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                pad(F.col("s_suppkey")).alias("src"),
+                pad(F.col("s_suppkey") + 5).alias("dst"),
+                (F.lit(100) + F.col("s_suppkey") % 13).cast("double").alias("w"),
+            )
+        )
+    )
+    return cand.join(
+        s.select(pad(F.col("s_suppkey")).alias("dst")), "dst", "left_semi"
+    )
+
+
+def q_msf_edges(spark, sf):  # minimum spanning forest (distributed Borůvka)
+    # — the single-linkage dendrogram of a similarity graph; see
+    # graph.minimum_spanning_forest for why a dedup engine wants it.
+    from eth2dgraph_spark.graph import minimum_spanning_forest
+
+    out = minimum_spanning_forest(_sssp_weighted_edges(spark, sf))
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.round(F.col("w") + 1e-9, 6).alias("w"),
+    )
+
+
+def q_sl_clusters(spark, sf):  # single-linkage clusters at threshold 12
+    # from the MSF dendrogram: cut forest edges with w > 12 (keeps tree
+    # edges with s%7 <= 2), components = maximal runs [7k, 7k+3];
+    # nodes 7k+4..7k+6 turn isolated and don't appear. Closed-form
+    # oracle: cluster = n - n%7 over the nodes with a kept incident edge.
+    from eth2dgraph_spark.graph import (
+        minimum_spanning_forest,
+        single_linkage_clusters,
+    )
+
+    msf = minimum_spanning_forest(_sssp_weighted_edges(spark, sf))
+    out = single_linkage_clusters(msf, threshold=12.0)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_image_near_dups(spark, sf):  # image near-dup END-TO-END on real
     # container bytes — closes the modality asymmetry (video and audio had
     # full bytes->fingerprint->pairs gates since r10; the image pairing was
@@ -3310,15 +3373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-11 window policy (VERDICT
     # r10 item 1): (a) the full 32-gate r7-stale overflow named at round
     # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
-    # in r7, the oldest cohort); (b) the 4 gates NEW this round
-    # (sssp_dists, sssp_paths, image_near_dups, audio_near_frames —
-    # first-ever driver rows); (c) the 2 whose CODE changed since their
-    # r10 driver row (cross_dedup_stream, audio_dedup_stream — their
-    # history/pairs sinks became _batch-partitioned dynamic-overwrite for
-    # idempotent kill-and-resume); (d) the r8 cohort fills the window —
-    # 12 of its 41 fit (alphabetical); the 29-gate overflow (gopher_rep ..
-    # unigram_encode) is round 12's leading rotation target (named at the
-    # boundary below).
+    # in r7, the oldest cohort); (b) the 6 gates NEW this round
+    # (sssp_dists, sssp_paths, msf_edges, sl_clusters, image_near_dups,
+    # audio_near_frames — first-ever driver rows); (c) the 2 whose CODE
+    # changed since their r10 driver row (cross_dedup_stream,
+    # audio_dedup_stream — their history/pairs sinks became
+    # _batch-partitioned dynamic-overwrite for idempotent kill-and-resume);
+    # (d) the r8 cohort fills the window — 10 of its 41 fit (alphabetical);
+    # the 31-gate overflow (format_roundtrips .. unigram_encode) is round
+    # 12's leading rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
     # round-11 notes).
@@ -3327,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEW this round:
         "sssp_dists": q_sssp_dists,
         "sssp_paths": q_sssp_paths,
+        "msf_edges": q_msf_edges,
+        "sl_clusters": q_sl_clusters,
         "image_near_dups": q_image_near_dups,
         "audio_near_frames": q_audio_near_frames,
         # (b) code changed since their r10 driver row:
@@ -3365,7 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # (d) r8 cohort, alphabetical (12 of 41 fit):
+        # (d) r8 cohort, alphabetical (10 of 41 fit):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -3376,12 +3441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_extrema": q_events_extrema,
         "fingerprint": q_fingerprint,
         "first_per_key": q_first_per_key,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # r8-cohort overflow (31 gates; round-12 rotation leads with
+        # these — format_roundtrips through unigram_encode were last
+        # driver-certified in r8):
         "format_roundtrips": q_format_roundtrips,
         "gas_stats": q_gas_stats,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (29 gates; round-12 rotation leads with
-        # these — gopher_rep through unigram_encode were last
-        # driver-certified in r8):
         "gopher_rep": q_gopher_rep,
         "hll_distinct": q_hll_distinct,
         "incr_curate": q_incr_curate,
@@ -5049,6 +5114,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node::BIGINT AS node, round(d.dist + 1e-9, 6) AS dist,
                    p.pred::BIGINT AS pred
             FROM d LEFT JOIN p ON p.node = d.node""",
+        "msf_edges": """
+            SELECT s.s_suppkey::BIGINT AS u, (s.s_suppkey + 1)::BIGINT AS v,
+                   round(CAST(10 + s.s_suppkey % 7 AS DOUBLE) + 1e-9, 6) AS w
+            FROM supplier s JOIN supplier t ON t.s_suppkey = s.s_suppkey + 1""",
+        "sl_clusters": """
+            SELECT s_suppkey::BIGINT AS node,
+                   (s_suppkey - s_suppkey % 7)::BIGINT AS cluster
+            FROM supplier s
+            WHERE s_suppkey % 7 IN (1, 2, 3)
+               OR (s_suppkey % 7 = 0 AND EXISTS (
+                     SELECT 1 FROM supplier t
+                     WHERE t.s_suppkey = s.s_suppkey + 1))""",
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,

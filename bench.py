@@ -139,6 +139,10 @@ HEADLINE = [
     # end-of-run placement policy
     "sssp_dists",
     "sssp_paths",
+    # round-11: Borůvka minimum spanning forest + single-linkage cut
+    # (both run contraction CC rounds) — same end-of-run placement policy
+    "msf_edges",
+    "sl_clusters",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -175,6 +179,8 @@ COMPARABLE_29 = [
     "audio_near_frames",
     "sssp_dists",
     "sssp_paths",
+    "msf_edges",
+    "sl_clusters",
     }
 ]
 

@@ -664,6 +664,117 @@ def shortest_path_tree(
     return dist.select("node", "dist", F.nullif(F.col("pred"), F.lit("")).alias("pred"))
 
 
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 25,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Minimum spanning forest of the undirected graph — (u, v, w) rows,
+    u < v, one tree per connected component. Distributed Borůvka: each
+    round every component selects its minimum outgoing edge under the
+    TOTAL order (w, u, v) — the tie-break simulates distinct weights, so
+    the forest is unique and a pure function of the graph — selected
+    edges join the forest, and components merge by running the existing
+    connected_components on the (comp_u, comp_v) CONTRACTION graph (at
+    most one edge per component, exponentially shrinking), never on the
+    full edge list. O(log n) rounds; per round two label joins on the
+    full edge list + the tiny contraction CC.
+
+    Why in a dedup engine: the MSF is the single-linkage dendrogram —
+    cutting its edges above a similarity-distance threshold t yields the
+    single-linkage clusters at t for EVERY t without recomputing the
+    pairwise structure (see single_linkage_clusters), which is how a
+    near-dup threshold sweep tunes aggressiveness on one artifact."""
+    e0 = edges.select(
+        F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("u"),
+        F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("v"),
+        F.col(weight).cast("double").alias("w"),
+    ).filter(F.col("u") != F.col("v"))
+    # one row per undirected edge, minimal weight wins under (w, u, v)
+    e = _truncator(
+        e0.groupBy("u", "v").agg(F.min("w").alias("w")), checkpoint_dir
+    )
+    comp = _truncator(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node")),
+        checkpoint_dir,
+    )
+    forest = None
+    for _ in range(max_iter):
+        lab = (
+            e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
+            .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        # min outgoing edge per component, both directions, as one struct
+        # min (map-side combinable); dedup afterwards — two components
+        # often select the same edge
+        cand = lab.select(
+            F.col("cu").alias("c"), F.struct("w", "u", "v").alias("pick")
+        ).unionByName(
+            lab.select(F.col("cv").alias("c"), F.struct("w", "u", "v").alias("pick"))
+        )
+        picked = _truncator(
+            cand.groupBy("c")
+            .agg(F.min("pick").alias("pick"))
+            .select("pick.u", "pick.v", "pick.w")
+            .distinct(),
+            checkpoint_dir,
+        )
+        if picked.isEmpty():  # every component is maximal — done
+            break
+        forest = picked if forest is None else forest.unionByName(picked)
+        # contraction graph: one edge per selected (comp_u, comp_v) pair;
+        # new labels = connected components of the contraction
+        contr = (
+            picked.join(
+                comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u"
+            )
+            .join(comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+            .select("cu", "cv")
+        )
+        merged = connected_components(
+            contr, src="cu", dst="cv", checkpoint_dir=checkpoint_dir
+        )
+        comp = _truncator(
+            comp.join(
+                merged.select(F.col("node").alias("comp"), "component"),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("component", "comp").alias("comp")),
+            checkpoint_dir,
+        )
+    if forest is None:
+        return e.limit(0)
+    # forest rows were individually checkpointed per round; the union of
+    # materialized scans needs no further cut
+    return forest
+
+
+def single_linkage_clusters(
+    msf_edges: DataFrame,
+    threshold: float,
+    weight: str = "w",
+) -> DataFrame:
+    """(node, cluster) single-linkage clusters at distance `threshold`,
+    derived from a minimum_spanning_forest result by CUTTING forest edges
+    with w > threshold — the dendrogram property: for every t, the
+    components of {MSF edges with w <= t} equal the single-linkage
+    clusters of the full graph at t. One MSF artifact answers every
+    threshold; isolated nodes (all their forest edges cut) don't appear —
+    union the vertex set downstream if singletons matter."""
+    kept = msf_edges.filter(F.col(weight) <= F.lit(threshold))
+    return connected_components(kept, src="u", dst="v").withColumnRenamed(
+        "component", "cluster"
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph — 1-row (n_triangles).
 

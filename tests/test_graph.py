@@ -839,3 +839,92 @@ def test_shortest_path_tree_matches_dists_and_reference(spark):
     only_d = {r["node"]: r["dist"]
               for r in shortest_paths(e, srcs, weight="w").collect()}
     assert only_d == dist
+
+
+def test_msf_known_graph(spark):
+    """Hand-checkable MSF: triangle with one heavy edge (dropped by the
+    cycle property) plus a disconnected pair (second tree in the forest);
+    duplicate/reversed input edges collapse to the min weight."""
+    from eth2dgraph_spark.graph import minimum_spanning_forest
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 9.0),
+         ("b", "a", 5.0),  # reversed duplicate, heavier -> ignored
+         ("x", "y", 4.0)],
+        "src string, dst string, w double",
+    )
+    got = {(r["u"], r["v"], r["w"]) for r in minimum_spanning_forest(e).collect()}
+    assert got == {("a", "b", 1.0), ("b", "c", 2.0), ("x", "y", 4.0)}
+
+
+def test_msf_multi_round_chain(spark):
+    """A path graph forces multiple Borůvka rounds (round 1 only pairs
+    each node with its cheaper neighbor); the MSF of a path is the path."""
+    from eth2dgraph_spark.graph import minimum_spanning_forest
+
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}", float(10 + i % 7)) for i in range(20)]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {(r["u"], r["v"], r["w"]) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(u, v, w) for u, v, w in edges}
+
+
+def test_msf_randomized_kruskal_pin(spark):
+    """Randomized pin against pure-Python Kruskal under the same total
+    order (w, u, v) — the tie-break makes the forest unique, so the
+    comparison is exact set equality."""
+    import random
+
+    from eth2dgraph_spark.graph import minimum_spanning_forest
+
+    rng = random.Random(2711)
+    n = 25
+    raw = list({
+        tuple(sorted((f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")))
+        + (float(rng.randint(1, 20)),)
+        for _ in range(70)
+    })
+    raw = [(u, v, w) for u, v, w in raw if u != v]
+    # collapse duplicate (u, v) to min w, as the kernel does
+    best = {}
+    for u, v, w in raw:
+        best[(u, v)] = min(best.get((u, v), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (u, v), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+
+    e = spark.createDataFrame(raw, "src string, dst string, w double")
+    got = {(r["u"], r["v"], r["w"]) for r in minimum_spanning_forest(e).collect()}
+    assert got == want
+
+
+def test_single_linkage_clusters_threshold_sweep(spark):
+    """One MSF answers every threshold: cutting dendrogram edges above t
+    yields the single-linkage clusters at t."""
+    from eth2dgraph_spark.graph import (
+        minimum_spanning_forest,
+        single_linkage_clusters,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 2.0)],
+        "src string, dst string, w double",
+    )
+    msf = minimum_spanning_forest(e)  # a path: all three edges
+    at2 = {r["node"]: r["cluster"] for r in single_linkage_clusters(msf, 2.0).collect()}
+    assert at2 == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    at5 = {r["node"]: r["cluster"] for r in single_linkage_clusters(msf, 5.0).collect()}
+    assert at5 == {"a": "a", "b": "a", "c": "a", "d": "a"}
+    at0 = single_linkage_clusters(msf, 0.5).collect()
+    assert at0 == []  # every edge cut -> all nodes isolated -> absent
