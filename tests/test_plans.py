@@ -68,6 +68,12 @@ def test_relational_queries_stay_jvm_side(spark):
         "video_near_dups",
         "audio_near_dups",
         "asset_cluster_reps",
+        # round-11 codec-roundtrip gates: real PNG / WAV container bytes
+        # synthesized and decoded per row (png.synthetic_image_udf,
+        # wav.synthetic_drift_clip_udf + the production fingerprint and
+        # phash kernels)
+        "image_near_dups",
+        "audio_near_frames",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
