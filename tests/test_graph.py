@@ -928,3 +928,25 @@ def test_single_linkage_clusters_threshold_sweep(spark):
     assert at5 == {"a": "a", "b": "a", "c": "a", "d": "a"}
     at0 = single_linkage_clusters(msf, 0.5).collect()
     assert at0 == []  # every edge cut -> all nodes isolated -> absent
+
+
+def test_msf_distributed_contraction_branch_equal(spark):
+    """collect_threshold=0 forces the distributed star-CC contraction
+    merge on every round; the forest must equal the (default)
+    driver-union-find path exactly — the two branches are
+    interchangeable merge strategies, not different algorithms."""
+    import random
+
+    from eth2dgraph_spark.graph import minimum_spanning_forest
+
+    rng = random.Random(515)
+    raw = list({
+        tuple(sorted((f"v{rng.randrange(18):02d}", f"v{rng.randrange(18):02d}")))
+        + (float(rng.randint(1, 15)),)
+        for _ in range(45)
+    })
+    raw = [(u, v, w) for u, v, w in raw if u != v]
+    e = spark.createDataFrame(raw, "src string, dst string, w double")
+    fast = {tuple(r) for r in minimum_spanning_forest(e).collect()}
+    dist = {tuple(r) for r in minimum_spanning_forest(e, collect_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
