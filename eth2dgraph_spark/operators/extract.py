@@ -209,11 +209,26 @@ def extract_all(
     logs: DataFrame,
     traces: DataFrame,
     decompiler=selector_lifter,
+    hub_storage=None,
 ) -> ExtractResult:
     """End-to-end: the Spark equivalent of `eth2dgraph extract`
-    (src/main.rs:18-21, src/extraction/extract.rs:291-400)."""
+    (src/main.rs:18-21, src/extraction/extract.rs:291-400).
+
+    `hub_storage` sets the StorageLevel for the two STRING-HEAVY pinned
+    hubs (propagated traces, enriched deployments — each row carries up
+    to ~50 KB of bytecode hex). Default MEMORY_AND_DISK is right when the
+    hubs fit the executor storage pool; pass StorageLevel.DISK_ONLY when
+    they don't — the hubs together hold the full corpus's bytecode, and
+    on a memory-bounded executor the columnar cache's decompressed
+    working set OOMs before eviction saves it (measured: 300k contracts
+    = ~25 GB of hot hub strings on a 24g single-JVM heap dies with
+    MEMORY_AND_DISK, completes with DISK_ONLY — see BASELINE.md round-11
+    notes). At cluster scale this is the per-executor
+    memory-vs-spindle sizing decision, exposed as a knob."""
     from pyspark.storagelevel import StorageLevel
 
+    if hub_storage is None:
+        hub_storage = StorageLevel.MEMORY_AND_DISK
     pinned: list[DataFrame] = []
     txs = block_ops.tx_bytes4(block_ops.normalize_tx_to(transactions))
     enriched_blocks = block_ops.enrich_blocks(blocks, transactions)
@@ -222,13 +237,13 @@ def extract_all(
     # as separate actions, so the filter+groupBy(tx_hash)+join over the
     # entire traces table — a shuffle of the largest input at scale —
     # is persisted and released via ExtractResult.release()
-    t = trace_ops.propagate_trace_errors(traces).persist(StorageLevel.MEMORY_AND_DISK)
+    t = trace_ops.propagate_trace_errors(traces).persist(hub_storage)
     pinned.append(t)
     raw_deps = trace_ops.extract_deployments(t, propagate_errors=False)
     # deps feeds four separate downstream actions (deployments write,
     # skeletons/abi/membership, accounts) — pin it so the metadata/
     # skeletonize/keccak UDF pass over distinct bytecodes runs once
-    deps = enrich_deployments(raw_deps).persist(StorageLevel.MEMORY_AND_DISK)
+    deps = enrich_deployments(raw_deps).persist(hub_storage)
     pinned.append(deps)
     dess = trace_ops.extract_destructions(t, propagate_errors=False)
     transfers = transfer_ops.decode_token_transfers(logs)

@@ -90,6 +90,20 @@ def _code(golden: "list[str]", code_id: int) -> str:
     return "0x" + prefix + base[2:]
 
 
+def _parts_for(n_contracts: int) -> int:
+    """Partition count sized so string-heavy partitions stay ~128 MB —
+    each contract contributes ~2 x 25 KB of bytecode hex to the traces
+    table. A real 100 TB run gets this for free from
+    spark.sql.files.maxPartitionBytes on the parquet scan; a synthetic
+    mapInPandas generator (and the shuffles downstream of it) must size
+    it explicitly. 32-partition traces at 300k contracts put ~1 GB of
+    strings per partition and 32 concurrently-built columnar cache
+    batches OOM'd the 24g heap (measured); 128 MB partitions stream
+    through the same heap with room to spare — the exact
+    shuffle-partition sizing knob a real cluster deploy tunes."""
+    return max(32, n_contracts * 50_000 // (128 << 20) + 1)
+
+
 def synth_chain(spark, n_contracts: int):
     n_txs = n_contracts * 4
     n_blocks = n_txs // 8 + 1
@@ -205,7 +219,8 @@ def synth_chain(spark, n_contracts: int):
                 ],
             )
 
-    mk = lambda n, k, s: spark.range(n).repartition(32).mapInPandas(k, s)  # noqa: E731
+    p = _parts_for(n_contracts)
+    mk = lambda n, k, s: spark.range(n).repartition(p).mapInPandas(k, s)  # noqa: E731
     return (
         mk(n_blocks, blocks_kernel, BLOCK_SCHEMA),
         mk(n_txs, txs_kernel, TX_SCHEMA),
@@ -225,12 +240,22 @@ def main() -> None:
         # blocks are freed ASYNCHRONOUSLY by the ContextCleaner (GC-driven)
         # and were still resident when the string-heavy 100k enrichment
         # allocated. Sessions per scale also keep the walls comparable
-        # (no cross-scale cache warmth).
-        spark = get_spark("soak-extract-r11")
+        # (no cross-scale cache warmth). Shuffle partitions scale with the
+        # corpus (see _parts_for) — the propagate_trace_errors groupBy
+        # re-buckets the full 25KB-string traces table, and 32 output
+        # partitions at 300k contracts are ~1 GB each.
+        spark = get_spark(
+            "soak-extract-r11", shuffle_partitions=_parts_for(n)
+        )
         spark.sparkContext.setLogLevel("ERROR")
         blocks, txs, logs, traces = synth_chain(spark, n)
         t0 = time.time()
-        res = extract_all(blocks, txs, logs, traces)
+        hub = None
+        if os.environ.get("SOAK_DISK_HUBS"):
+            from pyspark.storagelevel import StorageLevel
+
+            hub = StorageLevel.DISK_ONLY
+        res = extract_all(blocks, txs, logs, traces, hub_storage=hub)
         counts = {name: df.count() for name, df in res.as_dict().items()}
         wall = time.time() - t0
         res.release()
