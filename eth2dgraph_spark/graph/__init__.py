@@ -500,6 +500,7 @@ def shortest_paths(
     dst: str = "dst",
     max_iter: int = 30,
     checkpoint_dir: "str | None" = None,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Weighted single-source(-set) shortest paths — (node, dist) with dist =
     min total edge weight from any row of `sources` (column `node`). Directed
@@ -537,6 +538,7 @@ def shortest_paths(
         checkpoint_dir,
     )
     frontier = dist
+    iterations, converged = 0, False
     for _ in range(max_iter):
         cand = (
             e.join(frontier, e.src == frontier.node)
@@ -551,7 +553,9 @@ def shortest_paths(
             checkpoint_dir,
         )
         if improved.isEmpty():  # reads the checkpointed partitions — no recompute
+            converged = True
             break
+        iterations += 1
         # merge strict improvements into the running dist table; min() keeps
         # the old value for untouched vertices (improved rows always win by
         # construction, but min() makes the merge order-free)
@@ -560,6 +564,9 @@ def shortest_paths(
             checkpoint_dir,
         )
         frontier = improved
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
     e.unpersist()
     return dist
 
@@ -672,6 +679,7 @@ def minimum_spanning_forest(
     max_iter: int = 25,
     checkpoint_dir: "str | None" = None,
     collect_threshold: int = 1_000_000,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Minimum spanning forest of the undirected graph — (u, v, w) rows,
     u < v, one tree per connected component. Distributed Borůvka: each
@@ -719,6 +727,7 @@ def minimum_spanning_forest(
         checkpoint_dir,
     )
     forest = None
+    rounds, collected_rounds = 0, 0
     for _ in range(max_iter):
         lab = (
             e.join(comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
@@ -742,6 +751,7 @@ def minimum_spanning_forest(
         )
         if picked.isEmpty():  # every component is maximal — done
             break
+        rounds += 1
         forest = picked if forest is None else forest.unionByName(picked)
         # contraction graph: one edge per selected (comp_u, comp_v) pair;
         # new labels = connected components of the contraction
@@ -756,6 +766,7 @@ def minimum_spanning_forest(
         if picked.count() <= collect_threshold:
             # bounded driver-side union-find on the contraction pairs —
             # see the docstring's measured pair for why
+            collected_rounds += 1
             parent: dict = {}
 
             def find(x: str) -> str:
@@ -794,6 +805,9 @@ def minimum_spanning_forest(
             .select("node", F.coalesce("component", "comp").alias("comp")),
             checkpoint_dir,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["collected_rounds"] = collected_rounds
     if forest is None:
         return e.limit(0)
     # forest rows were individually checkpointed per round; the union of

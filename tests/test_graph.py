@@ -950,3 +950,27 @@ def test_msf_distributed_contraction_branch_equal(spark):
     fast = {tuple(r) for r in minimum_spanning_forest(e).collect()}
     dist = {tuple(r) for r in minimum_spanning_forest(e, collect_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_shortest_paths_and_msf_stats(spark):
+    """The observability contract: stats reports executed rounds and
+    convergence; MSF also reports which contraction-merge branch ran."""
+    from eth2dgraph_spark.graph import minimum_spanning_forest, shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    st: dict = {}
+    shortest_paths(e, srcs, weight="w", stats=st).collect()
+    assert st == {"iterations": 3, "converged": True}
+    st2: dict = {}
+    shortest_paths(e, srcs, weight="w", max_iter=2, stats=st2).collect()
+    assert st2 == {"iterations": 2, "converged": False}
+    st3: dict = {}
+    minimum_spanning_forest(e, stats=st3).collect()
+    assert st3["rounds"] >= 1 and st3["collected_rounds"] == st3["rounds"]
+    st4: dict = {}
+    minimum_spanning_forest(e, collect_threshold=0, stats=st4).collect()
+    assert st4["collected_rounds"] == 0 and st4["rounds"] >= 1
