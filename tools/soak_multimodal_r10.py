@@ -123,8 +123,46 @@ def video_assets(spark, n):
     )
 
 
+def image_assets(spark, n):
+    """Round-11 image arm: one 32x32 grayscale PNG per asset (stdlib
+    encode_png), pattern pinned by group — the seeded-random-grid
+    construction from png.synthetic_image_udf (structured grids measured
+    pHash-colliding at hamming 0; random grids measured min cross-group
+    hamming 22 over a 25-group sample)."""
+    from eth2dgraph_spark.functions.png import encode_png
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                g = group_of(int(i))
+                rs = np.random.RandomState((g * 7919 + 17) % (2**31))
+                grid = rs.randint(0, 256, size=(8, 8), dtype=np.uint8)
+                payloads.append(
+                    encode_png(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(kernel, "asset_id long, modality string, payload binary")
+    )
+
+
 def main() -> None:
-    from eth2dgraph_spark.pipeline.multimodal import audio_near_pairs, video_near_pairs
+    from eth2dgraph_spark.pipeline.multimodal import (
+        audio_near_pairs,
+        phash_features,
+        phash_near_pairs,
+        video_near_pairs,
+    )
 
     spark = get_spark("soak-mm")
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,6 +174,12 @@ def main() -> None:
                 assets.count()
                 t0 = time.time()
                 pairs = audio_near_pairs(assets, frame_ms=200, min_shared=2)
+                cnt = pairs.count()
+            elif op == "image":
+                assets = image_assets(spark, n).persist()
+                assets.count()
+                t0 = time.time()
+                pairs = phash_near_pairs(phash_features(assets), max_hamming=2)
                 cnt = pairs.count()
             else:
                 assets = video_assets(spark, n).persist()
