@@ -183,3 +183,21 @@ def test_release_frees_pinned_hub_frames(chain):
     assert all(not (p.storageLevel.useMemory or p.storageLevel.useDisk) for p in pins)
     res.release()  # idempotent
     assert res.deployments.count() > 0  # tables stay valid post-release
+
+
+def test_hub_storage_disk_only_identical(spark, chain):
+    """The hub_storage knob (memory-bounded executors pin the string
+    hubs DISK_ONLY — see BASELINE.md round-11 soak findings) must not
+    change any output table."""
+    from pyspark.storagelevel import StorageLevel
+
+    blocks, txs, logs, traces = chain
+    a = extract_all(blocks, txs, logs, traces)
+    b = extract_all(blocks, txs, logs, traces, hub_storage=StorageLevel.DISK_ONLY)
+    for name in ("deployments", "destructions", "skeletons", "abi",
+                 "abi_membership", "accounts"):
+        da = {tuple(r) for r in a.as_dict()[name].collect()}
+        db = {tuple(r) for r in b.as_dict()[name].collect()}
+        assert da == db, name
+    a.release()
+    b.release()

@@ -974,3 +974,24 @@ def test_shortest_paths_and_msf_stats(spark):
     st4: dict = {}
     minimum_spanning_forest(e, collect_threshold=0, stats=st4).collect()
     assert st4["collected_rounds"] == 0 and st4["rounds"] >= 1
+
+
+def test_shortest_paths_edge_cases(spark):
+    """Seeds outside the edge set still appear at dist 0 (a source IS
+    reachable from itself); an empty frontier round exits immediately;
+    zero-weight edges propagate at no cost; shortest_path_tree keeps a
+    source's NULL pred even when a zero-weight cycle re-enters it."""
+    from eth2dgraph_spark.graph import shortest_path_tree, shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "a", 0.0)], "src string, dst string, w double"
+    )
+    srcs = spark.createDataFrame([("a",), ("zzz",)], "node string")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, srcs, weight="w").collect()}
+    assert got == {"a": 0.0, "zzz": 0.0, "b": 0.0}
+    tree = {r["node"]: (r["dist"], r["pred"])
+            for r in shortest_path_tree(e, srcs, weight="w").collect()}
+    # the 0-weight cycle b->a offers (0.0, "b") to source a; '' sorts
+    # before every id internally, so a keeps its NULL pred
+    assert tree["a"] == (0.0, None)
+    assert tree["b"] == (0.0, "a")
