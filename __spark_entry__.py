@@ -1699,6 +1699,58 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def q_sssp_route(spark, sf):  # the full Dgraph-`shortest` answer shape:
+    # the NODE SEQUENCE of one shortest path per requested target
+    # (graph.reconstruct_paths walking the sssp_paths tree — state is one
+    # row per target, rounds = path length). Targets are the deepest
+    # in-gap offsets (s_suppkey % 25 == 24). The oracle rebuilds the same
+    # tree closed-form (dist walk + min-pred, the sssp_paths oracle) and
+    # follows pred with a recursive CTE, emitting the row whose cursor
+    # has no pred entry (= reached a seed). Padded engine ids are cast
+    # back to decimal before joining with '->' so both engines render
+    # identical route strings.
+    from eth2dgraph_spark.graph import reconstruct_paths, shortest_path_tree
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    cand = (
+        s.select(
+            pad(F.col("s_suppkey")).alias("src"),
+            pad(F.col("s_suppkey") + 1).alias("dst"),
+            ((F.col("s_suppkey") % 7) + 1).cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                pad(F.col("s_suppkey")).alias("src"),
+                pad(F.col("s_suppkey") + 5).alias("dst"),
+                F.lit(3.0).alias("w"),
+            )
+        )
+    )
+    edges = cand.join(
+        s.select(pad(F.col("s_suppkey")).alias("dst")), "dst", "left_semi"
+    )
+    seeds = s.filter(F.col("s_suppkey") % 25 == 0).select(
+        pad(F.col("s_suppkey")).alias("node")
+    )
+    tree = shortest_path_tree(edges, seeds, weight="w", max_iter=12)
+    targets = s.filter(F.col("s_suppkey") % 25 == 24).select(
+        pad(F.col("s_suppkey")).alias("node")
+    )
+    out = reconstruct_paths(tree, targets, max_len=20)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("dist") + 1e-9, 6).alias("dist"),
+        F.concat_ws(
+            "->",
+            F.transform("path", lambda x: x.cast("long").cast("string")),
+        ).alias("route"),
+    )
+
+
 def _sssp_weighted_edges(spark, sf):
     """Padded-id weighted supplier graph shared by the MSF gates: tree
     edges (s, s+1, 10 + s%7) and skip edges (s, s+5, 100 + s%13). Every
@@ -3373,15 +3425,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-11 window policy (VERDICT
     # r10 item 1): (a) the full 32-gate r7-stale overflow named at round
     # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
-    # in r7, the oldest cohort); (b) the 6 gates NEW this round
-    # (sssp_dists, sssp_paths, msf_edges, sl_clusters, image_near_dups,
-    # audio_near_frames — first-ever driver rows); (c) the 2 whose CODE
-    # changed since their r10 driver row (cross_dedup_stream,
-    # audio_dedup_stream — their history/pairs sinks became
-    # _batch-partitioned dynamic-overwrite for idempotent kill-and-resume);
-    # (d) the r8 cohort fills the window — 10 of its 41 fit (alphabetical);
-    # the 31-gate overflow (format_roundtrips .. unigram_encode) is round
-    # 12's leading rotation target (named at the boundary below).
+    # in r7, the oldest cohort); (b) the 7 gates NEW this round
+    # (sssp_dists, sssp_paths, sssp_route, msf_edges, sl_clusters,
+    # image_near_dups, audio_near_frames — first-ever driver rows); (c)
+    # the 2 whose CODE changed since their r10 driver row
+    # (cross_dedup_stream, audio_dedup_stream — their history/pairs sinks
+    # became _batch-partitioned dynamic-overwrite for idempotent
+    # kill-and-resume); (d) the r8 cohort fills the window — 9 of its 41
+    # fit (alphabetical); the 32-gate overflow (first_per_key ..
+    # unigram_encode) is round 12's leading rotation target (named at the
+    # boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
     # round-11 notes).
@@ -3390,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEW this round:
         "sssp_dists": q_sssp_dists,
         "sssp_paths": q_sssp_paths,
+        "sssp_route": q_sssp_route,
         "msf_edges": q_msf_edges,
         "sl_clusters": q_sl_clusters,
         "image_near_dups": q_image_near_dups,
@@ -3430,7 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # (d) r8 cohort, alphabetical (10 of 41 fit):
+        # (d) r8 cohort, alphabetical (9 of 41 fit):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -3440,11 +3494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "events_extrema": q_events_extrema,
         "fingerprint": q_fingerprint,
-        "first_per_key": q_first_per_key,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (31 gates; round-12 rotation leads with
-        # these — format_roundtrips through unigram_encode were last
+        # r8-cohort overflow (32 gates; round-12 rotation leads with
+        # these — first_per_key through unigram_encode were last
         # driver-certified in r8):
+        "first_per_key": q_first_per_key,
         "format_roundtrips": q_format_roundtrips,
         "gas_stats": q_gas_stats,
         "gopher_rep": q_gopher_rep,
@@ -5114,6 +5168,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node::BIGINT AS node, round(d.dist + 1e-9, 6) AS dist,
                    p.pred::BIGINT AS pred
             FROM d LEFT JOIN p ON p.node = d.node""",
+        "sssp_route": """
+            WITH RECURSIVE e0 AS (
+                SELECT s_suppkey AS src, s_suppkey + 1 AS dst,
+                       CAST(s_suppkey % 7 + 1 AS DOUBLE) AS w FROM supplier
+                UNION ALL
+                SELECT s_suppkey, s_suppkey + 5, 3.0 FROM supplier),
+            e AS (SELECT e0.* FROM e0 JOIN supplier s ON e0.dst = s.s_suppkey),
+            seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0),
+            walk(node, dist, hops) AS (
+                SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seeds
+                UNION ALL
+                SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 12),
+            d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+            p AS (SELECT e.dst AS node, min(e.src) AS pred
+                  FROM e JOIN d du ON du.node = e.src JOIN d dv ON dv.node = e.dst
+                  WHERE du.dist + e.w = dv.dist
+                  GROUP BY e.dst),
+            walk2(tgt, cur, route) AS (
+                SELECT s_suppkey, s_suppkey, s_suppkey::VARCHAR
+                FROM supplier WHERE s_suppkey % 25 = 24
+                UNION ALL
+                SELECT w.tgt, p.pred, p.pred::VARCHAR || '->' || w.route
+                FROM walk2 w JOIN p ON p.node = w.cur)
+            SELECT w.tgt::BIGINT AS node, round(d.dist + 1e-9, 6) AS dist,
+                   w.route AS route
+            FROM walk2 w
+            JOIN d ON d.node = w.tgt
+            LEFT JOIN p pc ON pc.node = w.cur
+            WHERE pc.node IS NULL""",
         "msf_edges": """
             SELECT s.s_suppkey::BIGINT AS u, (s.s_suppkey + 1)::BIGINT AS v,
                    round(CAST(10 + s.s_suppkey % 7 AS DOUBLE) + 1e-9, 6) AS w

@@ -139,6 +139,7 @@ HEADLINE = [
     # end-of-run placement policy
     "sssp_dists",
     "sssp_paths",
+    "sssp_route",
     # round-11: Borůvka minimum spanning forest + single-linkage cut
     # (both run contraction CC rounds) — same end-of-run placement policy
     "msf_edges",
@@ -179,6 +180,7 @@ COMPARABLE_29 = [
     "audio_near_frames",
     "sssp_dists",
     "sssp_paths",
+    "sssp_route",
     "msf_edges",
     "sl_clusters",
     }

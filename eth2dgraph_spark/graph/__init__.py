@@ -671,6 +671,74 @@ def shortest_path_tree(
     return dist.select("node", "dist", F.nullif(F.col("pred"), F.lit("")).alias("pred"))
 
 
+def reconstruct_paths(
+    tree: DataFrame,
+    targets: DataFrame,
+    max_len: int = 100,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """(node, dist, path) for each row of `targets` (column `node`):
+    the actual node sequence source..node of one shortest path, read off
+    a shortest_path_tree result by following pred links — the form
+    Dgraph's `shortest` block returns (the tree is the O(V) artifact;
+    paths materialize only for the nodes a query asks about).
+
+    Iterative prepend: state is ONE row per requested target (head,
+    accumulated path array), each round joins the O(targets) state
+    against the tree on head == tree.node and prepends the pred — so the
+    cost is rounds x a small-probe join, rounds = longest requested path,
+    bounded by `max_len` (paths still open at the bound come back with
+    path = NULL rather than a silently-truncated prefix). Targets absent
+    from the tree (unreachable) also return path = NULL; their dist is
+    NULL too."""
+    t = tree.select(
+        F.col("node").alias("_n"), F.col("dist").alias("_d"), F.col("pred").alias("_p")
+    )
+    # state invariant: `head` = the next node to prepend (NULL once the
+    # source was prepended — a source's pred is NULL — or when the target
+    # is not in the tree at all; both mean "stop walking this row")
+    state = _truncator(
+        targets.select(F.col("node").cast("string"))
+        .distinct()
+        .join(t, F.col("node") == F.col("_n"), "left")
+        .select(
+            "node",
+            F.col("_d").alias("dist"),
+            F.col("_p").alias("head"),
+            F.when(F.col("_n").isNotNull(), F.array(F.col("node"))).alias("path"),
+        ),
+        checkpoint_dir,
+    )
+    for _ in range(max_len):
+        if state.filter(F.col("head").isNotNull()).isEmpty():
+            break
+        state = _truncator(
+            # bracket access: DataFrame.head is the METHOD, not the column
+            state.join(t, state["head"] == t["_n"], "left")
+            .select(
+                "node",
+                "dist",
+                F.when(F.col("head").isNull(), F.col("head"))
+                .otherwise(F.col("_p"))
+                .alias("head"),
+                F.when(F.col("head").isNull(), F.col("path"))
+                .otherwise(F.concat(F.array(F.col("head")), F.col("path")))
+                .alias("path"),
+            ),
+            checkpoint_dir,
+        )
+    # completed rows have walked to a source (head NULL, dist known);
+    # rows that still carry a head hit max_len -> NULL, not a truncated
+    # prefix; unreachable targets have dist NULL -> NULL
+    return state.select(
+        "node",
+        "dist",
+        F.when(
+            F.col("head").isNull() & F.col("dist").isNotNull(), F.col("path")
+        ).alias("path"),
+    )
+
+
 def minimum_spanning_forest(
     edges: DataFrame,
     src: str = "src",

@@ -995,3 +995,27 @@ def test_shortest_paths_edge_cases(spark):
     # before every id internally, so a keeps its NULL pred
     assert tree["a"] == (0.0, None)
     assert tree["b"] == (0.0, "a")
+
+
+def test_reconstruct_paths_semantics(spark):
+    """Completed walks return the source..target sequence; targets
+    missing from the tree return NULL dist and path; a walk longer than
+    max_len returns NULL, never a silently-truncated prefix."""
+    from eth2dgraph_spark.graph import reconstruct_paths, shortest_path_tree
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    tree = shortest_path_tree(e, srcs, weight="w")
+    targets = spark.createDataFrame([("d",), ("a",), ("zzz",)], "node string")
+    got = {r["node"]: (r["dist"], r["path"])
+           for r in reconstruct_paths(tree, targets).collect()}
+    assert got["d"] == (3.0, ["a", "b", "c", "d"])
+    assert got["a"] == (0.0, ["a"])  # a source's path is itself
+    assert got["zzz"] == (None, None)  # not in the tree
+    # max_len smaller than the walk: NULL, not a prefix
+    short = {r["node"]: r["path"]
+             for r in reconstruct_paths(tree, targets, max_len=2).collect()}
+    assert short["d"] is None and short["a"] == ["a"]
