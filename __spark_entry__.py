@@ -1751,6 +1751,51 @@ def q_sssp_route(spark, sf):  # the full Dgraph-`shortest` answer shape:
     )
 
 
+def q_harmonic_landmarks(spark, sf):  # landmark-sampled harmonic
+    # centrality (Eppstein-Wang style sampling) over the sssp gate graph:
+    # h(v) = sum over landmarks s != v of 1/d(s, v), one shortest_paths
+    # run on the landmark-tagged product graph (k-bounded broadcast).
+    # Landmarks every 250th key (1 at sf0.01, 4 at sf0.1 — the sf0.1 leg
+    # exercises real multi-landmark sums). max_iter=12 on BOTH sides:
+    # even pre-convergence, k-round Bellman-Ford == the oracle's k-round
+    # walk by construction. The 1/d reciprocal sums are accumulation-
+    # order sensitive across engines, hence the standard tie-nudged 6dp
+    # rounding (terms <= 4, error ~1e-16, nudge 1e-9).
+    from eth2dgraph_spark.graph import harmonic_closeness_sampled
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    cand = (
+        s.select(
+            pad(F.col("s_suppkey")).alias("src"),
+            pad(F.col("s_suppkey") + 1).alias("dst"),
+            ((F.col("s_suppkey") % 7) + 1).cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                pad(F.col("s_suppkey")).alias("src"),
+                pad(F.col("s_suppkey") + 5).alias("dst"),
+                F.lit(3.0).alias("w"),
+            )
+        )
+    )
+    edges = cand.join(
+        s.select(pad(F.col("s_suppkey")).alias("dst")), "dst", "left_semi"
+    )
+    landmarks = s.filter(F.col("s_suppkey") % 250 == 0).select(
+        pad(F.col("s_suppkey")).alias("node")
+    )
+    out = harmonic_closeness_sampled(edges, landmarks, weight="w", max_iter=12)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("harmonic") + 1e-9, 6).alias("harmonic"),
+        F.col("n_landmarks").cast("long").alias("n_landmarks"),
+    )
+
+
 def _sssp_weighted_edges(spark, sf):
     """Padded-id weighted supplier graph shared by the MSF gates: tree
     edges (s, s+1, 10 + s%7) and skip edges (s, s+5, 100 + s%13). Every
@@ -3425,14 +3470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries (in dict order). Round-11 window policy (VERDICT
     # r10 item 1): (a) the full 32-gate r7-stale overflow named at round
     # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
-    # in r7, the oldest cohort); (b) the 7 gates NEW this round
-    # (sssp_dists, sssp_paths, sssp_route, msf_edges, sl_clusters,
-    # image_near_dups, audio_near_frames — first-ever driver rows); (c)
-    # the 2 whose CODE changed since their r10 driver row
+    # in r7, the oldest cohort); (b) the 8 gates NEW this round
+    # (sssp_dists, sssp_paths, sssp_route, harmonic_landmarks, msf_edges,
+    # sl_clusters, image_near_dups, audio_near_frames — first-ever driver
+    # rows); (c) the 2 whose CODE changed since their r10 driver row
     # (cross_dedup_stream, audio_dedup_stream — their history/pairs sinks
     # became _batch-partitioned dynamic-overwrite for idempotent
-    # kill-and-resume); (d) the r8 cohort fills the window — 9 of its 41
-    # fit (alphabetical); the 32-gate overflow (first_per_key ..
+    # kill-and-resume); (d) the r8 cohort fills the window — 8 of its 41
+    # fit (alphabetical); the 33-gate overflow (fingerprint ..
     # unigram_encode) is round 12's leading rotation target (named at the
     # boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3444,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_dists": q_sssp_dists,
         "sssp_paths": q_sssp_paths,
         "sssp_route": q_sssp_route,
+        "harmonic_landmarks": q_harmonic_landmarks,
         "msf_edges": q_msf_edges,
         "sl_clusters": q_sl_clusters,
         "image_near_dups": q_image_near_dups,
@@ -3484,7 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream": q_windowed_stream,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        # (d) r8 cohort, alphabetical (9 of 41 fit):
+        # (d) r8 cohort, alphabetical (8 of 41 fit):
         "array_funcs": q_array_funcs,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_stream": q_dedup_stream,
@@ -3493,11 +3539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "event_gaps": q_event_gaps,
         "events_extrema": q_events_extrema,
-        "fingerprint": q_fingerprint,
         # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (32 gates; round-12 rotation leads with
-        # these — first_per_key through unigram_encode were last
+        # r8-cohort overflow (33 gates; round-12 rotation leads with
+        # these — fingerprint through unigram_encode were last
         # driver-certified in r8):
+        "fingerprint": q_fingerprint,
         "first_per_key": q_first_per_key,
         "format_roundtrips": q_format_roundtrips,
         "gas_stats": q_gas_stats,
@@ -5168,6 +5214,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node::BIGINT AS node, round(d.dist + 1e-9, 6) AS dist,
                    p.pred::BIGINT AS pred
             FROM d LEFT JOIN p ON p.node = d.node""",
+        "harmonic_landmarks": """
+            WITH RECURSIVE e0 AS (
+                SELECT s_suppkey AS src, s_suppkey + 1 AS dst,
+                       CAST(s_suppkey % 7 + 1 AS DOUBLE) AS w FROM supplier
+                UNION ALL
+                SELECT s_suppkey, s_suppkey + 5, 3.0 FROM supplier),
+            e AS (SELECT e0.* FROM e0 JOIN supplier s ON e0.dst = s.s_suppkey),
+            lm AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 250 = 0),
+            walk(seed, node, dist, hops) AS (
+                SELECT node, node, CAST(0.0 AS DOUBLE), 0 FROM lm
+                UNION ALL
+                SELECT w.seed, e.dst, w.dist + e.w, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 12),
+            d AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY seed, node)
+            SELECT node::BIGINT AS node,
+                   round(sum(1.0 / dist) + 1e-9, 6) AS harmonic,
+                   count(*)::BIGINT AS n_landmarks
+            FROM d WHERE seed != node GROUP BY node""",
         "sssp_route": """
             WITH RECURSIVE e0 AS (
                 SELECT s_suppkey AS src, s_suppkey + 1 AS dst,

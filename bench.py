@@ -140,6 +140,7 @@ HEADLINE = [
     "sssp_dists",
     "sssp_paths",
     "sssp_route",
+    "harmonic_landmarks",
     # round-11: Borůvka minimum spanning forest + single-linkage cut
     # (both run contraction CC rounds) — same end-of-run placement policy
     "msf_edges",
@@ -181,6 +182,7 @@ COMPARABLE_29 = [
     "sssp_dists",
     "sssp_paths",
     "sssp_route",
+    "harmonic_landmarks",
     "msf_edges",
     "sl_clusters",
     }

@@ -671,6 +671,66 @@ def shortest_path_tree(
     return dist.select("node", "dist", F.nullif(F.col("pred"), F.lit("")).alias("pred"))
 
 
+def harmonic_closeness_sampled(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    weight: "str | None" = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+    sep: str = "|",
+) -> DataFrame:
+    """(node, harmonic, n_landmarks): landmark-sampled harmonic
+    centrality h(v) = Σ_{s in landmarks, s != v} 1 / d(s, v) — the
+    centrality that stays well-defined on directed / disconnected graphs
+    (unreachable landmarks simply contribute nothing; exact all-pairs
+    closeness is O(V) SSSP runs, landmark sampling is the standard
+    scale approximation, e.g. Eppstein-Wang).
+
+    ONE shortest_paths run over the landmark-tagged product graph: each
+    edge is replicated per landmark via a BROADCAST of the (bounded,
+    caller-sampled) landmark set with composite ids "s<sep>u", seeded at
+    "s<sep>s" — so per-landmark distances ride the same frontier loop
+    with state O(k·V) instead of k driver-sequenced runs paying k x the
+    per-round action floor. `sep` must not occur in node ids (ValueError
+    if a landmark contains it)."""
+    lm = landmarks.select(F.col("node").cast("string").alias("_s")).distinct()
+    if lm.filter(F.col("_s").contains(sep)).limit(1).count() > 0:
+        raise ValueError(f"landmark ids must not contain separator {sep!r}")
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).cast("string").alias("_u"),
+        F.col(dst).cast("string").alias("_v"),
+        wcol.alias("_w"),
+    )
+    tagged = e.join(F.broadcast(lm)).select(
+        F.concat(F.col("_s"), F.lit(sep), F.col("_u")).alias("src"),
+        F.concat(F.col("_s"), F.lit(sep), F.col("_v")).alias("dst"),
+        F.col("_w").alias("w"),
+    )
+    seeds = lm.select(F.concat(F.col("_s"), F.lit(sep), F.col("_s")).alias("node"))
+    d = shortest_paths(
+        tagged, seeds, weight="w", max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    import re as _re
+
+    parts = F.split(F.col("node"), _re.escape(sep), 2)  # escaped: '|' is regex
+    tagged_d = d.select(
+        parts.getItem(0).alias("_seed"),
+        parts.getItem(1).alias("_node"),
+        "dist",
+    )
+    return (
+        tagged_d.filter(F.col("_seed") != F.col("_node"))
+        .groupBy(F.col("_node").alias("node"))
+        .agg(
+            F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+            F.count(F.lit(1)).alias("n_landmarks"),
+        )
+    )
+
+
 def reconstruct_paths(
     tree: DataFrame,
     targets: DataFrame,

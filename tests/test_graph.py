@@ -1019,3 +1019,26 @@ def test_reconstruct_paths_semantics(spark):
     short = {r["node"]: r["path"]
              for r in reconstruct_paths(tree, targets, max_len=2).collect()}
     assert short["d"] is None and short["a"] == ["a"]
+
+
+def test_harmonic_closeness_sampled(spark):
+    """Hand-checkable harmonic sums on a path + disconnected pair;
+    landmarks unreachable from a node contribute nothing; a landmark's
+    own self-distance term is excluded; separator collision raises."""
+    import pytest as _pytest
+
+    from eth2dgraph_spark.graph import harmonic_closeness_sampled
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("x", "y", 4.0)],
+        "src string, dst string, w double",
+    )
+    lms = spark.createDataFrame([("a",), ("b",), ("x",)], "node string")
+    got = {r["node"]: (r["harmonic"], r["n_landmarks"])
+           for r in harmonic_closeness_sampled(e, lms, weight="w").collect()}
+    # b: 1/d(a,b)=1; c: 1/d(a,c)+1/d(b,c)=0.5+1; y: 1/d(x,y)=0.25;
+    # a and x have no INCOMING landmark paths -> absent
+    assert got == {"b": (1.0, 1), "c": (1.5, 2), "y": (0.25, 1)}
+    bad = spark.createDataFrame([("a|b",)], "node string")
+    with _pytest.raises(ValueError, match="separator"):
+        harmonic_closeness_sampled(e, bad, weight="w")
