@@ -210,6 +210,19 @@ def main() -> None:
     # warmup and the first pandas_udf query absorbed the ~5 s fork+import
     # cost. The returnType-only form sidesteps hint parsing entirely.
     try:
+        # warm the OS page cache for the testdata parquet before timing:
+        # a long test/verify run right before the bench evicts it, and
+        # cold draws measure the disk, not the plan — scan-bound
+        # sub-second queries inflated 2.5-3.7x while compute-bound
+        # iterative queries stayed flat (round-11 measurement; a
+        # cat-to-devnull warm-up restored the 41-48 s comparable band
+        # from 60-62 s cold draws)
+        import glob as _glob
+
+        for _f in _glob.glob(os.path.join(SF_DIR, "*.parquet")):
+            with open(_f, "rb") as _fh:
+                while _fh.read(1 << 24):
+                    pass
         qs["last_block"](spark, SF_DIR).collect()
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
