@@ -1871,8 +1871,10 @@ def q_image_near_dups(spark, sf):  # image near-dup END-TO-END on real
     # CROSS-group hamming over groups 0..24 is 22 (see the UDF docstring),
     # so max_hamming=2 makes the output exactly the closed-form same-group
     # pair set — which the oracle replays as a doc_id self-join, no pHash
-    # math needed. Identical-hash groups ride the banding's full-pair path
-    # while group size <= max_bucket (1024; sf0.1 groups are 200).
+    # math needed. max_bucket=None (cap-parity rule: the oracle's pair set
+    # is uncapped, so the engine's hot-bucket cap must be off — a finite
+    # default would silently drop same-group pairs once groups outgrow it
+    # at a larger sf).
     from eth2dgraph_spark.functions.png import synthetic_image_udf
     from eth2dgraph_spark.pipeline.multimodal import (
         phash_features,
@@ -1884,7 +1886,54 @@ def q_image_near_dups(spark, sf):  # image near-dup END-TO-END on real
     assets = d.select(
         F.col("doc_id").alias("asset_id"), img("doc_id").alias("payload")
     )
-    return phash_near_pairs(phash_features(assets), max_hamming=2)
+    return phash_near_pairs(phash_features(assets), max_hamming=2, max_bucket=None)
+
+
+def q_jpeg_luma(spark, sf):  # the stdlib baseline JPEG codec driven
+    # end-to-end on REAL container bytes, one synthesized 32x32 grayscale
+    # image per document: block k of the 4x4 constant-8x8-block grid is
+    # (doc_id*31 + k*17) % 256, encoded (functions/jpeg.py encode_jpeg,
+    # quality=100 -> all-ones quantization tables), Huffman/DCT-decoded
+    # back, and pooled to the 16-bin block-mean grid. A constant block's
+    # DCT is a lone integer DC coefficient, so quantize/dequantize is the
+    # identity and bin k equals the block value EXACTLY in float64 — the
+    # oracle replays the closed form with no rounding tolerance (the
+    # avi_luma/wav_envelope pattern for the JPEG container).
+    from eth2dgraph_spark.functions.jpeg import synthetic_luma_jpeg_udf
+
+    jl = synthetic_luma_jpeg_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.select("doc_id", F.posexplode(jl("doc_id"))).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("bin"),
+        F.col("col").alias("luma"),
+    )
+
+
+def q_image_near_dups_jpeg(spark, sf):  # the image near-dup chain on REAL
+    # JPEG container bytes — the dominant image format in any real corpus
+    # (the PNG arm is image_near_dups): one synthesized 32x32 grayscale
+    # baseline JPEG per document (functions/jpeg.py synthetic_jpeg_udf —
+    # bit-identical within group doc_id % 25), Huffman/IDCT-decoded by the
+    # stdlib JPEG codec inside phash_features' magic-byte dispatch, 64-bit
+    # pHashed, and paired by the banded Hamming kernel. Same-group images
+    # share exact bytes (hamming 0); measured min CROSS-group hamming over
+    # groups 0..24 is 22 (seed g*6151+29 — see synthetic_group_jpeg), so
+    # max_hamming=2 yields exactly the closed-form same-group pair set the
+    # oracle replays as a doc_id self-join. max_bucket=None (cap-parity
+    # rule: the oracle's pair set is uncapped).
+    from eth2dgraph_spark.functions.jpeg import synthetic_jpeg_udf
+    from eth2dgraph_spark.pipeline.multimodal import (
+        phash_features,
+        phash_near_pairs,
+    )
+
+    img = synthetic_jpeg_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), img("doc_id").alias("payload")
+    )
+    return phash_near_pairs(phash_features(assets), max_hamming=2, max_bucket=None)
 
 
 def q_audio_near_frames(spark, sf):  # Hamming-TOLERANT audio matching on
@@ -3493,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_edges": q_msf_edges,
         "sl_clusters": q_sl_clusters,
         "image_near_dups": q_image_near_dups,
+        "image_near_dups_jpeg": q_image_near_dups_jpeg,
+        "jpeg_luma": q_jpeg_luma,
         "audio_near_frames": q_audio_near_frames,
         # (b) code changed since their r10 driver row:
         "cross_dedup_stream": q_cross_dedup_stream,
@@ -4750,6 +4801,12 @@ _IMAGE_NEAR_DUPS_ORACLE = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
         FROM documents a JOIN documents b
           ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id"""
+
+
+_JPEG_LUMA_ORACLE = """
+        SELECT d.doc_id, k.k AS bin,
+               CAST((d.doc_id * 31 + k.k * 17) % 256 AS DOUBLE) AS luma
+        FROM documents d, range(16) k(k)"""
 
 
 _AUDIO_NEAR_FRAMES_ORACLE = """
@@ -6093,6 +6150,10 @@ def oracle_sql() -> dict[str, str]:
         "asset_cluster_reps": _ASSET_CLUSTER_REPS_ORACLE,
         "video_near_frames": _VIDEO_NEAR_FRAMES_ORACLE,
         "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,
+        # same closed form: bit-identical JPEG bytes within a group pair
+        # at hamming 0, cross-group hamming >= 22 stays out at threshold 2
+        "image_near_dups_jpeg": _IMAGE_NEAR_DUPS_ORACLE,
+        "jpeg_luma": _JPEG_LUMA_ORACLE,
         "audio_near_frames": _AUDIO_NEAR_FRAMES_ORACLE,
         "line_profile": _LINE_PROFILE_ORACLE,
         "hits_scores": _hits_oracle(num_iter=2),

@@ -188,6 +188,17 @@ def luminance(arr: np.ndarray) -> np.ndarray:
     return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
 
 
+def synthetic_group_image(g: int) -> bytes:
+    """The frozen group→PNG construction shared by synthetic_image_udf and
+    the multimodal soaks (one definition so the soak can never drift from
+    the gate's pattern): 8x8 RandomState(g*7919 + 17) random grid upscaled
+    4x, stdlib-PNG-encoded. See synthetic_image_udf for why random grids
+    (structured grids measured pHash-colliding at hamming 0)."""
+    rs = np.random.RandomState(g * 7919 + 17)
+    grid = rs.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    return encode_png(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
+
+
 def synthetic_image_udf():
     """pandas UDF factory: doc_id -> real PNG container bytes, a
     deterministic 32x32 grayscale image whose pattern depends only on
@@ -213,9 +224,7 @@ def synthetic_image_udf():
         for d in doc_ids:
             g = int(d) % 25
             if g not in cache:
-                rs = np.random.RandomState(g * 7919 + 17)
-                grid = rs.randint(0, 256, size=(8, 8), dtype=np.uint8)
-                cache[g] = encode_png(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
+                cache[g] = synthetic_group_image(g)
             out.append(cache[g])
         return pd.Series(out)
 

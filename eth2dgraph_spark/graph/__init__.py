@@ -781,7 +781,12 @@ def reconstruct_paths(
                 F.when(F.col("head").isNull(), F.col("head"))
                 .otherwise(F.col("_p"))
                 .alias("head"),
+                # head non-null but the tree join MISSED (_n null): the
+                # tree is malformed (pred points at a node with no tree
+                # row) — void the path so the row comes back NULL instead
+                # of a "completed" path that does not start at a source
                 F.when(F.col("head").isNull(), F.col("path"))
+                .when(F.col("_n").isNull(), F.lit(None).cast("array<string>"))
                 .otherwise(F.concat(F.array(F.col("head")), F.col("path")))
                 .alias("path"),
             ),
@@ -877,7 +882,11 @@ def minimum_spanning_forest(
             .distinct(),
             checkpoint_dir,
         )
-        if picked.isEmpty():  # every component is maximal — done
+        # one count() per round serves both the termination check and the
+        # collect-threshold branch (reads the checkpointed partitions) —
+        # isEmpty() + count() would double the per-round action floor
+        n_picked = picked.count()
+        if n_picked == 0:  # every component is maximal — done
             break
         rounds += 1
         forest = picked if forest is None else forest.unionByName(picked)
@@ -891,7 +900,7 @@ def minimum_spanning_forest(
             .select("cu", "cv")
             .distinct()
         )
-        if picked.count() <= collect_threshold:
+        if n_picked <= collect_threshold:
             # bounded driver-side union-find on the contraction pairs —
             # see the docstring's measured pair for why
             collected_rounds += 1
@@ -947,6 +956,7 @@ def single_linkage_clusters(
     msf_edges: DataFrame,
     threshold: float,
     weight: str = "w",
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """(node, cluster) single-linkage clusters at distance `threshold`,
     derived from a minimum_spanning_forest result by CUTTING forest edges
@@ -954,11 +964,13 @@ def single_linkage_clusters(
     components of {MSF edges with w <= t} equal the single-linkage
     clusters of the full graph at t. One MSF artifact answers every
     threshold; isolated nodes (all their forest edges cut) don't appear —
-    union the vertex set downstream if singletons matter."""
+    union the vertex set downstream if singletons matter.
+    `checkpoint_dir` forwards to connected_components (the same reliable-
+    checkpoint discipline as every other iterative kernel)."""
     kept = msf_edges.filter(F.col(weight) <= F.lit(threshold))
-    return connected_components(kept, src="u", dst="v").withColumnRenamed(
-        "component", "cluster"
-    )
+    return connected_components(
+        kept, src="u", dst="v", checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("component", "cluster")
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

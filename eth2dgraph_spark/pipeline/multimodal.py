@@ -63,6 +63,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .dedup import DEFAULT_MAX_BAND_BUCKET as _PHASH_DEFAULT_MAX_BUCKET
+
 # The at-rest contract for a multimodal asset table.
 ASSET_SCHEMA = StructType(
     [
@@ -125,19 +127,35 @@ def _decode_image_pil(payload: bytes | None) -> np.ndarray:
     return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
 
 
+def _stdlib_luma(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the no-pip codec chain: FFD8 → the stdlib
+    baseline JPEG decoder (functions/jpeg.py), anything else → the stdlib
+    PNG decoder (functions/png.py, which validates its own signature);
+    either result reduced to Rec.601 luminance. Unsupported or malformed
+    payloads raise ValueError — the callers' 'error'-row contract."""
+    if payload[:2] == b"\xff\xd8":
+        from eth2dgraph_spark.functions.jpeg import decode_jpeg
+        from eth2dgraph_spark.functions.png import luminance
+
+        return luminance(decode_jpeg(payload))
+    from eth2dgraph_spark.functions.png import decode_png, luminance
+
+    return luminance(decode_png(payload))
+
+
 def _decode_image_png(payload: bytes | None) -> np.ndarray:
-    """Real codec path with ZERO external dependencies: the pure-stdlib PNG
-    decoder (functions/png.py — zlib+struct+numpy, 8-bit non-interlaced
-    gray/RGB/RGBA with all five scanline filters). Decode, Rec.601
-    luminance, block-mean pool to a 4x4 grid -> 16-dim feature in [0, 1] —
-    the same shape/dtype contract as the Pillow path. Non-PNG or
+    """Real codec path with ZERO external dependencies: the pure-stdlib
+    PNG decoder (functions/png.py — zlib+struct+numpy, 8-bit
+    non-interlaced gray/RGB/RGBA with all five scanline filters) or the
+    pure-stdlib baseline JPEG decoder (functions/jpeg.py — Huffman +
+    IDCT + YCbCr), dispatched on magic bytes. Decode, Rec.601 luminance,
+    block-mean pool to a 4x4 grid -> 16-dim feature in [0, 1] — the same
+    shape/dtype contract as the Pillow path. Other formats or
     unsupported payloads raise, so decode_features marks the row 'error'
     (data, not a crash)."""
     if not payload:
         return np.zeros(16, dtype=np.float32)
-    from eth2dgraph_spark.functions.png import decode_png, luminance
-
-    lum = luminance(decode_png(payload))
+    lum = _stdlib_luma(payload)
     return (_pool_mean(lum, 4) / 255.0).astype(np.float32).reshape(16)
 
 
@@ -342,9 +360,9 @@ def phash_features(
     """(asset_id, phash, decode_ok) for image assets: decode payload ->
     grayscale pixel array -> phash64. The decoder contract returns a 2D
     array; by default the Pillow path when available (any format), else
-    the pure-stdlib PNG codec (functions/png.py) — a REAL perceptual
-    decode in every environment; non-PNG payloads degrade to 'error'
-    rows. (The old byte-tiling stub is gone from the default chain: it
+    the pure-stdlib PNG/baseline-JPEG codecs (functions/png.py,
+    functions/jpeg.py, magic-byte dispatch) — a REAL perceptual decode
+    in every environment; other formats degrade to 'error' rows. (The old byte-tiling stub is gone from the default chain: it
     hashed arbitrary bytes, not pixels — inject a decoder explicitly for
     format-agnostic plumbing smoke tests.)"""
     if pixel_decoder is None:
@@ -362,9 +380,7 @@ def phash_features(
             def pixel_decoder(payload):  # noqa: F811
                 if not payload:
                     return np.zeros((dct_size, dct_size), dtype=np.float64)
-                from eth2dgraph_spark.functions.png import decode_png, luminance
-
-                return luminance(decode_png(payload))
+                return _stdlib_luma(payload)  # PNG or baseline JPEG by magic
 
             ok_label, probe = "ok", None
     else:
@@ -403,7 +419,7 @@ def phash_near_pairs(
     id_col: str = "asset_id",
     hash_col: str = "phash",
     num_chunks: int = 6,
-    max_bucket: int | None = None,
+    max_bucket: "int | None" = _PHASH_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Hamming near-duplicate image pairs over pHash values, riding the
     SimHash chunk-combination banding (`dedup.simhash_near_pairs` —
@@ -411,14 +427,19 @@ def phash_near_pairs(
     within max_hamming differs in <= max_hamming of those chunks
     regardless of where its differing bits fall (extra differences in the
     un-banded top bits only ADD chunk agreement), so exact recall is
-    preserved, and verification popcounts the full 64-bit XOR."""
-    from .dedup import DEFAULT_MAX_BAND_BUCKET, simhash_near_pairs
+    preserved, and verification popcounts the full 64-bit XOR.
+
+    `max_bucket` forwards VERBATIM to simhash_near_pairs (cap-parity with
+    fingerprint_overlap_pairs_hamming): None means UNCAPPED, the finite
+    default is the hot-bucket star defense. Callers whose oracle is a
+    closed-form pair set must pass None so the cap can never silently
+    diverge from the oracle at a larger scale factor."""
+    from .dedup import simhash_near_pairs
 
     sigs = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
     )
-    mb = DEFAULT_MAX_BAND_BUCKET if max_bucket is None else max_bucket
-    out = simhash_near_pairs(sigs, max_hamming, num_chunks, mb)
+    out = simhash_near_pairs(sigs, max_hamming, num_chunks, max_bucket)
     return out
 
 

@@ -74,6 +74,11 @@ def test_relational_queries_stay_jvm_side(spark):
         # phash kernels)
         "image_near_dups",
         "audio_near_frames",
+        # round-12 JPEG-codec gates: real baseline-JPEG container bytes
+        # synthesized and Huffman/IDCT-decoded per row (jpeg.synthetic_*
+        # UDFs + the production phash kernel)
+        "image_near_dups_jpeg",
+        "jpeg_luma",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")

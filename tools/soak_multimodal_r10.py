@@ -129,18 +129,16 @@ def image_assets(spark, n):
     construction from png.synthetic_image_udf (structured grids measured
     pHash-colliding at hamming 0; random grids measured min cross-group
     hamming 22 over a 25-group sample)."""
-    from eth2dgraph_spark.functions.png import encode_png
+    from eth2dgraph_spark.functions.png import synthetic_group_image
 
     def kernel(batches):
         for pdf in batches:
             payloads = []
             for i in pdf["id"]:
-                g = group_of(int(i))
-                rs = np.random.RandomState((g * 7919 + 17) % (2**31))
-                grid = rs.randint(0, 256, size=(8, 8), dtype=np.uint8)
-                payloads.append(
-                    encode_png(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
-                )
+                # the EXACT gate construction (shared helper) — a divergent
+                # seed expression here would undermine the soak's claim to
+                # exercise the same pattern as synthetic_image_udf
+                payloads.append(synthetic_group_image(group_of(int(i))))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["id"].astype("int64"),
