@@ -1352,6 +1352,102 @@ def q_sssp_dists(spark, sf):  # weighted SSSP traversal (Dgraph `shortest` parit
     )
 
 
+def q_sssp_targeted(spark, sf):  # point-to-point shortest path with EARLY
+    # STOP (Dgraph's `shortest` is from->to): same weighted graph and seeds
+    # as sssp_dists, targets = suppliers with key % 25 == 1 above the first
+    # seed (key > 25 — all reachable, so the early-stop precondition "every
+    # target settled" can fire; key 1 would never be reached on this
+    # upward-edge graph and would pin the loop to the full fixpoint).
+    # Target dists settle within a few rounds (direct seed->seed+1 edge,
+    # weight (s%7)+1 <= 7) while the fixpoint needs 9; the stop rule
+    # (max settled target dist <= min frontier dist, valid for
+    # non-negative weights) cuts the tail rounds without changing any
+    # reported dist — the oracle replays the CONVERGED walk (12-hop
+    # recursive CTE covers the 9-round fixpoint) filtered to the targets,
+    # so a premature stop that froze a still-improvable dist would
+    # hash-mismatch.
+    from eth2dgraph_spark.graph import shortest_paths_targeted
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+    cand = (
+        s.select(
+            F.col("s_suppkey").alias("src"),
+            (F.col("s_suppkey") + 1).alias("dst"),
+            ((F.col("s_suppkey") % 7) + 1).cast("double").alias("w"),
+        )
+        .unionByName(
+            s.select(
+                F.col("s_suppkey").alias("src"),
+                (F.col("s_suppkey") + 5).alias("dst"),
+                F.lit(3.0).alias("w"),
+            )
+        )
+    )
+    edges = cand.join(
+        s.select(F.col("s_suppkey").alias("dst")), "dst", "left_semi"
+    )
+    seeds = s.filter(F.col("s_suppkey") % 25 == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    targets = s.filter(
+        (F.col("s_suppkey") % 25 == 1) & (F.col("s_suppkey") > 25)
+    ).select(F.col("s_suppkey").alias("node"))
+    out = shortest_paths_targeted(edges, seeds, targets, weight="w", max_iter=12)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("dist") + 1e-9, 6).alias("dist"),
+    )
+
+
+def q_betweenness_landmarks(spark, sf):  # landmark-sampled Brandes
+    # betweenness over a 3-level supplier graph whose dependency values
+    # have a CLOSED FORM the oracle replays with per-group SQL aggregates:
+    # two synthetic roots R and R2 (identical edges — the batching arm:
+    # every dependency doubles and n_sources = 2) -> one hub per 25-key
+    # group (key 25g — supplier keys are 0-based) -> the group's 24
+    # members, where each member of
+    # group g >= 1 ALSO has an in-edge from hub g-1 (sigma = 2, exercising
+    # fractional sigma ratios), members with key % 10 == 5 carry a leaf
+    # (delta = 1, exercising the (1 + delta) chain), and hub g -> hub g+1
+    # chain edges are NON-shortest (dist 1 -> 1) so they must drop at the
+    # DAG filter. All dependency terms are exact binary halves (1/sigma in
+    # {1, 0.5}), so sums match cross-engine with no rounding tolerance.
+    # The general algorithm is pinned separately by a randomized textbook-
+    # Brandes test (tests/test_graph.py).
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    grp = F.floor(k / 25)
+    hub_of = lambda gexpr: pad(gexpr * 25)  # noqa: E731
+    hubs = s.filter(k % 25 == 0)
+    members = s.filter(k % 25 != 0)
+    e_roots = hubs.select(F.lit("R").alias("src"), pad(k).alias("dst")).unionByName(
+        hubs.select(F.lit("R2").alias("src"), pad(k).alias("dst"))
+    )
+    e_own = members.select(hub_of(grp).alias("src"), pad(k).alias("dst"))
+    e_prev = members.filter(grp >= 1).select(
+        hub_of(grp - 1).alias("src"), pad(k).alias("dst")
+    )
+    e_chain = (
+        hubs.select(pad(k).alias("src"), (k + 25).alias("nk"))
+        .join(s.select(F.col("s_suppkey").alias("nk")), "nk", "left_semi")
+        .select("src", pad(F.col("nk")).alias("dst"))
+    )
+    e_leaf = members.filter(k % 10 == 5).select(
+        pad(k).alias("src"), F.concat(F.lit("x"), pad(k)).alias("dst")
+    )
+    edges = e_roots.unionByName(e_own).unionByName(e_prev).unionByName(
+        e_chain
+    ).unionByName(e_leaf)
+    lm = spark.createDataFrame([("R",), ("R2",)], "node string")
+    return betweenness_landmarks(edges, lm, max_iter=6)
+
+
 def q_sssp_paths(spark, sf):  # SSSP with PATH RECONSTRUCTION (Dgraph's
     # `shortest` returns the path, not the length): same graph/seeds as
     # sssp_dists but through graph.shortest_path_tree, which also emits
@@ -3516,84 +3612,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
-    # the FIRST 50 entries (in dict order). Round-11 window policy (VERDICT
-    # r10 item 1): (a) the full 32-gate r7-stale overflow named at round
-    # 10's boundary (dsir_weights .. winnow_overlap — last driver-certified
-    # in r7, the oldest cohort); (b) the 8 gates NEW this round
-    # (sssp_dists, sssp_paths, sssp_route, harmonic_landmarks, msf_edges,
-    # sl_clusters, image_near_dups, audio_near_frames — first-ever driver
-    # rows); (c) the 2 whose CODE changed since their r10 driver row
-    # (cross_dedup_stream, audio_dedup_stream — their history/pairs sinks
-    # became _batch-partitioned dynamic-overwrite for idempotent
-    # kill-and-resume); (d) the r8 cohort fills the window — 8 of its 41
-    # fit (alphabetical); the 33-gate overflow (fingerprint ..
-    # unigram_encode) is round 12's leading rotation target (named at the
-    # boundary below).
+    # the FIRST 50 entries (in dict order). Round-12 window policy (VERDICT
+    # r11 item 1 + the standing freshness rule): (a) the 4 gates NEW this
+    # round (jpeg_luma, image_near_dups_jpeg — the stdlib JPEG codec
+    # end-to-end; sssp_targeted — point-to-point early stop;
+    # betweenness_landmarks — landmark Brandes); (b) the 4 whose CODE
+    # changed since their r11 driver row (image_near_dups — uncapped
+    # banding, cap-parity fix; sssp_route — reconstruct_paths
+    # malformed-tree guard; msf_edges/sl_clusters — MSF single-count round
+    # + checkpoint_dir forwarding); (c) the full 35-gate r8-stale overflow
+    # (fingerprint .. unigram_encode — last driver-certified in r8, the
+    # oldest cohort, named at round 11's boundary); (d) the r9 cohort
+    # fills the window — 7 of 41 fit (sliding_window .. unpivot_metrics);
+    # its 34-gate overflow (try_funcs onward) is round 13's leading
+    # rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
-    # round-11 notes).
+    # round-12 notes).
     return {
-        # --- round-11 window (entries 1-50) ---
+        # --- round-12 window (entries 1-50) ---
         # (a) NEW this round:
-        "sssp_dists": q_sssp_dists,
-        "sssp_paths": q_sssp_paths,
+        "jpeg_luma": q_jpeg_luma,
+        "image_near_dups_jpeg": q_image_near_dups_jpeg,
+        "sssp_targeted": q_sssp_targeted,
+        "betweenness_landmarks": q_betweenness_landmarks,
+        # (b) code changed since their r11 driver row:
+        "image_near_dups": q_image_near_dups,
         "sssp_route": q_sssp_route,
-        "harmonic_landmarks": q_harmonic_landmarks,
         "msf_edges": q_msf_edges,
         "sl_clusters": q_sl_clusters,
-        "image_near_dups": q_image_near_dups,
-        "image_near_dups_jpeg": q_image_near_dups_jpeg,
-        "jpeg_luma": q_jpeg_luma,
-        "audio_near_frames": q_audio_near_frames,
-        # (b) code changed since their r10 driver row:
-        "cross_dedup_stream": q_cross_dedup_stream,
-        "audio_dedup_stream": q_audio_dedup_stream,
-        # (c) the 32-gate r7-stale overflow (round-10 VERDICT item 1):
-        "dsir_weights": q_dsir_weights,
-        "filter_agg": q_filter_agg,
-        "graph_degrees": q_graph_degrees,
-        "interval_attach": q_interval_attach,
-        "late_shipments": q_late_shipments,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_perplexity_tri": q_lm_perplexity_tri,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "ohlc_bars": q_ohlc_bars,
-        "ohlc_stream": q_ohlc_stream,
-        "parts_top_per_brand": q_parts_top_per_brand,
-        "percentiles": q_percentiles,
-        "posexplode_tokens": q_posexplode_tokens,
-        "promo_revenue": q_promo_revenue,
-        "quality_clf": q_quality_clf,
-        "range_frame": q_range_frame,
-        "rollup": q_rollup,
-        "rrf_hybrid": q_rrf_hybrid,
-        "segment_pivot": q_segment_pivot,
-        "semi_join": q_semi_join,
-        "session_count": q_session_count,
-        "set_ops": q_set_ops,
-        "string_agg": q_string_agg,
-        "substring_clean": q_substring_clean,
-        "substring_keep_first": q_substring_keep_first,
-        "substring_stats": q_substring_stats,
-        "temperature_mix": q_temperature_mix,
-        "value_window": q_value_window,
-        "windowed_stream": q_windowed_stream,
-        "winnow_fp": q_winnow_fp,
-        "winnow_overlap": q_winnow_overlap,
-        # (d) r8 cohort, alphabetical (8 of 41 fit):
-        "array_funcs": q_array_funcs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "dedup_stream": q_dedup_stream,
-        "domain_cap": q_domain_cap,
-        "embedding_cosine": q_embedding_cosine,
-        "embedding_topk": q_embedding_topk,
-        "event_gaps": q_event_gaps,
-        "events_extrema": q_events_extrema,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # r8-cohort overflow (33 gates; round-12 rotation leads with
-        # these — fingerprint through unigram_encode were last
-        # driver-certified in r8):
+        # (c) the 35-gate r8-stale overflow (round-11 VERDICT item 1):
         "fingerprint": q_fingerprint,
         "first_per_key": q_first_per_key,
         "format_roundtrips": q_format_roundtrips,
@@ -3629,7 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "tumbling_window": q_tumbling_window,
         "unigram_encode": q_unigram_encode,
-        # r9 cohort (driver rows from r9):
+        # (d) r9 cohort, registry order (7 of 41 fit):
         "sliding_window": q_sliding_window,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
@@ -3637,6 +3685,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
         "unpivot_metrics": q_unpivot_metrics,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # Below: the r11-certified cohort first (sssp_dists ..
+        # audio_dedup_stream), then the r7/r8/r9/r10 cohorts in prior
+        # registry order — every one re-verified by the full local sweep.
+        # Round-13's leading rotation target is the 34-gate r9-cohort
+        # overflow (try_funcs through minhash_signatures below — last
+        # driver-certified in r9, the oldest cohort after this rotation).
+        "sssp_dists": q_sssp_dists,
+        "sssp_paths": q_sssp_paths,
+        "harmonic_landmarks": q_harmonic_landmarks,
+        "audio_near_frames": q_audio_near_frames,
+        "cross_dedup_stream": q_cross_dedup_stream,
+        "audio_dedup_stream": q_audio_dedup_stream,
+        "dsir_weights": q_dsir_weights,
+        "filter_agg": q_filter_agg,
+        "graph_degrees": q_graph_degrees,
+        "interval_attach": q_interval_attach,
+        "late_shipments": q_late_shipments,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_tri": q_lm_perplexity_tri,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "ohlc_bars": q_ohlc_bars,
+        "ohlc_stream": q_ohlc_stream,
+        "parts_top_per_brand": q_parts_top_per_brand,
+        "percentiles": q_percentiles,
+        "posexplode_tokens": q_posexplode_tokens,
+        "promo_revenue": q_promo_revenue,
+        "quality_clf": q_quality_clf,
+        "range_frame": q_range_frame,
+        "rollup": q_rollup,
+        "rrf_hybrid": q_rrf_hybrid,
+        "segment_pivot": q_segment_pivot,
+        "semi_join": q_semi_join,
+        "session_count": q_session_count,
+        "set_ops": q_set_ops,
+        "string_agg": q_string_agg,
+        "substring_clean": q_substring_clean,
+        "substring_keep_first": q_substring_keep_first,
+        "substring_stats": q_substring_stats,
+        "temperature_mix": q_temperature_mix,
+        "value_window": q_value_window,
+        "windowed_stream": q_windowed_stream,
+        "winnow_fp": q_winnow_fp,
+        "winnow_overlap": q_winnow_overlap,
+        "array_funcs": q_array_funcs,
+        "corpus_pipeline": q_corpus_pipeline,
+        "dedup_stream": q_dedup_stream,
+        "domain_cap": q_domain_cap,
+        "embedding_cosine": q_embedding_cosine,
+        "embedding_topk": q_embedding_topk,
+        "event_gaps": q_event_gaps,
+        "events_extrema": q_events_extrema,
         "try_funcs": q_try_funcs,
         "regexp_funcs": q_regexp_funcs,
         "date_funcs": q_date_funcs,
@@ -3677,7 +3778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "length_histogram": q_length_histogram,
         "minhash_signatures": q_minhash_signatures,
-        # r10 cohort (driver rows from r10):
         "wav_envelope": q_wav_envelope,
         "avi_luma": q_avi_luma,
         "video_near_dups": q_video_near_dups,
@@ -5250,6 +5350,44 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.hops < 8)
             SELECT node::BIGINT AS node, round(min(dist) + 1e-9, 6) AS dist
             FROM walk GROUP BY node""",
+        "sssp_targeted": """
+            WITH RECURSIVE e0 AS (
+                SELECT s_suppkey AS src, s_suppkey + 1 AS dst,
+                       CAST(s_suppkey % 7 + 1 AS DOUBLE) AS w FROM supplier
+                UNION ALL
+                SELECT s_suppkey, s_suppkey + 5, 3.0 FROM supplier),
+            e AS (SELECT e0.* FROM e0 JOIN supplier s ON e0.dst = s.s_suppkey),
+            seeds AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0),
+            walk(node, dist, hops) AS (
+                SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seeds
+                UNION ALL
+                SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 12)
+            SELECT node::BIGINT AS node, round(min(dist) + 1e-9, 6) AS dist
+            FROM walk WHERE node % 25 = 1 AND node > 25 GROUP BY node""",
+        "betweenness_landmarks": """
+            WITH mem AS (
+                SELECT s_suppkey AS k, s_suppkey // 25 AS g,
+                       CASE WHEN s_suppkey // 25 = 0 THEN 1.0 ELSE 2.0 END AS sigma,
+                       CASE WHEN s_suppkey % 10 = 5 THEN 1.0 ELSE 0.0 END AS delta
+                FROM supplier WHERE s_suppkey % 25 <> 0),
+            grp AS (
+                SELECT g, sum((1.0 / sigma) * (1.0 + delta)) AS dep
+                FROM mem GROUP BY g),
+            hubs AS (
+                SELECT s.s_suppkey AS k,
+                       coalesce(own.dep, 0) + coalesce(nxt.dep, 0) AS dep
+                FROM supplier s
+                LEFT JOIN grp own ON own.g = s.s_suppkey // 25
+                LEFT JOIN grp nxt ON nxt.g = s.s_suppkey // 25 + 1
+                WHERE s.s_suppkey % 25 = 0)
+            SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS node,
+                   2.0 * dep AS betweenness, 2::BIGINT AS n_sources
+            FROM hubs WHERE dep > 0
+            UNION ALL
+            SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS node,
+                   2.0 AS betweenness, 2::BIGINT AS n_sources
+            FROM mem WHERE k % 10 = 5""",
         "sssp_paths": """
             WITH RECURSIVE e0 AS (
                 SELECT s_suppkey AS src, s_suppkey + 1 AS dst,

@@ -973,6 +973,261 @@ def single_linkage_clusters(
     ).withColumnRenamed("component", "cluster")
 
 
+def shortest_paths_targeted(
+    edges: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    weight: "str | None" = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+    stats: "dict | None" = None,
+) -> DataFrame:
+    """Point-to-point shortest paths — (node, dist) for exactly the rows
+    of `targets` (column `node`; unreachable targets don't appear).
+    Dgraph's `shortest` block is from→to, not single-source-to-everywhere;
+    `shortest_paths` computes the full fixpoint and filters, paying every
+    tail round of a high-diameter graph for distances nobody asked about.
+
+    EARLY STOP: with NON-NEGATIVE weights, every candidate distance
+    produced after round k is >= that round's frontier minimum (a future
+    improvement extends some frontier path by w >= 0), so once every
+    requested target holds dist <= min(frontier dist), no later round can
+    improve any target — stop. The check costs two driver actions per
+    round on already-checkpointed frames (min over the improved delta,
+    max+count over the O(targets) broadcast-joined dist slice), repaid by
+    the saved tail rounds; `stats` records iterations/early_stopped/
+    converged so the saving is observable (the sssp stats discipline).
+    Same per-round shape as shortest_paths otherwise: frontier-only edge
+    join, map-side-combined min per dst, strict-improvement merge, two
+    lineage cuts per round."""
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        wcol.alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tgt = targets.select(F.col("node").cast("string")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_targets = tgt.count()
+    dist = _truncator(
+        sources.select(F.col("node").cast("string")).distinct().withColumn(
+            "dist", F.lit(0.0)
+        ),
+        checkpoint_dir,
+    )
+    frontier = dist
+    iterations, converged, early = 0, False, False
+    for _ in range(max_iter):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = _truncator(
+            cand.join(dist.select("node", F.col("dist").alias("_cur")), "node", "left")
+            .filter(F.col("_cur").isNull() | (F.col("d") < F.col("_cur")))
+            .select("node", F.col("d").alias("dist")),
+            checkpoint_dir,
+        )
+        fmin_row = improved.agg(F.min("dist").alias("m")).first()
+        if fmin_row["m"] is None:  # empty delta — exact fixpoint reached
+            converged = True
+            break
+        iterations += 1
+        dist = _truncator(
+            dist.unionByName(improved).groupBy("node").agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
+        )
+        frontier = improved
+        t = dist.join(F.broadcast(tgt), "node").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("mx")
+        ).first()
+        if t["n"] == n_targets and t["mx"] <= fmin_row["m"]:
+            early = True
+            break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+        stats["early_stopped"] = early
+    out = dist.join(F.broadcast(tgt), "node")
+    e.unpersist()
+    tgt.unpersist()
+    return out
+
+
+def betweenness_landmarks(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+    sep: str = "|",
+    stats: "dict | None" = None,
+) -> DataFrame:
+    """(node, betweenness, n_sources): landmark-sampled betweenness
+    centrality B(v) = Σ_{s in landmarks} δ_s(v), where δ_s is Brandes'
+    source dependency δ_s(v) = Σ_t σ_st(v)/σ_st (Brandes 2001, "A faster
+    algorithm for betweenness centrality" — the standard exact algorithm;
+    summing over a sampled source set instead of all V is the standard
+    scale approximation, same family as harmonic_closeness_sampled).
+    UNWEIGHTED shortest paths (hop counts — the Dgraph-traversal notion);
+    directed edges. Completes the centrality family (degree / PageRank /
+    PPR / HITS / harmonic): betweenness finds BRIDGE nodes that the
+    near-dup cluster policies want as cut candidates.
+
+    Spark shape — three phases, all landmark-batched over the composite
+    product graph ("s<sep>u" ids, the harmonic trick — k sources ride ONE
+    frontier loop with O(k·V) state instead of k driver-sequenced runs):
+
+    1. Forward BFS with path counts: the frontier carries σ; a node first
+       reached at level L has ALL its shortest-path predecessors at L-1
+       (the unweighted-BFS invariant), so σ(v) = map-side-combined SUM of
+       frontier σ — one shuffle per level plus the O(V) anti-join against
+       settled state.
+    2. The shortest-path DAG materializes ONCE: tagged edges (u, v) kept
+       iff dist(v) = dist(u) + 1 (non-tree/non-DAG edges drop here),
+       persisted and reused by every backward level.
+    3. Backward dependency accumulation, deepest level first:
+       δ(u) = Σ_{(u,v) in DAG} σ(u)/σ(v) · (1 + δ(v)) — each level is one
+       filter of the persisted DAG joined against the PREVIOUS level's
+       (small) δ frame, so the backward sweep re-shuffles per-level slices,
+       never the full edge list.
+
+    Rounds = 2·(BFS depth from the landmark set), not O(V). If max_iter
+    truncates the BFS, the result is betweenness restricted to shortest
+    paths of <= max_iter hops (stats['converged'] = False records it) —
+    the same k-bounded invariant the sssp gates certify. Landmark ids
+    must not contain `sep` (ValueError). Sources themselves report no
+    δ_s(s); a landmark CAN appear with positive betweenness when it lies
+    on another landmark's shortest paths, exactly per the formula.
+    Only nodes with positive dependency appear (leaves of every DAG
+    don't); outer-join a vertex table downstream if zeros matter."""
+    lm = landmarks.select(F.col("node").cast("string").alias("_s")).distinct()
+    if lm.filter(F.col("_s").contains(sep)).limit(1).count() > 0:
+        raise ValueError(f"landmark ids must not contain separator {sep!r}")
+    e0 = (
+        edges.select(
+            F.col(src).cast("string").alias("_u"),
+            F.col(dst).cast("string").alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    tagged = (
+        e0.join(F.broadcast(lm))
+        .select(
+            F.concat(F.col("_s"), F.lit(sep), F.col("_u")).alias("src"),
+            F.concat(F.col("_s"), F.lit(sep), F.col("_v")).alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = _truncator(
+        lm.select(
+            F.concat(F.col("_s"), F.lit(sep), F.col("_s")).alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        ),
+        checkpoint_dir,
+    )
+    frontier = state
+    levels, converged = 0, False
+    for level in range(1, max_iter + 1):
+        cand = (
+            tagged.join(frontier, tagged.src == frontier.node)
+            .select(F.col("dst").alias("node"), "sigma")
+            .groupBy("node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = _truncator(
+            cand.join(state.select("node"), "node", "left_anti").select(
+                "node", F.lit(level).alias("dist"), "sigma"
+            ),
+            checkpoint_dir,
+        )
+        if new.isEmpty():
+            converged = True
+            break
+        levels = level
+        state = _truncator(state.unionByName(new), checkpoint_dir)
+        frontier = new
+    # phase 2: the shortest-path DAG, built once and reused per backward level
+    su = state.select(
+        F.col("node").alias("_su"), F.col("dist").alias("_du"), F.col("sigma").alias("_gu")
+    )
+    sv = state.select(
+        F.col("node").alias("_sv"), F.col("dist").alias("_dv"), F.col("sigma").alias("_gv")
+    )
+    dag = (
+        tagged.join(su, tagged.src == su["_su"])
+        .join(sv, tagged.dst == sv["_sv"])
+        .filter(F.col("_dv") == F.col("_du") + 1)
+        .select(
+            F.col("_su").alias("u"),
+            F.col("_sv").alias("v"),
+            F.col("_du").alias("lu"),
+            (F.col("_gu") / F.col("_gv")).alias("ratio"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()  # materialize before the per-level reuse
+    tagged.unpersist()
+    # phase 3: backward accumulation, one small join per level
+    delta_next = None  # δ of level+1 nodes; None ⇒ all zero (deepest level)
+    per_level = []
+    for level in range(levels - 1, 0, -1):
+        lvl = dag.filter(F.col("lu") == level)
+        if delta_next is None:
+            contrib = lvl.withColumn("_dn", F.lit(0.0))
+        else:
+            contrib = lvl.join(
+                delta_next.select(F.col("node").alias("v"), F.col("delta").alias("_dn")),
+                "v",
+                "left",
+            ).withColumn("_dn", F.coalesce(F.col("_dn"), F.lit(0.0)))
+        delta_lvl = _truncator(
+            contrib.groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.col("ratio") * (1.0 + F.col("_dn"))).alias("delta")),
+            checkpoint_dir,
+        )
+        per_level.append(delta_lvl)
+        delta_next = delta_lvl
+    dag.unpersist()  # every per-level δ frame is eagerly checkpointed
+    if stats is not None:
+        stats["levels"] = levels
+        stats["converged"] = converged
+    if not per_level:
+        empty = lm.limit(0).select(
+            F.col("_s").alias("node"),
+            F.lit(0.0).alias("betweenness"),
+            F.lit(0).cast("long").alias("n_sources"),
+        )
+        return empty
+    import re as _re
+
+    all_delta = per_level[0]
+    for d in per_level[1:]:
+        all_delta = all_delta.unionByName(d)
+    parts = F.split(F.col("node"), _re.escape(sep), 2)  # escaped: '|' is regex
+    out = (
+        all_delta.select(
+            parts.getItem(0).alias("_seed"),
+            parts.getItem(1).alias("_node"),
+            "delta",
+        )
+        .groupBy(F.col("_node").alias("node"))
+        .agg(
+            F.sum("delta").alias("betweenness"),
+            F.countDistinct("_seed").alias("n_sources"),
+        )
+    )
+    return out
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph — 1-row (n_triangles).
 

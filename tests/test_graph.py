@@ -1042,3 +1042,183 @@ def test_harmonic_closeness_sampled(spark):
     bad = spark.createDataFrame([("a|b",)], "node string")
     with _pytest.raises(ValueError, match="separator"):
         harmonic_closeness_sampled(e, bad, weight="w")
+
+
+def _brandes_py(edges, sources):
+    """Textbook Brandes (2001) on unweighted directed edges — the
+    independent pin for betweenness_landmarks. B(v) = sum over the given
+    source set of the dependency delta_s(v)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+            nodes.update((s, d))
+    # dedupe parallel edges like the kernel does
+    adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+    bet = defaultdict(float)
+    for s in sources:
+        stack, preds = [], defaultdict(list)
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            stack.append(u)
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s and delta[w] > 0:
+                bet[w] += delta[w]
+    return dict(bet)
+
+
+def test_betweenness_known_diamond(spark):
+    """Diamond s->{a,b}->t plus a tail t->u: sigma_st = 2, so a and b each
+    carry half of the s->t flow plus half of s->u; t carries 1 (s->u)
+    while sitting on two equal paths (its own sigma doubles out)."""
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    e = _edges(spark, [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "u")])
+    lm = spark.createDataFrame([("s",)], "node string")
+    got = {
+        r["node"]: (r["betweenness"], r["n_sources"])
+        for r in betweenness_landmarks(e, lm).collect()
+    }
+    # delta(t) = 1 (the s->u path); delta(a) = delta(b) = 1/2*(1+0) for
+    # s->t plus 1/2*(1+... ) — via the accumulation: delta(a) =
+    # (sigma_a/sigma_t)*(1+delta_t) = (1/2)*(1+1) = 1.0
+    assert got == {"a": (1.0, 1), "b": (1.0, 1), "t": (1.0, 1)}
+
+
+def test_betweenness_excludes_non_shortest_dag_edges(spark):
+    """An extra edge s->t of hop length 1 makes the 2-hop routes via a/b
+    non-shortest: their dependency must vanish."""
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    e = _edges(
+        spark,
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "u"), ("s", "t")],
+    )
+    lm = spark.createDataFrame([("s",)], "node string")
+    got = {r["node"]: r["betweenness"] for r in betweenness_landmarks(e, lm).collect()}
+    assert got == {"t": 1.0}  # only t (on the s->u path) carries flow
+
+
+def test_betweenness_randomized_brandes_pin(spark):
+    """Randomized pin against textbook Brandes with ALL nodes as the
+    landmark set (= exact betweenness). Dependencies are sums of rational
+    sigma ratios — compare at 1e-9."""
+    import random
+
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    rng = random.Random(90211)
+    n = 28
+    edges = list(
+        {(f"v{rng.randrange(n)}", f"v{rng.randrange(n)}") for _ in range(90)}
+    )
+    nodes = sorted({x for e in edges for x in e})
+    want = _brandes_py(edges, nodes)
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    lm = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got = {
+        r["node"]: r["betweenness"] for r in betweenness_landmarks(e, lm).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_betweenness_multi_landmark_subset_and_stats(spark):
+    """A 2-landmark sample must equal the sum of the two per-source
+    dependencies (and n_sources counts the contributing landmarks)."""
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("r", "a"), ("a", "c"), ("c", "d")]
+    want = _brandes_py(edges, ["s", "r"])
+    e = _edges(spark, edges)
+    lm = spark.createDataFrame([("s",), ("r",)], "node string")
+    stats = {}
+    rows = betweenness_landmarks(e, lm, stats=stats).collect()
+    got = {r["node"]: r["betweenness"] for r in rows}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+    assert stats["converged"] is True and stats["levels"] >= 2
+    srcs = {r["node"]: r["n_sources"] for r in rows}
+    assert srcs["a"] == 2  # a carries flow from BOTH landmarks
+
+
+def test_betweenness_sep_validation_and_empty(spark):
+    from eth2dgraph_spark.graph import betweenness_landmarks
+
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="separator"):
+        betweenness_landmarks(
+            e, spark.createDataFrame([("x|y",)], "node string")
+        ).collect()
+    # a landmark with no outgoing edges: no dependencies anywhere
+    lm = spark.createDataFrame([("b",)], "node string")
+    assert betweenness_landmarks(e, lm).collect() == []
+
+
+def test_shortest_paths_targeted_early_stop_and_parity(spark):
+    """On a 60-node chain with targets near the source, the targeted
+    variant must (a) return exactly the full-fixpoint dists for the
+    targets and (b) stop well before the 59 rounds the chain needs."""
+    from eth2dgraph_spark.graph import shortest_paths, shortest_paths_targeted
+
+    e = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}", float((i % 3) + 1)) for i in range(59)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("n00",)], "node string")
+    tgts = spark.createDataFrame([("n04",), ("n07",)], "node string")
+    full = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(e, srcs, weight="w", max_iter=60).collect()
+    }
+    stats = {}
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_targeted(
+            e, srcs, tgts, weight="w", max_iter=60, stats=stats
+        ).collect()
+    }
+    assert got == {"n04": full["n04"], "n07": full["n07"]}
+    assert stats["early_stopped"] is True
+    assert stats["iterations"] <= 9  # vs 59 for the fixpoint
+
+
+def test_shortest_paths_targeted_unreachable_and_fixpoint(spark):
+    """Unreachable targets: no early stop fires; the loop runs to the
+    exact fixpoint and the unreachable target is absent from the output."""
+    from eth2dgraph_spark.graph import shortest_paths_targeted
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("x", "y", 1.0)],
+        "src string, dst string, w double",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    tgts = spark.createDataFrame([("c",), ("y",)], "node string")
+    stats = {}
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_targeted(e, srcs, tgts, stats=stats).collect()
+    }
+    assert got == {"c": 2.0}
+    assert stats["early_stopped"] is False and stats["converged"] is True
