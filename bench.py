@@ -115,6 +115,10 @@ HEADLINE = [
     # policy
     "image_near_dups",
     "audio_near_frames",
+    # round-12 additions: the stdlib JPEG codec roundtrip + its near-dup
+    # arm — extras, same policy
+    "jpeg_luma",
+    "image_near_dups_jpeg",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -145,6 +149,11 @@ HEADLINE = [
     # (both run contraction CC rounds) — same end-of-run placement policy
     "msf_edges",
     "sl_clusters",
+    # round-12: targeted SSSP (early-stop frontier loop) and landmark
+    # Brandes betweenness (BFS + backward sweep, both localCheckpoint) —
+    # same end-of-run placement policy
+    "sssp_targeted",
+    "betweenness_landmarks",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -185,6 +194,10 @@ COMPARABLE_29 = [
     "harmonic_landmarks",
     "msf_edges",
     "sl_clusters",
+    "jpeg_luma",
+    "image_near_dups_jpeg",
+    "sssp_targeted",
+    "betweenness_landmarks",
     }
 ]
 
@@ -292,6 +305,31 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # delta-vs-band column (VERDICT r11 item 6): BANDS.json holds each
+    # query's [p10, p90] over the last recorded round's isolated warm
+    # draws (tools/make_bands.py). Flag only departures — above p90*1.15
+    # (the judge's named-cause threshold) or below p10*0.85 (a suspicious
+    # speedup is worth a look too: it can be a silently-shrunk plan). The
+    # ratio reported is timing/band-edge, so "high: 1.3" reads as "30%
+    # over the top of the band".
+    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BANDS.json")
+    if os.path.exists(bands_path):
+        try:
+            with open(bands_path) as f:
+                bands = json.load(f)["queries"]
+            flags: dict[str, dict] = {}
+            for q, t in timings.items():
+                b = bands.get(q)
+                if b is None:
+                    flags[q] = {"flag": "no_band"}
+                elif t > b["p90"] * 1.15:
+                    flags[q] = {"flag": "high", "ratio": round(t / b["p90"], 2)}
+                elif t < b["p10"] * 0.85:
+                    flags[q] = {"flag": "low", "ratio": round(t / b["p10"], 2)}
+            if flags:
+                out["band_flags"] = flags
+        except Exception as e:  # noqa: BLE001 — a bad bands file must not kill the numbers
+            out["band_flags_error"] = str(e)[:200]
     print(json.dumps(out))
 
 
