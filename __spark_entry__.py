@@ -1998,7 +1998,11 @@ def q_jpeg_luma(spark, sf):  # the stdlib baseline JPEG codec driven
     from eth2dgraph_spark.functions.jpeg import synthetic_luma_jpeg_udf
 
     jl = synthetic_luma_jpeg_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # spread the per-row encode->decode roundtrip (single parquet split
+    # otherwise; decode parallelism = partitions — see image_near_dups_jpeg)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", F.posexplode(jl("doc_id"))).select(
         "doc_id",
         F.col("pos").cast("long").alias("bin"),
@@ -2025,7 +2029,14 @@ def q_image_near_dups_jpeg(spark, sf):  # the image near-dup chain on REAL
     )
 
     img = synthetic_jpeg_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth+decode kernels: the documents parquet
+    # is one input split at these sfs, which would run the whole
+    # Huffman/IDCT decode on one core — decode parallelism equals
+    # partition count (measured pair: 12.4 s single-split vs ~6 s spread;
+    # the shuffle moves 5000 longs, nothing)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"), img("doc_id").alias("payload")
     )
@@ -2207,6 +2218,89 @@ def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
         os.path.join(tmp, "work"),
         fingerprinter=lambda df: audio_fingerprints(df, frame_ms=200),
         min_shared=2,
+    )
+    return out.select("new_id", "hist_id", "n_shared")
+
+
+def q_image_dedup_stream(spark, sf):  # incremental IMAGE ingest PHYSICALLY
+    # EXECUTED as a foreachBatch stream (the stream-side sibling of
+    # image_near_dups_jpeg, closing the modality asymmetry the audio/cross
+    # streams left: fingerprint_cross_pairs_stream is fingerprinter-
+    # generic, so the SAME history/pairs/checkpoint machinery runs with
+    # the pHash kernel over REAL baseline-JPEG container bytes —
+    # synthetic_jpeg_udf payloads decoded by the stdlib JPEG codec inside
+    # phash_features). One hash per image (not per-frame), so
+    # min_shared=1 and the oracle's n_shared is 1. max_posting=1<<30 —
+    # the cap-parity rule applied BETTER than the audio gate: the
+    # oracle's group join is uncapped at ANY sf, so the engine's history-
+    # side posting cap is effectively off rather than relying on group
+    # sizes staying under a default. Group design proves the history
+    # grew, exactly the audio gate's: H0 holds groups 0..19, batch 1
+    # introduces groups 20..24 (pairs with NOTHING in H0 — negative
+    # control), batch 2's group-20..24 images pair ONLY against batch
+    # 1's, and batch 2 re-sends four group-0/1 images that pair against
+    # H0 (the +100000/+200000 id shifts are multiples of 25, preserving
+    # doc_id % 25).
+    import os
+    import tempfile
+    import time
+
+    from eth2dgraph_spark.functions.jpeg import synthetic_jpeg_udf
+    from eth2dgraph_spark.pipeline.multimodal import (
+        fingerprint_cross_pairs_stream,
+        phash_features,
+    )
+
+    img = synthetic_jpeg_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def assets(ids):
+        return ids.select(
+            F.col("aid").alias("asset_id"),
+            F.lit("image").alias("modality"),
+            img("aid").alias("payload"),
+        )
+
+    g = F.col("doc_id") % 25
+    h0 = assets(d.filter(g < 20).select(F.col("doc_id").alias("aid")))
+    b1 = assets(
+        d.filter((g >= 20) & (F.col("doc_id") < 250)).select(
+            (F.col("doc_id") + 100000).alias("aid")
+        )
+    )
+    b2 = assets(
+        d.filter((g >= 20) & (F.col("doc_id") >= 250))
+        .select((F.col("doc_id") + 100000).alias("aid"))
+        .unionByName(
+            d.filter((g < 2) & (F.col("doc_id") < 50)).select(
+                (F.col("doc_id") + 200000).alias("aid")
+            )
+        )
+    )
+    hist_hashes = phash_features(h0).select("asset_id", "phash")
+    tmp = tempfile.mkdtemp(prefix="image_dedup_stream_")
+    landing = os.path.join(tmp, "landing")
+    for sub, frame in (("b1", b1), ("b2", b2)):
+        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+    now = int(time.time())
+    for i, sub in enumerate(("b1", "b2")):
+        dd = os.path.join(landing, sub)
+        mt = now - 120 + i * 30
+        for fn in os.listdir(dd):
+            os.utime(os.path.join(dd, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(landing, "*"))
+    )
+    out = fingerprint_cross_pairs_stream(
+        stream,
+        hist_hashes,
+        os.path.join(tmp, "work"),
+        fingerprinter=phash_features,
+        min_shared=1,
+        max_posting=1 << 30,
+        hash_col="phash",
     )
     return out.select("new_id", "hist_id", "n_shared")
 
@@ -3613,9 +3707,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-12 window policy (VERDICT
-    # r11 item 1 + the standing freshness rule): (a) the 4 gates NEW this
+    # r11 item 1 + the standing freshness rule): (a) the 5 gates NEW this
     # round (jpeg_luma, image_near_dups_jpeg — the stdlib JPEG codec
-    # end-to-end; sssp_targeted — point-to-point early stop;
+    # end-to-end; image_dedup_stream — the pHash arm of the incremental
+    # ingest stream; sssp_targeted — point-to-point early stop;
     # betweenness_landmarks — landmark Brandes); (b) the 4 whose CODE
     # changed since their r11 driver row (image_near_dups — uncapped
     # banding, cap-parity fix; sssp_route — reconstruct_paths
@@ -3623,7 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + checkpoint_dir forwarding); (c) the full 35-gate r8-stale overflow
     # (fingerprint .. unigram_encode — last driver-certified in r8, the
     # oldest cohort, named at round 11's boundary); (d) the r9 cohort
-    # fills the window — 7 of 41 fit (sliding_window .. unpivot_metrics);
+    # fills the window — 6 of 41 fit (sliding_window .. waiting_supplier);
     # its 34-gate overflow (try_funcs onward) is round 13's leading
     # rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3634,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEW this round:
         "jpeg_luma": q_jpeg_luma,
         "image_near_dups_jpeg": q_image_near_dups_jpeg,
+        "image_dedup_stream": q_image_dedup_stream,
         "sssp_targeted": q_sssp_targeted,
         "betweenness_landmarks": q_betweenness_landmarks,
         # (b) code changed since their r11 driver row:
@@ -3684,8 +3780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
         "waiting_supplier": q_waiting_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        # (unpivot_metrics was the 7th r9 fill until image_dedup_stream —
+        # a NEW gate this round — displaced it under the freshness rule;
+        # it leads round 13's r9-overflow rotation block below)
+        "unpivot_metrics": q_unpivot_metrics,
         # Below: the r11-certified cohort first (sssp_dists ..
         # audio_dedup_stream), then the r7/r8/r9/r10 cohorts in prior
         # registry order — every one re-verified by the full local sweep.
@@ -4958,6 +5057,24 @@ _AUDIO_DEDUP_STREAM_ORACLE = """
         FROM b2a a JOIN b1 b ON b.g = a.g
         UNION ALL
         SELECT a.aid AS new_id, h.aid AS hist_id, 3::BIGINT AS n_shared
+        FROM b2b a JOIN h0 h ON h.g = a.g"""
+
+
+# the image stream shares the audio stream's group algebra; one pHash per
+# image instead of per-frame fingerprints, so n_shared = 1
+_IMAGE_DEDUP_STREAM_ORACLE = """
+        WITH h0 AS (SELECT doc_id AS aid, doc_id % 25 AS g FROM documents
+                    WHERE doc_id % 25 < 20),
+        b1 AS (SELECT doc_id + 100000 AS aid, doc_id % 25 AS g FROM documents
+               WHERE doc_id % 25 >= 20 AND doc_id < 250),
+        b2a AS (SELECT doc_id + 100000 AS aid, doc_id % 25 AS g FROM documents
+                WHERE doc_id % 25 >= 20 AND doc_id >= 250),
+        b2b AS (SELECT doc_id + 200000 AS aid, doc_id % 25 AS g FROM documents
+                WHERE doc_id % 25 < 2 AND doc_id < 50)
+        SELECT a.aid AS new_id, b.aid AS hist_id, 1::BIGINT AS n_shared
+        FROM b2a a JOIN b1 b ON b.g = a.g
+        UNION ALL
+        SELECT a.aid AS new_id, h.aid AS hist_id, 1::BIGINT AS n_shared
         FROM b2b a JOIN h0 h ON h.g = a.g"""
 
 
@@ -6285,6 +6402,7 @@ def oracle_sql() -> dict[str, str]:
         "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
         "audio_near_dups": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form: group pairs, n_shared=3
         "audio_dedup_stream": _AUDIO_DEDUP_STREAM_ORACLE,
+        "image_dedup_stream": _IMAGE_DEDUP_STREAM_ORACLE,
         "asset_cluster_reps": _ASSET_CLUSTER_REPS_ORACLE,
         "video_near_frames": _VIDEO_NEAR_FRAMES_ORACLE,
         "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,

@@ -545,6 +545,42 @@ def test_fingerprint_cross_pairs_stream_video_fingerprinter(spark, tmp_path):
     assert got_set == {(201, 101, 3), (202, 1, 3)}
 
 
+def test_fingerprint_cross_pairs_stream_image_jpeg_fingerprinter(spark, tmp_path):
+    """The image arm of the generic ingest stream (the image_dedup_stream
+    gate's kernel): phash_features as the fingerprinter over REAL
+    baseline-JPEG container bytes (stdlib decode), ONE hash per image so
+    min_shared=1. History must grow across micro-batches."""
+    from eth2dgraph_spark.functions.jpeg import synthetic_group_jpeg
+    from eth2dgraph_spark.pipeline.multimodal import (
+        ASSET_SCHEMA,
+        fingerprint_cross_pairs_stream,
+        phash_features,
+    )
+
+    def asset(aid, group):
+        return (
+            aid, "image", "image/jpeg",
+            bytearray(synthetic_group_jpeg(group)), 32, 32, None,
+        )
+
+    h = spark.createDataFrame([asset(1, 11)], ASSET_SCHEMA)
+    hist_hashes = phash_features(h).select("asset_id", "phash")
+    b1 = [asset(101, 7)]                  # new group, not in history
+    b2 = [asset(201, 7), asset(202, 11)]  # dup of b1's 101 AND of history's 1
+    glob = _ordered_landing(spark, tmp_path, [b1, b2], ASSET_SCHEMA)
+    stream = (
+        spark.readStream.schema(ASSET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+    )
+    got = fingerprint_cross_pairs_stream(
+        stream, hist_hashes, str(tmp_path / "work"),
+        fingerprinter=phash_features, min_shared=1, hash_col="phash",
+    )
+    got_set = {(r["new_id"], r["hist_id"], r["n_shared"]) for r in got.collect()}
+    assert got_set == {(201, 101, 1), (202, 1, 1)}
+
+
 def _land_later_batch(spark, landing, name, rows, schema):
     """Land one more parquet batch with a NOW mtime so a resumed file
     stream sees it after everything already processed."""
