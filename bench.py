@@ -115,10 +115,11 @@ HEADLINE = [
     # policy
     "image_near_dups",
     "audio_near_frames",
-    # round-12 additions: the stdlib JPEG codec roundtrip + its near-dup
-    # arm — extras, same policy
+    # round-12 additions: the stdlib JPEG codec roundtrip, its near-dup
+    # arm, and the streaming image ingest — extras, same policy
     "jpeg_luma",
     "image_near_dups_jpeg",
+    "image_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -196,6 +197,7 @@ COMPARABLE_29 = [
     "sl_clusters",
     "jpeg_luma",
     "image_near_dups_jpeg",
+    "image_dedup_stream",
     "sssp_targeted",
     "betweenness_landmarks",
     }
