@@ -451,16 +451,18 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize behind the same feature flag: with Pillow the kernel
     decodes, resizes (bicubic), and re-encodes PNG; without it the
-    pure-stdlib PNG codec resizes by NEAREST-NEIGHBOR index mapping and
-    re-encodes (functions/png.py decode_png -> numpy index pick ->
-    encode_png) — a REAL resize path in every environment. The two paths
-    produce different pixels by design (different resampling kernels);
-    both produce a decodable PNG of the requested geometry. The import
-    happens inside the kernel on the WORKER, so the decision reflects each
-    executor's actual environment. Pillow-path decode failures propagate
+    pure-stdlib codecs resize by NEAREST-NEIGHBOR index mapping and
+    re-encode PNG — PNG or baseline-JPEG inputs by magic-byte dispatch
+    (functions/png.py + functions/jpeg.py; the output container is
+    always PNG, matching the Pillow arm's normalize-on-resize contract).
+    A REAL resize path in every environment; the two arms produce
+    different pixels by design (different resampling kernels), both a
+    decodable PNG of the requested geometry. The import happens inside
+    the kernel on the WORKER, so the decision reflects each executor's
+    actual environment. Pillow-path decode failures propagate
     (any-format scope); stdlib-path out-of-scope payloads degrade to a
-    NULL payload (non-PNG bytes are data on the zero-dep path, not a job
-    crash)."""
+    NULL payload (unsupported bytes are data on the zero-dep path, not
+    a job crash)."""
     if width < 1 or height < 1:
         raise ValueError(f"resize target must be >= 1x1, got {width}x{height}")
     use_pil = HAS_PIL
@@ -482,10 +484,11 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                     img.save(buf, format="PNG")
                     out.append(buf.getvalue())
                     continue
+                from eth2dgraph_spark.functions.jpeg import decode_jpeg
                 from eth2dgraph_spark.functions.png import decode_png, encode_png
 
                 try:
-                    arr = decode_png(p)
+                    arr = decode_jpeg(p) if p[:2] == b"\xff\xd8" else decode_png(p)
                     h, w = arr.shape[:2]
                     ri = (np.arange(height) * h // height).astype(np.int64)
                     ci = (np.arange(width) * w // width).astype(np.int64)

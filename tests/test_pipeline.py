@@ -657,6 +657,34 @@ def test_resize_stdlib_png_roundtrip(spark):
     assert got[2]["payload"] is None
 
 
+def test_resize_stdlib_jpeg_input(spark):
+    """The zero-dep resize path dispatches on magic bytes: a baseline
+    JPEG input (constant-block, quality=100 — decodes to the exact
+    pixels) resizes by the same nearest-neighbor picks and re-encodes
+    PNG; garbage degrades to NULL."""
+    if multimodal.HAS_PIL:
+        pytest.skip("stdlib path only runs without Pillow")
+    import numpy as np
+
+    from eth2dgraph_spark.functions.jpeg import encode_jpeg
+    from eth2dgraph_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(7)
+    grid = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    src = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)  # 16x16 gray
+    rows = [
+        (1, "image", "image/jpeg", bytearray(encode_jpeg(src, quality=100)), 16, 16, None),
+        (2, "image", None, b"\x00 not an image", None, None, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.resize_images(assets, 4, 4).collect()}
+    out = decode_png(bytes(got[1]["payload"]))
+    assert out.shape == (4, 4)
+    ri = (np.arange(4) * 16 // 4).astype(int)
+    assert (out == src[ri][:, ri]).all()
+    assert got[2]["payload"] is None
+
+
 @pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
 def test_resize_real_roundtrip(spark):
     import io
