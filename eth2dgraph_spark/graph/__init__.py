@@ -1020,7 +1020,11 @@ def shortest_paths_targeted(
     )
     frontier = dist
     iterations, converged, early = 0, False, False
-    for _ in range(max_iter):
+    if n_targets == 0:
+        # an empty target set is vacuously settled — stop before round 1
+        # (the general check below would compare a NULL max)
+        early = True
+    for _ in range(max_iter if n_targets else 0):
         cand = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
@@ -1046,7 +1050,7 @@ def shortest_paths_targeted(
         t = dist.join(F.broadcast(tgt), "node").agg(
             F.count(F.lit(1)).alias("n"), F.max("dist").alias("mx")
         ).first()
-        if t["n"] == n_targets and t["mx"] <= fmin_row["m"]:
+        if t["n"] == n_targets and t["mx"] is not None and t["mx"] <= fmin_row["m"]:
             early = True
             break
     if stats is not None:
