@@ -28,7 +28,7 @@
 
 Usage: python tools/soak_graph_r12.py
        SOAK_N=2000000 SOAK_M=4000000 SOAK_ALPHAS=1.1,1.5
-       SOAK_OPS=sssp,msf,harmonic,targeted
+       SOAK_OPS=sssp,msf,harmonic,betweenness,targeted
 """
 
 from __future__ import annotations
@@ -149,6 +149,23 @@ def main() -> None:
             ).count()
             rec["harmonic"] = {"wall_s": round(time.time() - t0, 2), "nodes": cnt}
             print(f"# alpha={alpha} harmonic: {rec['harmonic']}", file=sys.stderr)
+        if "betweenness" in OPS:
+            # 2 landmarks keep the product graph at 2x edges; unweighted
+            # BFS depth on the hash-scattered zipf graph is O(log n), so
+            # forward+backward is ~2·depth rounds — the scale shape under
+            # test is the per-level DAG slice join vs the hub's fan-out
+            from eth2dgraph_spark.graph import betweenness_landmarks
+
+            lm2 = spark.range(0, N, N // 2).selectExpr("CAST(id AS STRING) AS node")
+            st3: dict = {}
+            t0 = time.time()
+            cnt = betweenness_landmarks(edges, lm2, max_iter=40, stats=st3).count()
+            rec["betweenness"] = {
+                "wall_s": round(time.time() - t0, 2),
+                "nodes_with_dependency": cnt,
+                **st3,
+            }
+            print(f"# alpha={alpha} betweenness: {rec['betweenness']}", file=sys.stderr)
         out["alphas"][str(alpha)] = rec
         spark.stop()
 
