@@ -464,3 +464,59 @@ def test_avi_single_flip_rejected_or_decodes(seed, pos, newbyte):
         return
     assert isinstance(out, np.ndarray) and out.dtype == np.uint8
     assert out.shape == a.shape
+
+
+# ---------------------------------------------------------------- jpeg
+
+from eth2dgraph_spark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([50, 75, 95, 100]),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_roundtrip_any_geometry_bounded_error(h, w, quality, seed):
+    """encode->decode never crashes and never drifts unboundedly for ANY
+    geometry (including 1x1 and non-multiple-of-8 edges): output shape is
+    exact; per-pixel error is bounded by the quantization step budget
+    (empirically < 128 even at quality 50 on white-noise input — the
+    worst case for a DCT codec; the property is no-crash + geometry +
+    sane-range, not a tight bound)."""
+    rs = np.random.RandomState(seed)
+    img = rs.randint(0, 256, size=(h, w), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == (h, w) and dec.dtype == np.uint8
+    err = np.max(np.abs(dec.astype(int) - img.astype(int)))
+    assert err <= (1 if quality == 100 else 200)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_jpeg_garbage_raises_valueerror_only(blob):
+    """Arbitrary bytes (with or without an SOI prefix) either decode or
+    raise ValueError — never IndexError/KeyError/struct.error leaking out
+    of the parser (the 'error'-row contract of the multimodal kernels)."""
+    for payload in (blob, b"\xff\xd8" + blob):
+        try:
+            out = decode_jpeg(payload)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 560))
+def test_jpeg_truncation_raises_valueerror_only(seed, cut):
+    """Every prefix of a valid JPEG either decodes (a cut exactly at EOI
+    cannot happen — EOI is checked) or raises ValueError."""
+    rs = np.random.RandomState(seed)
+    img = rs.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=75)
+    cut = min(cut, len(enc) - 1)
+    try:
+        decode_jpeg(enc[:cut])
+    except ValueError:
+        pass
