@@ -2010,6 +2010,31 @@ def q_jpeg_luma(spark, sf):  # the stdlib baseline JPEG codec driven
     )
 
 
+def q_gif_luma(spark, sf):  # the stdlib GIF codec driven end-to-end on
+    # REAL container bytes, the jpeg_luma pattern for the THIRD image
+    # format: one 32x32 grayscale image per document (4x4 grid of
+    # constant 8x8 blocks, block k = (doc_id*29 + k*13) % 256), encoded
+    # (functions/gif.py encode_gif — real LZW with width growth and the
+    # 4096-entry reset), LZW-decoded back, and pooled to the 16-bin
+    # block-mean grid. GIF is LOSSLESS over its palette, so every bin
+    # equals the block value EXACTLY (channel 0 of the decoded RGB — see
+    # synthetic_luma_gif_udf for why not the Rec.601 sum) and the oracle
+    # replays the closed form with no rounding tolerance.
+    from eth2dgraph_spark.functions.gif import synthetic_luma_gif_udf
+
+    gl = synthetic_luma_gif_udf()
+    # spread the per-row encode->decode roundtrip (single parquet split
+    # otherwise — the jpeg gates' measured pair)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select("doc_id", F.posexplode(gl("doc_id"))).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("bin"),
+        F.col("col").alias("luma"),
+    )
+
+
 def q_image_near_dups_jpeg(spark, sf):  # the image near-dup chain on REAL
     # JPEG container bytes — the dominant image format in any real corpus
     # (the PNG arm is image_near_dups): one synthesized 32x32 grayscale
@@ -3707,18 +3732,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-12 window policy (VERDICT
-    # r11 item 1 + the standing freshness rule): (a) the 5 gates NEW this
+    # r11 item 1 + the standing freshness rule): (a) the 6 gates NEW this
     # round (jpeg_luma, image_near_dups_jpeg — the stdlib JPEG codec
-    # end-to-end; image_dedup_stream — the pHash arm of the incremental
-    # ingest stream; sssp_targeted — point-to-point early stop;
-    # betweenness_landmarks — landmark Brandes); (b) the 4 whose CODE
+    # end-to-end; gif_luma — the stdlib GIF codec; image_dedup_stream —
+    # the pHash arm of the incremental ingest stream; sssp_targeted —
+    # point-to-point early stop; betweenness_landmarks — landmark
+    # Brandes); (b) the 4 whose CODE
     # changed since their r11 driver row (image_near_dups — uncapped
     # banding, cap-parity fix; sssp_route — reconstruct_paths
     # malformed-tree guard; msf_edges/sl_clusters — MSF single-count round
     # + checkpoint_dir forwarding); (c) the full 35-gate r8-stale overflow
     # (fingerprint .. unigram_encode — last driver-certified in r8, the
     # oldest cohort, named at round 11's boundary); (d) the r9 cohort
-    # fills the window — 6 of 41 fit (sliding_window .. waiting_supplier);
+    # fills the window — 5 of 41 fit (sliding_window .. min_cost_lineitem);
     # its 34-gate overflow (try_funcs onward) is round 13's leading
     # rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3728,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-12 window (entries 1-50) ---
         # (a) NEW this round:
         "jpeg_luma": q_jpeg_luma,
+        "gif_luma": q_gif_luma,
         "image_near_dups_jpeg": q_image_near_dups_jpeg,
         "image_dedup_stream": q_image_dedup_stream,
         "sssp_targeted": q_sssp_targeted,
@@ -3779,8 +3806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
         "min_cost_lineitem": q_min_cost_lineitem,
-        "waiting_supplier": q_waiting_supplier,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        # (waiting_supplier was the 6th r9 fill until gif_luma — a NEW
+        # gate — displaced it under the freshness rule)
+        "waiting_supplier": q_waiting_supplier,
         # (unpivot_metrics was the 7th r9 fill until image_dedup_stream —
         # a NEW gate this round — displaced it under the freshness rule;
         # it leads round 13's r9-overflow rotation block below)
@@ -5005,6 +5034,12 @@ _IMAGE_NEAR_DUPS_ORACLE = """
 _JPEG_LUMA_ORACLE = """
         SELECT d.doc_id, k.k AS bin,
                CAST((d.doc_id * 31 + k.k * 17) % 256 AS DOUBLE) AS luma
+        FROM documents d, range(16) k(k)"""
+
+
+_GIF_LUMA_ORACLE = """
+        SELECT d.doc_id, k.k AS bin,
+               CAST((d.doc_id * 29 + k.k * 13) % 256 AS DOUBLE) AS luma
         FROM documents d, range(16) k(k)"""
 
 
@@ -6410,6 +6445,7 @@ def oracle_sql() -> dict[str, str]:
         # at hamming 0, cross-group hamming >= 22 stays out at threshold 2
         "image_near_dups_jpeg": _IMAGE_NEAR_DUPS_ORACLE,
         "jpeg_luma": _JPEG_LUMA_ORACLE,
+        "gif_luma": _GIF_LUMA_ORACLE,
         "audio_near_frames": _AUDIO_NEAR_FRAMES_ORACLE,
         "line_profile": _LINE_PROFILE_ORACLE,
         "hits_scores": _hits_oracle(num_iter=2),

@@ -116,8 +116,10 @@ HEADLINE = [
     "image_near_dups",
     "audio_near_frames",
     # round-12 additions: the stdlib JPEG codec roundtrip, its near-dup
-    # arm, and the streaming image ingest — extras, same policy
+    # arm, the GIF codec roundtrip, and the streaming image ingest —
+    # extras, same policy
     "jpeg_luma",
+    "gif_luma",
     "image_near_dups_jpeg",
     "image_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
@@ -196,6 +198,7 @@ COMPARABLE_29 = [
     "msf_edges",
     "sl_clusters",
     "jpeg_luma",
+    "gif_luma",
     "image_near_dups_jpeg",
     "image_dedup_stream",
     "sssp_targeted",

@@ -129,16 +129,22 @@ def _decode_image_pil(payload: bytes | None) -> np.ndarray:
 
 def _stdlib_luma(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch over the no-pip codec chain: FFD8 → the stdlib
-    baseline JPEG decoder (functions/jpeg.py), anything else → the stdlib
-    PNG decoder (functions/png.py, which validates its own signature);
-    either result reduced to Rec.601 luminance. Unsupported or malformed
-    payloads raise ValueError — the callers' 'error'-row contract."""
+    baseline JPEG decoder (functions/jpeg.py), GIF8 → the stdlib GIF
+    decoder (functions/gif.py), anything else → the stdlib PNG decoder
+    (functions/png.py, which validates its own signature); the result
+    reduced to Rec.601 luminance. Unsupported or malformed payloads raise
+    ValueError — the callers' 'error'-row contract."""
+    from eth2dgraph_spark.functions.png import luminance
+
     if payload[:2] == b"\xff\xd8":
         from eth2dgraph_spark.functions.jpeg import decode_jpeg
-        from eth2dgraph_spark.functions.png import luminance
 
         return luminance(decode_jpeg(payload))
-    from eth2dgraph_spark.functions.png import decode_png, luminance
+    if payload[:4] == b"GIF8":
+        from eth2dgraph_spark.functions.gif import decode_gif
+
+        return luminance(decode_gif(payload))
+    from eth2dgraph_spark.functions.png import decode_png
 
     return luminance(decode_png(payload))
 
@@ -484,11 +490,17 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                     img.save(buf, format="PNG")
                     out.append(buf.getvalue())
                     continue
+                from eth2dgraph_spark.functions.gif import decode_gif
                 from eth2dgraph_spark.functions.jpeg import decode_jpeg
                 from eth2dgraph_spark.functions.png import decode_png, encode_png
 
                 try:
-                    arr = decode_jpeg(p) if p[:2] == b"\xff\xd8" else decode_png(p)
+                    if p[:2] == b"\xff\xd8":
+                        arr = decode_jpeg(p)
+                    elif p[:4] == b"GIF8":
+                        arr = decode_gif(p)
+                    else:
+                        arr = decode_png(p)
                     h, w = arr.shape[:2]
                     ri = (np.arange(height) * h // height).astype(np.int64)
                     ci = (np.arange(width) * w // width).astype(np.int64)
