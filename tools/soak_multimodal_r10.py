@@ -15,7 +15,7 @@ Payloads are synthesized INSIDE the fingerprint job (mapInPandas over a
 range — the soak_r10_scale discipline: no driver-side generation loop).
 
 Usage: python tools/soak_multimodal_r10.py     (one JSON line)
-  SOAK_SIZES=5000,50000  SOAK_OPS=audio,video to restrict.
+  SOAK_SIZES=5000,50000  SOAK_OPS=audio,video,image,jpeg to restrict.
 """
 
 from __future__ import annotations
@@ -154,6 +154,31 @@ def image_assets(spark, n):
     )
 
 
+def jpeg_assets(spark, n):
+    """Round-12 JPEG arm: one 32x32 grayscale baseline JPEG per asset
+    (stdlib encode_jpeg via the frozen synthetic_group_jpeg construction),
+    pattern pinned by group — receipts the pure-Python Huffman decoder's
+    per-row cost at corpus scale (the fast-table path, ~0.8 ms/image)."""
+    from eth2dgraph_spark.functions.jpeg import synthetic_group_jpeg
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = [synthetic_group_jpeg(group_of(int(i))) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(kernel, "asset_id long, modality string, payload binary")
+    )
+
+
 def main() -> None:
     from eth2dgraph_spark.pipeline.multimodal import (
         audio_near_pairs,
@@ -176,6 +201,12 @@ def main() -> None:
             elif op == "image":
                 assets = image_assets(spark, n).persist()
                 assets.count()
+                t0 = time.time()
+                pairs = phash_near_pairs(phash_features(assets), max_hamming=2)
+                cnt = pairs.count()
+            elif op == "jpeg":
+                assets = jpeg_assets(spark, n).persist()
+                assets.count()  # synth cost excluded: the DECODE is under test
                 t0 = time.time()
                 pairs = phash_near_pairs(phash_features(assets), max_hamming=2)
                 cnt = pairs.count()
