@@ -1795,6 +1795,32 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     return video_near_pairs(assets, every_ms=1000, min_shared=2)
 
 
+def q_video_near_dups_gif(spark, sf):  # the video near-dup chain on REAL
+    # ANIMATED-GIF container bytes — the same pipeline as video_near_dups
+    # reached through the magic-byte dispatch (_decode_video_gray_stdlib:
+    # GIF8 -> functions/gif.py decode_gif_frames with per-frame delays).
+    # gif.synthetic_clip_gif_udf carries EXACTLY the AVI gate's frame
+    # construction, and both containers decode those frames
+    # pixel-identically (GIF lossless over its gray palette, AVI
+    # uncompressed — parity asserted in tests), so the AVI gate's
+    # measured collision property transfers verbatim: same-group clips
+    # share all 3 frame hashes, no two groups share more than one, and
+    # min_shared=2 yields exactly the closed-form same-group pair set
+    # with n_shared=3 (the oracle is the same doc_id self-join).
+    from eth2dgraph_spark.functions.gif import synthetic_clip_gif_udf
+    from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
+
+    clip = synthetic_clip_gif_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        clip("doc_id").alias("payload"),
+        F.lit(2500).cast("long").alias("duration_ms"),
+    )
+    return video_near_pairs(assets, every_ms=1000, min_shared=2)
+
+
 def q_sssp_route(spark, sf):  # the full Dgraph-`shortest` answer shape:
     # the NODE SEQUENCE of one shortest path per requested target
     # (graph.reconstruct_paths walking the sssp_paths tree — state is one
@@ -3732,19 +3758,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS gate certifies only
     # the FIRST 50 entries (in dict order). Round-12 window policy (VERDICT
-    # r11 item 1 + the standing freshness rule): (a) the 6 gates NEW this
+    # r11 item 1 + the standing freshness rule): (a) the 7 gates NEW this
     # round (jpeg_luma, image_near_dups_jpeg — the stdlib JPEG codec
-    # end-to-end; gif_luma — the stdlib GIF codec; image_dedup_stream —
-    # the pHash arm of the incremental ingest stream; sssp_targeted —
-    # point-to-point early stop; betweenness_landmarks — landmark
-    # Brandes); (b) the 4 whose CODE
+    # end-to-end; gif_luma, video_near_dups_gif — the stdlib GIF codec,
+    # still + animated; image_dedup_stream — the pHash arm of the
+    # incremental ingest stream; sssp_targeted — point-to-point early
+    # stop; betweenness_landmarks — landmark Brandes); (b) the 4 whose
+    # CODE
     # changed since their r11 driver row (image_near_dups — uncapped
     # banding, cap-parity fix; sssp_route — reconstruct_paths
     # malformed-tree guard; msf_edges/sl_clusters — MSF single-count round
     # + checkpoint_dir forwarding); (c) the full 35-gate r8-stale overflow
     # (fingerprint .. unigram_encode — last driver-certified in r8, the
     # oldest cohort, named at round 11's boundary); (d) the r9 cohort
-    # fills the window — 5 of 41 fit (sliding_window .. min_cost_lineitem);
+    # fills the window — 4 of 41 fit (sliding_window .. window_ignore_nulls);
     # its 34-gate overflow (try_funcs onward) is round 13's leading
     # rotation target (named at the boundary below).
     # Every gate outside the window is re-verified locally this round via
@@ -3755,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEW this round:
         "jpeg_luma": q_jpeg_luma,
         "gif_luma": q_gif_luma,
+        "video_near_dups_gif": q_video_near_dups_gif,
         "image_near_dups_jpeg": q_image_near_dups_jpeg,
         "image_dedup_stream": q_image_dedup_stream,
         "sssp_targeted": q_sssp_targeted,
@@ -3805,8 +3833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
-        "min_cost_lineitem": q_min_cost_lineitem,
         # ================= 50-gate window boundary (entry 50 ends) =======
+        # (min_cost_lineitem was the 5th r9 fill until video_near_dups_gif
+        # — a NEW gate — displaced it under the freshness rule)
+        "min_cost_lineitem": q_min_cost_lineitem,
         # (waiting_supplier was the 6th r9 fill until gif_luma — a NEW
         # gate — displaced it under the freshness rule)
         "waiting_supplier": q_waiting_supplier,
@@ -6435,6 +6465,8 @@ def oracle_sql() -> dict[str, str]:
         "wav_envelope": _WAV_ENVELOPE_ORACLE,
         "avi_luma": _AVI_LUMA_ORACLE,
         "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
+        # same closed form: pixel-identical frames in both containers
+        "video_near_dups_gif": _VIDEO_NEAR_DUPS_ORACLE,
         "audio_near_dups": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form: group pairs, n_shared=3
         "audio_dedup_stream": _AUDIO_DEDUP_STREAM_ORACLE,
         "image_dedup_stream": _IMAGE_DEDUP_STREAM_ORACLE,

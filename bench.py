@@ -120,6 +120,7 @@ HEADLINE = [
     # extras, same policy
     "jpeg_luma",
     "gif_luma",
+    "video_near_dups_gif",
     "image_near_dups_jpeg",
     "image_dedup_stream",
     # the iterative localCheckpoint queries run LAST: their checkpointed
@@ -199,6 +200,7 @@ COMPARABLE_29 = [
     "sl_clusters",
     "jpeg_luma",
     "gif_luma",
+    "video_near_dups_gif",
     "image_near_dups_jpeg",
     "image_dedup_stream",
     "sssp_targeted",

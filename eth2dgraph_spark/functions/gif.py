@@ -325,3 +325,168 @@ def synthetic_luma_gif_udf():
         return pd.Series(out)
 
     return gif_luma
+
+
+# ------------------------------------------------------------- animation
+
+
+def decode_gif_frames(data: bytes) -> "tuple[np.ndarray, list[int]]":
+    """Decode an animated (or single-frame) GIF to (frames, delays_ms):
+    frames is uint8 (N, H, W, 3) over the logical screen, delays the GCE
+    delay per frame in ms (100 when absent or zero — the player default).
+    Real animation semantics, unlike decode_gif's still-image view:
+    transparent pixels show the PREVIOUS canvas content (frame-over-frame
+    compositing), disposal 0/1 leave the canvas, disposal 2 restores the
+    background after the frame is emitted; disposal 3 (restore-previous)
+    raises — rare, and silently approximating it would corrupt every
+    later frame."""
+    if len(data) < 14 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("gif: missing GIF87a/GIF89a signature")
+    w = data[6] | data[7] << 8
+    h = data[8] | data[9] << 8
+    if w == 0 or h == 0:
+        raise ValueError("gif: zero logical screen dimension")
+    flags = data[10]
+    bg_index = data[11]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 7)
+        if i + 3 * sz > len(data):
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(data[i : i + 3 * sz], dtype=np.uint8).reshape(sz, 3)
+        i += 3 * sz
+    bg = bg_index if gct is not None and bg_index < len(gct) else 0
+    canvas = np.full((h, w), bg, dtype=np.uint8)
+    pal_canvas = gct  # palette the canvas indices refer to (GCT convention)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    delay_ms = 100
+    while i < len(data):
+        b = data[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if i + 2 > len(data):
+                raise ValueError("gif: truncated extension")
+            label = data[i + 1]
+            body, i = _sub_blocks(data, i + 2)
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 7
+                transparent = body[3] if body[0] & 1 else None
+                delay_ms = ((body[1] | body[2] << 8) or 10) * 10
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        if i + 10 > len(data):
+            raise ValueError("gif: truncated image descriptor")
+        x0 = data[i + 1] | data[i + 2] << 8
+        y0 = data[i + 3] | data[i + 4] << 8
+        iw = data[i + 5] | data[i + 6] << 8
+        ih = data[i + 7] | data[i + 8] << 8
+        f = data[i + 9]
+        i += 10
+        if iw == 0 or ih == 0 or x0 + iw > w or y0 + ih > h:
+            raise ValueError("gif: image exceeds logical screen")
+        pal = gct
+        if f & 0x80:
+            sz = 2 << (f & 7)
+            if i + 3 * sz > len(data):
+                raise ValueError("gif: truncated local color table")
+            pal = np.frombuffer(data[i : i + 3 * sz], dtype=np.uint8).reshape(sz, 3)
+            i += 3 * sz
+        if pal is None:
+            raise ValueError("gif: image has no color table")
+        if disposal == 3:
+            raise ValueError("gif: disposal method 3 (restore previous) unsupported")
+        if i >= len(data):
+            raise ValueError("gif: missing LZW minimum code size")
+        mcs = data[i]
+        lzw, i = _sub_blocks(data, i + 1)
+        idx = _lzw_decode(mcs, lzw, iw * ih).reshape(ih, iw)
+        if (idx >= len(pal)).any():
+            raise ValueError("gif: pixel index outside color table")
+        region = canvas[y0 : y0 + ih, x0 : x0 + iw]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = idx[opaque]
+        else:
+            region[:] = idx
+        # frames may mix palettes across descriptors; emitting RGB per
+        # frame keeps the output palette-free (pal_canvas tracks the
+        # palette the UNDRAWN canvas pixels refer to — the GCT)
+        ref = pal if pal_canvas is None else pal_canvas
+        if (canvas >= len(ref)).any():
+            raise ValueError("gif: canvas index outside color table")
+        frames.append(ref[canvas].copy())
+        delays.append(delay_ms)
+        if disposal == 2:
+            canvas[y0 : y0 + ih, x0 : x0 + iw] = bg
+        transparent = None
+        disposal = 0
+        delay_ms = 100
+    if not frames:
+        raise ValueError("gif: no image data")
+    return np.stack(frames), delays
+
+
+def encode_gif_frames(frames: np.ndarray, delay_ms: int = 100) -> bytes:
+    """Encode uint8 (N, H, W) grayscale frames as an animated GIF89a —
+    full-frame draw-over, one GCE (delay, no transparency) per frame,
+    256-gray global palette: the roundtrip through decode_gif_frames is
+    BYTE-EXACT per frame. Synthesis/test encoder (the AVI sibling)."""
+    a = np.asarray(frames)
+    if a.dtype != np.uint8 or a.ndim != 3:
+        raise ValueError("gif: animated encoder expects uint8 (N, H, W) frames")
+    n, h, w = a.shape
+    if n == 0 or h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"gif: unencodable frame geometry {a.shape}")
+    if not 0 < delay_ms <= 655350:
+        raise ValueError(f"gif: bad delay {delay_ms}")
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80 | 7, 0, 0])
+    out += pal.tobytes()
+    d = delay_ms // 10
+    for frame in a:
+        out += bytes([0x21, 0xF9, 4, 0, d & 255, d >> 8, 0, 0])  # GCE
+        out += bytes([0x2C, 0, 0, 0, 0, w & 255, w >> 8, h & 255, h >> 8, 0])
+        out += bytes([8])  # LZW minimum code size for a 256-color palette
+        out += _lzw_encode(8, frame.reshape(-1))
+    out += b"\x3B"
+    return bytes(out)
+
+
+def synthetic_clip_gif_udf():
+    """pandas UDF factory: doc_id -> real ANIMATED-GIF container bytes, a
+    deterministic 3-frame 16x16 clip (1000 ms/frame) with EXACTLY the
+    avi.synthetic_clip_udf frame construction — GIF is lossless over its
+    gray palette and AVI is uncompressed, so the two containers decode to
+    pixel-identical frames and the AVI gate's measured collision property
+    (no two groups share more than ONE frame pHash; same-group clips
+    share all 3) transfers verbatim. Bit-identical within group
+    doc_id % 25."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def gif_clip(doc_ids: pd.Series) -> pd.Series:
+        cache: dict[int, bytes] = {}
+        out = []
+        for d in doc_ids:
+            g = int(d) % 25
+            if g not in cache:
+                frames = []
+                for f in range(3):
+                    flat = (g * 31 + f * 16 + np.arange(16) * 7) % 256
+                    grid = flat.reshape(4, 4).astype(np.uint8)
+                    grid[0, 0] = g * 10
+                    grid[0, 1] = f * 85
+                    frames.append(np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1))
+                cache[g] = encode_gif_frames(np.stack(frames), delay_ms=1000)
+            out.append(cache[g])
+        return pd.Series(out)
+
+    return gif_clip

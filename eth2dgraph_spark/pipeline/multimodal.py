@@ -802,6 +802,34 @@ def _decode_video_gray_avi(payload: "bytes | None", ts_list: list[int]) -> list[
     return [luma[min(n - 1, int(ts * fps / 1000.0))] for ts in ts_list]
 
 
+def _decode_video_gray_gif(payload: "bytes | None", ts_list: list[int]) -> list[np.ndarray]:
+    """The animated-GIF arm of the video fingerprint: stdlib
+    decode_gif_frames (functions/gif.py — frame-over-frame compositing,
+    per-frame GCE delays), Rec.601 luminance, frame-on-screen-at-ts via
+    the CUMULATIVE delay schedule (GIF frames have variable durations,
+    unlike AVI's fixed fps), clamped to the last frame."""
+    from eth2dgraph_spark.functions.gif import decode_gif_frames
+
+    if not payload:
+        raise ValueError("gif: empty payload")
+    frames, delays = decode_gif_frames(payload)
+    f = frames.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    starts = np.cumsum([0] + delays[:-1])
+    picks = [int(np.searchsorted(starts, ts, side="right")) - 1 for ts in ts_list]
+    n = luma.shape[0]
+    return [luma[min(n - 1, max(0, p))] for p in picks]
+
+
+def _decode_video_gray_stdlib(payload: "bytes | None", ts_list: list[int]) -> list[np.ndarray]:
+    """Magic-byte dispatch for the no-pip video fingerprint chain:
+    RIFF → uncompressed AVI, GIF8 → animated GIF. Anything else raises
+    ValueError (the 'error'-row contract)."""
+    if payload and payload[:4] == b"GIF8":
+        return _decode_video_gray_gif(payload, ts_list)
+    return _decode_video_gray_avi(payload, ts_list)
+
+
 def video_frame_phashes(
     assets: DataFrame,
     every_ms: int = 1000,
@@ -815,15 +843,17 @@ def video_frame_phashes(
     one 64-bit perceptual hash per sampled frame, on the frame_sample_plan
     schedule (0..duration_ms step every_ms). The decoder contract returns
     one full-res grayscale array per sampled ts; by default the pure-stdlib
-    AVI codec (functions/avi.py), so REAL container bytes fingerprint
-    end-to-end in every environment — out-of-scope payloads degrade to
-    'error' rows across the full schedule (data, not a crash). pHash
+    codecs by magic-byte dispatch — uncompressed AVI (functions/avi.py) or
+    animated GIF (functions/gif.py, variable per-frame delays) — so REAL
+    container bytes fingerprint end-to-end in every environment;
+    out-of-scope payloads degrade to 'error' rows across the full
+    schedule (data, not a crash). pHash
     absorbs pixel-level noise (re-encode, mild filtering), so downstream
     overlap counting can match frames EXACTLY on the hash — the property
     that makes video near-dup a postings problem instead of a pairwise
     image-distance problem at 100 TB."""
     if decoder is None:
-        decoder, ok_label = _decode_video_gray_avi, "ok"
+        decoder, ok_label = _decode_video_gray_stdlib, "ok"
     elif ok_label is None:
         ok_label = "ok"
 

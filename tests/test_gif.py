@@ -155,3 +155,117 @@ def test_resize_stdlib_gif_input(spark):
     ri = (np.arange(4) * 16 // 4).astype(int)
     # GIF decodes to RGB; gray input -> all three channels equal
     assert (out == src[ri][:, ri][..., None]).all()
+
+
+# -------------------------------------------------------------- animation
+
+from eth2dgraph_spark.functions.gif import decode_gif_frames, encode_gif_frames  # noqa: E402
+
+
+def test_animated_roundtrip_exact_with_delays():
+    rs = np.random.RandomState(2)
+    fr = rs.randint(0, 256, size=(4, 24, 30), dtype=np.uint8)
+    dec, delays = decode_gif_frames(encode_gif_frames(fr, delay_ms=250))
+    assert dec.shape == (4, 24, 30, 3)
+    assert delays == [250] * 4
+    assert (dec == fr[..., None]).all()
+
+
+def test_animated_golden_single_frame():
+    """A single-frame real-world file decodes through the animation path.
+    The two paths deliberately differ ONLY at transparent pixels:
+    decode_gif keeps the palette color (the CPython-PPM still
+    convention), decode_gif_frames composites onto the untouched canvas =
+    the background color (animation semantics — later frames must show
+    what is underneath). python.gif: transparent=101 (black),
+    background=100 (white)."""
+    raw = open(os.path.join(DATA, "python.gif"), "rb").read()
+    g, delays = decode_gif_frames(raw)
+    still = decode_gif(raw)
+    assert g.shape == (1, 16, 16, 3) and len(delays) == 1
+    diff = (g[0] != still).any(axis=2)
+    # the logo's whole transparent backdrop — 107 of 256 pixels
+    assert 0 < int(diff.sum()) < 256
+    assert (g[0][diff] == 255).all()  # they show the white background
+    assert (still[diff] == 0).all()  # the still path kept palette black
+
+
+def test_animated_transparency_shows_previous_frame():
+    """Frame 2 marks value 7 transparent: those pixels must show frame
+    1's content (frame-over-frame compositing), not palette[7]."""
+    f1 = np.full((8, 8), 200, dtype=np.uint8)
+    f2 = np.full((8, 8), 7, dtype=np.uint8)
+    f2[0, 0] = 31  # one opaque pixel
+    enc = bytearray(encode_gif_frames(np.stack([f1, f2]), delay_ms=100))
+    # second GCE: flip on transparency with index 7
+    first_gce = enc.index(b"\x21\xf9")
+    second_gce = enc.index(b"\x21\xf9", first_gce + 2)
+    enc[second_gce + 3] |= 1  # transparency flag
+    enc[second_gce + 6] = 7  # transparent index
+    dec, _ = decode_gif_frames(bytes(enc))
+    assert (dec[1, 0, 0] == 31).all()
+    assert (dec[1, 1:, :] == 200).all()  # previous frame shows through
+
+
+def test_animated_disposal_2_restores_background():
+    """Disposal 2 on frame 1 clears the canvas back to the background
+    color before frame 2 draws; frame 2 transparent everywhere except one
+    pixel ⇒ background shows, not frame 1."""
+    f1 = np.full((8, 8), 200, dtype=np.uint8)
+    f2 = np.full((8, 8), 7, dtype=np.uint8)
+    f2[0, 0] = 31
+    enc = bytearray(encode_gif_frames(np.stack([f1, f2]), delay_ms=100))
+    first_gce = enc.index(b"\x21\xf9")
+    second_gce = enc.index(b"\x21\xf9", first_gce + 2)
+    enc[first_gce + 3] |= 2 << 2  # disposal 2 on frame 1
+    enc[second_gce + 3] |= 1
+    enc[second_gce + 6] = 7
+    dec, _ = decode_gif_frames(bytes(enc))
+    assert (dec[0] == 200).all()
+    assert (dec[1, 0, 0] == 31).all()
+    assert (dec[1, 1:, :] == 0).all()  # background index 0 -> gray 0
+
+
+def test_animated_disposal_3_rejected():
+    enc = bytearray(encode_gif_frames(np.zeros((2, 4, 4), dtype=np.uint8)))
+    gce = enc.index(b"\x21\xf9")
+    enc[gce + 3] |= 3 << 2
+    with pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(enc))
+
+
+def test_video_frame_phashes_over_animated_gif(spark):
+    """The video fingerprint chain over REAL animated-GIF bytes via the
+    magic dispatch: same-frames assets hash identically; the variable-
+    delay frame-at-ts pick resolves the schedule; garbage -> error."""
+    from eth2dgraph_spark.pipeline import multimodal
+
+    rs = np.random.RandomState(11)
+    fr = rs.randint(0, 256, size=(3, 16, 16), dtype=np.uint8)
+    clip = encode_gif_frames(fr, delay_ms=1000)
+    rows = [
+        (1, "video", "image/gif", bytearray(clip), None, None, 2500),
+        (2, "video", "image/gif", bytearray(clip), None, None, 2500),
+        (3, "video", None, b"\x00junk", None, None, 2500),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = multimodal.video_frame_phashes(assets, every_ms=1000).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["asset_id"], {})[r["frame_ts_ms"]] = (r["phash"], r["decode_ok"])
+    assert set(by[1]) == {0, 1000, 2000}
+    assert by[1] == by[2]  # identical bytes -> identical per-frame hashes
+    assert all(v[1] == "ok" for v in by[1].values())
+    assert all(v == (None, "error") for v in by[3].values())
+
+
+def test_gif_frame_at_ts_uses_cumulative_delays():
+    from eth2dgraph_spark.pipeline.multimodal import _decode_video_gray_gif
+
+    f0 = np.full((4, 4), 10, dtype=np.uint8)
+    f1 = np.full((4, 4), 250, dtype=np.uint8)
+    clip = encode_gif_frames(np.stack([f0, f1]), delay_ms=500)
+    # frame 0 on screen for [0, 500); frame 1 from 500 on (clamped after)
+    out = _decode_video_gray_gif(clip, [0, 499, 500, 5000])
+    vals = [round(float(a[0, 0])) for a in out]
+    assert vals == [10, 10, 250, 250]

@@ -79,9 +79,11 @@ def test_relational_queries_stay_jvm_side(spark):
         # UDFs + the production phash kernel)
         "image_near_dups_jpeg",
         "jpeg_luma",
-        # round-12 GIF-codec gate: real GIF container bytes LZW-encoded
-        # and decoded per row (gif.synthetic_luma_gif_udf)
+        # round-12 GIF-codec gates: real GIF container bytes LZW-encoded
+        # and decoded per row (gif.synthetic_luma_gif_udf /
+        # synthetic_clip_gif_udf + the production video phash kernel)
         "gif_luma",
+        "video_near_dups_gif",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
