@@ -188,13 +188,19 @@ def decode_gif(data: bytes) -> np.ndarray:
         # palette-color vs 102.7 composited). `transparent` stays parsed
         # for callers that want the mask semantics later.
         del transparent
+        # Compose in RGB: the frame region resolves through ITS OWN
+        # palette (local when present), while undrawn background pixels
+        # resolve through the table bg_index refers to — the GCT (the
+        # spec ties the background index to the global table; a local
+        # table applies only to the image that carries it). Before this,
+        # mixed-palette stills with a sub-screen frame rendered the
+        # background through the frame's local palette.
+        base = gct if gct is not None else pal
         bg = bg_index if gct is not None and bg_index < len(gct) else 0
-        canvas = np.empty((h, w), dtype=np.uint8)
-        canvas[:] = bg
-        canvas[y0 : y0 + ih, x0 : x0 + iw] = idx
-        if (canvas >= len(pal)).any():
-            raise ValueError("gif: background index outside color table")
-        return pal[canvas]
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        out[:] = base[bg]
+        out[y0 : y0 + ih, x0 : x0 + iw] = pal[idx]
+        return out
     raise ValueError("gif: ran past end of file (no trailer)")
 
 
@@ -357,8 +363,17 @@ def decode_gif_frames(data: bytes) -> "tuple[np.ndarray, list[int]]":
         gct = np.frombuffer(data[i : i + 3 * sz], dtype=np.uint8).reshape(sz, 3)
         i += 3 * sz
     bg = bg_index if gct is not None and bg_index < len(gct) else 0
-    canvas = np.full((h, w), bg, dtype=np.uint8)
-    pal_canvas = gct  # palette the canvas indices refer to (GCT convention)
+    # The canvas composites in RGB, not palette indices: an index canvas
+    # cannot record WHICH palette each pixel was drawn with, so frames
+    # drawn from a LOCAL color table would be re-resolved through the GCT
+    # (a full-screen blue local-palette frame decoded as red). RGB
+    # compositing applies each frame's own palette to its region at draw
+    # time; initialization (and disposal-2 restores) use the background
+    # color resolved through the GCT. When there is no GCT, the first
+    # frame's local palette supplies the background color (resolved
+    # lazily below — the canvas is never emitted before the first draw).
+    canvas: "np.ndarray | None" = None
+    bg_color: "np.ndarray | None" = None if gct is None else gct[bg]
     frames: list[np.ndarray] = []
     delays: list[int] = []
     transparent = None
@@ -408,22 +423,22 @@ def decode_gif_frames(data: bytes) -> "tuple[np.ndarray, list[int]]":
         idx = _lzw_decode(mcs, lzw, iw * ih).reshape(ih, iw)
         if (idx >= len(pal)).any():
             raise ValueError("gif: pixel index outside color table")
+        if bg_color is None:
+            bg_color = pal[bg if bg < len(pal) else 0]
+        if canvas is None:
+            canvas = np.empty((h, w, 3), dtype=np.uint8)
+            canvas[:] = bg_color
+        rgb = pal[idx]
         region = canvas[y0 : y0 + ih, x0 : x0 + iw]
         if transparent is not None:
             opaque = idx != transparent
-            region[opaque] = idx[opaque]
+            region[opaque] = rgb[opaque]
         else:
-            region[:] = idx
-        # frames may mix palettes across descriptors; emitting RGB per
-        # frame keeps the output palette-free (pal_canvas tracks the
-        # palette the UNDRAWN canvas pixels refer to — the GCT)
-        ref = pal if pal_canvas is None else pal_canvas
-        if (canvas >= len(ref)).any():
-            raise ValueError("gif: canvas index outside color table")
-        frames.append(ref[canvas].copy())
+            region[:] = rgb
+        frames.append(canvas.copy())
         delays.append(delay_ms)
         if disposal == 2:
-            canvas[y0 : y0 + ih, x0 : x0 + iw] = bg
+            canvas[y0 : y0 + ih, x0 : x0 + iw] = bg_color
         transparent = None
         disposal = 0
         delay_ms = 100

@@ -439,7 +439,12 @@ def phash_near_pairs(
     fingerprint_overlap_pairs_hamming): None means UNCAPPED, the finite
     default is the hot-bucket star defense. Callers whose oracle is a
     closed-form pair set must pass None so the cap can never silently
-    diverge from the oracle at a larger scale factor."""
+    diverge from the oracle at a larger scale factor.
+
+    BREAKING (round 12): None used to mean "use the 1024 default"; it now
+    means UNCAPPED. A caller that wants the hot-bucket defense must omit
+    the argument (or pass a finite cap) — passing None explicitly opts
+    into O(bucket^2) expansion on identical-hash-heavy corpora."""
     from .dedup import simhash_near_pairs
 
     sigs = hashes.filter(F.col(hash_col).isNotNull()).select(

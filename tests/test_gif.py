@@ -269,3 +269,101 @@ def test_gif_frame_at_ts_uses_cumulative_delays():
     out = _decode_video_gray_gif(clip, [0, 499, 500, 5000])
     vals = [round(float(a[0, 0])) for a in out]
     assert vals == [10, 10, 250, 250]
+
+# ----------------------------------------------- local color tables (r13)
+
+from eth2dgraph_spark.functions.gif import _lzw_encode  # noqa: E402
+
+
+def _img_block(x0, y0, iw, ih, idx, local_pal=None):
+    """Image descriptor + optional local color table (2 entries) + LZW
+    data for a hand-built test stream (mcs=2, the spec minimum)."""
+    flags = 0x80 if local_pal is not None else 0
+    out = bytearray(
+        [0x2C, x0 & 255, x0 >> 8, y0 & 255, y0 >> 8,
+         iw & 255, iw >> 8, ih & 255, ih >> 8, flags]
+    )
+    if local_pal is not None:
+        out += bytes(local_pal)  # 2 RGB entries = 6 bytes (size bits 0)
+    out += bytes([2]) + _lzw_encode(2, np.asarray(idx, dtype=np.uint8).reshape(-1))
+    return bytes(out)
+
+
+RED_GREEN_GCT = [255, 0, 0, 0, 255, 0]
+BLUE_WHITE_LCT = [0, 0, 255, 255, 255, 255]
+
+
+def _header(w, h, bg=0):
+    return (
+        b"GIF89a"
+        + bytes([w & 255, w >> 8, h & 255, h >> 8, 0x80, bg, 0])
+        + bytes(RED_GREEN_GCT)
+    )
+
+
+def test_animated_local_palette_frame_uses_its_own_table():
+    """The ADVICE r12 repro: a full-screen frame drawn with a LOCAL
+    blue/white palette while a red/green GCT exists must decode BLUE
+    (its own table), not red (the GCT)."""
+    raw = (
+        _header(4, 4)
+        + _img_block(0, 0, 4, 4, np.zeros(16), local_pal=BLUE_WHITE_LCT)
+        + b"\x3B"
+    )
+    frames, _ = decode_gif_frames(raw)
+    assert (frames[0] == np.array([0, 0, 255], np.uint8)).all()
+
+
+def test_animated_mixed_palettes_composite_in_rgb():
+    """Frame 1 full-screen via the GCT (green), frame 2 a 2x2 sub-region
+    via a local palette (blue): frame 2 must show blue in the region and
+    frame 1's GREEN everywhere else — an index canvas cannot represent
+    this (it would re-resolve green's index through the local table)."""
+    raw = (
+        _header(4, 4)
+        + _img_block(0, 0, 4, 4, np.ones(16))  # GCT index 1 = green
+        + _img_block(0, 0, 2, 2, np.zeros(4), local_pal=BLUE_WHITE_LCT)
+        + b"\x3B"
+    )
+    frames, _ = decode_gif_frames(raw)
+    assert (frames[0] == np.array([0, 255, 0], np.uint8)).all()
+    assert (frames[1][:2, :2] == np.array([0, 0, 255], np.uint8)).all()
+    assert (frames[1][2:, :] == np.array([0, 255, 0], np.uint8)).all()
+    assert (frames[1][:2, 2:] == np.array([0, 255, 0], np.uint8)).all()
+
+
+def test_still_local_palette_background_via_gct():
+    """Still decode of a sub-screen local-palette frame: the frame region
+    resolves through the LOCAL table (blue), the undrawn background
+    through the GCT (bg_index=1 = green) — previously the background was
+    looked up in the local table (white)."""
+    raw = (
+        _header(4, 4, bg=1)
+        + _img_block(0, 0, 2, 2, np.zeros(4), local_pal=BLUE_WHITE_LCT)
+        + b"\x3B"
+    )
+    out = decode_gif(raw)
+    assert (out[:2, :2] == np.array([0, 0, 255], np.uint8)).all()
+    assert (out[2:, :] == np.array([0, 255, 0], np.uint8)).all()
+    assert (out[:2, 2:] == np.array([0, 255, 0], np.uint8)).all()
+
+
+def test_animated_disposal2_restores_gct_background_color():
+    """Disposal-2 restore after a LOCAL-palette frame must refill with
+    the GCT background COLOR, not an index resolved through whatever
+    palette comes next."""
+    raw = (
+        _header(4, 4, bg=1)  # background = green
+        + _img_block(0, 0, 4, 4, np.zeros(16), local_pal=BLUE_WHITE_LCT)
+        + _img_block(0, 0, 1, 1, np.zeros(1))  # GCT red, 1 px
+        + b"\x3B"
+    )
+    enc = bytearray(raw)
+    # insert a GCE with disposal 2 before the FIRST image descriptor
+    first_img = enc.index(0x2C, 13 + 6)
+    enc[first_img:first_img] = bytes([0x21, 0xF9, 4, 2 << 2, 0, 0, 0, 0])
+    frames, _ = decode_gif_frames(bytes(enc))
+    assert (frames[0] == np.array([0, 0, 255], np.uint8)).all()
+    assert (frames[1][0, 0] == np.array([255, 0, 0], np.uint8)).all()
+    assert (frames[1][1:, :] == np.array([0, 255, 0], np.uint8)).all()
+    assert (frames[1][0, 1:] == np.array([0, 255, 0], np.uint8)).all()

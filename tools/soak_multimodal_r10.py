@@ -202,13 +202,21 @@ def main() -> None:
                 assets = image_assets(spark, n).persist()
                 assets.count()
                 t0 = time.time()
-                pairs = phash_near_pairs(phash_features(assets), max_hamming=2)
+                pairs = phash_near_pairs(
+                    phash_features(assets), max_hamming=2, max_bucket=None
+                )  # cap-parity with the gates: group sizes reach 2000 at
+                # n=50k, above the 1024 default — uncapped keeps the
+                # recorded pair counts the closed-form group-pair numbers
                 cnt = pairs.count()
             elif op == "jpeg":
                 assets = jpeg_assets(spark, n).persist()
                 assets.count()  # synth cost excluded: the DECODE is under test
                 t0 = time.time()
-                pairs = phash_near_pairs(phash_features(assets), max_hamming=2)
+                pairs = phash_near_pairs(
+                    phash_features(assets), max_hamming=2, max_bucket=None
+                )  # cap-parity with the gates: group sizes reach 2000 at
+                # n=50k, above the 1024 default — uncapped keeps the
+                # recorded pair counts the closed-form group-pair numbers
                 cnt = pairs.count()
             else:
                 assets = video_assets(spark, n).persist()
