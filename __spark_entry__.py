@@ -1700,6 +1700,57 @@ def q_wav_envelope(spark, sf):  # the stdlib WAV-PCM codec driven
     )
 
 
+def q_flac_envelope(spark, sf):  # the stdlib FLAC codec driven end-to-end
+    # on REAL COMPRESSED container bytes (r13 VERDICT item 4 — the first
+    # audio gate whose payload is not PCM): the wav_envelope clip verbatim
+    # — 16 constant segments at amplitude ((doc_id*31+i) % 20)/20 — but
+    # encoded as FLAC (functions/flac.py: fixed-predictor subframes, Rice
+    # residuals, CRC-8/16 + STREAMINFO MD5), decoded back through the
+    # full frame parser, and reduced to the 16-bin RMS envelope. FLAC is
+    # LOSSLESS and quantizes float input exactly like encode_wav's 16-bit
+    # path, so the oracle is wav_envelope's closed form UNCHANGED — the
+    # gif_luma property (exact values through a real compression
+    # roundtrip) transferred to audio.
+    from eth2dgraph_spark.functions.flac import synthetic_envelope_flac_udf
+
+    flac_env = synthetic_envelope_flac_udf()
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.select("doc_id", F.posexplode(flac_env("doc_id"))).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("bin"),
+        _r6e("col").alias("rms"),
+    )
+
+
+def q_audio_near_dups_flac(spark, sf):  # the audio near-dup chain on REAL
+    # FLAC container bytes — the same pipeline as audio_near_dups reached
+    # through the magic-byte dispatch (_decode_audio_samples_stdlib:
+    # fLaC -> functions/flac.py decode_flac). synthetic_clip_flac_udf
+    # carries EXACTLY the WAV gate's clip (same amplitudes, same 16-bit
+    # quantization; FLAC lossless), so both containers decode to
+    # bit-identical float32 samples and the WAV gate's collision property
+    # transfers verbatim: distinct (group, frame) signatures cannot
+    # collide, and the output is exactly the closed-form same-group pair
+    # set with n_shared=3 (the oracle is the same doc_id self-join).
+    from eth2dgraph_spark.functions.flac import synthetic_clip_flac_udf
+    from eth2dgraph_spark.pipeline.multimodal import audio_near_pairs
+
+    clip = synthetic_clip_flac_udf()
+    # repartition BEFORE the synth UDF (the video/image gates' measured
+    # pattern): FLAC pays a real per-row Rice decode; spread doc_ids
+    # parallelize synth and audio_fingerprints' min_partitions floor
+    # passes through without a second shuffle
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        clip("doc_id").alias("payload"),
+    )
+    return audio_near_pairs(assets, frame_ms=200, min_shared=2)
+
+
 def q_avi_luma(spark, sf):  # the stdlib uncompressed-AVI codec driven
     # end-to-end on REAL container bytes, one synthesized 2-frame 8x8 clip
     # per document: pooled block b of frame f is the constant gray
@@ -3799,8 +3850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
     # round-12 notes).
     return {
-        # --- round-12 window (entries 1-50) ---
+        # --- round-13 window (entries 1-50; final rotation at round end) ---
         # (a) NEW this round:
+        "flac_envelope": q_flac_envelope,
+        "audio_near_dups_flac": q_audio_near_dups_flac,
         "jpeg_luma": q_jpeg_luma,
         "gif_luma": q_gif_luma,
         "video_near_dups_gif": q_video_near_dups_gif,
@@ -6484,6 +6537,10 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup_stream": _minhash_cross_stream_oracle(threshold=0.5),
         "ppr_ranks": _ppr_oracle(num_iter=4, damping=0.85),
         "wav_envelope": _WAV_ENVELOPE_ORACLE,
+        "flac_envelope": _WAV_ENVELOPE_ORACLE,  # FLAC lossless + same 16-bit
+        # quantization => the wav closed form replays unchanged
+        "audio_near_dups_flac": _VIDEO_NEAR_DUPS_ORACLE,  # same closed form:
+        # group pairs, n_shared=3 (the containers decode bit-identically)
         "avi_luma": _AVI_LUMA_ORACLE,
         "video_near_dups": _VIDEO_NEAR_DUPS_ORACLE,
         # same closed form: pixel-identical frames in both containers

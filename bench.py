@@ -123,6 +123,10 @@ HEADLINE = [
     "video_near_dups_gif",
     "image_near_dups_jpeg",
     "image_dedup_stream",
+    # round-13 additions: the stdlib FLAC codec roundtrip and its
+    # near-dup arm — extras, same policy
+    "flac_envelope",
+    "audio_near_dups_flac",
     # the iterative localCheckpoint queries run LAST: their checkpointed
     # RDDs are released asynchronously by the ContextCleaner, and that
     # cleanup measurably degrades whatever runs next (byte_kernels measured
@@ -205,6 +209,8 @@ COMPARABLE_29 = [
     "image_dedup_stream",
     "sssp_targeted",
     "betweenness_landmarks",
+    "flac_envelope",
+    "audio_near_dups_flac",
     }
 ]
 

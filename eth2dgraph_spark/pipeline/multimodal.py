@@ -574,14 +574,30 @@ def _decode_audio_wav(payload: bytes | None) -> np.ndarray:
     return rms_envelope(samples)
 
 
+def _decode_audio_stdlib(payload: bytes | None) -> np.ndarray:
+    """Magic-byte dispatch over the stdlib audio codecs (the
+    _decode_video_gray_stdlib pattern): RIFF -> WAV-PCM (functions/wav.py),
+    fLaC -> FLAC (functions/flac.py — fixed/LPC prediction + Rice
+    residuals, CRC + MD5 verified). Both decode to the same normalized
+    float32 (n, ch) contract, then the shared 16-bin RMS envelope.
+    Anything else raises, so decode_features marks the row 'error'."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    from eth2dgraph_spark.functions.wav import rms_envelope
+
+    samples, _rate = _decode_audio_samples_stdlib(payload)
+    return rms_envelope(samples)
+
+
 def default_audio_decoder() -> tuple[Callable[[bytes | None], np.ndarray], str]:
-    """soundfile when present (any libsndfile format); otherwise the stdlib
-    WAV-PCM codec — a REAL container-bytes decode path in every
-    environment, labeled 'ok' (the default_image_decoder discipline: the
-    byte-histogram stub remains available by explicit injection)."""
+    """soundfile when present (any libsndfile format); otherwise the
+    stdlib codecs by magic-byte dispatch (WAV-PCM + FLAC) — a REAL
+    container-bytes decode path in every environment, labeled 'ok' (the
+    default_image_decoder discipline: the byte-histogram stub remains
+    available by explicit injection)."""
     if HAS_SOUNDFILE:
         return _decode_audio_sf, "ok"
-    return _decode_audio_wav, "ok"
+    return _decode_audio_stdlib, "ok"
 
 
 def decode_audio_features(
@@ -1008,6 +1024,19 @@ def video_near_pairs(
 
 # ------------------------------------------------------- audio near-dup
 
+def _decode_audio_samples_stdlib(payload: "bytes | None") -> "tuple[np.ndarray, int]":
+    """(samples (n, ch) float32, rate) by magic-byte dispatch over the
+    stdlib codecs: RIFF -> WAV-PCM, fLaC -> FLAC. Both normalize
+    identically (bps-bit signed / 2^(bps-1)), so a clip encoded in either
+    container fingerprints to the SAME signature — the cross-container
+    property the audio_near_dups_flac gate pins end-to-end."""
+    if payload and bytes(payload[:4]) == b"fLaC":
+        from eth2dgraph_spark.functions.flac import decode_flac
+
+        return decode_flac(payload)
+    return _decode_audio_samples_wav(payload)
+
+
 def _decode_audio_samples_wav(payload: "bytes | None") -> "tuple[np.ndarray, int]":
     """(samples (n, ch) float32, rate) from the stdlib WAV codec — the
     fingerprint-grade decode (decode_audio_features pools the whole clip
@@ -1047,7 +1076,7 @@ def audio_fingerprints(
     if frame_ms < 1:
         raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
     if decoder is None:
-        decoder, ok_label = _decode_audio_samples_wav, "ok"
+        decoder, ok_label = _decode_audio_samples_stdlib, "ok"
     elif ok_label is None:
         ok_label = "ok"
 

@@ -84,6 +84,11 @@ def test_relational_queries_stay_jvm_side(spark):
         # synthetic_clip_gif_udf + the production video phash kernel)
         "gif_luma",
         "video_near_dups_gif",
+        # round-13 FLAC-codec gates: real FLAC container bytes
+        # Rice-encoded and frame-decoded per row (flac.synthetic_* UDFs
+        # + the production fingerprint kernel)
+        "flac_envelope",
+        "audio_near_dups_flac",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
