@@ -231,6 +231,58 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+def sample_landmarks(
+    edges: DataFrame,
+    k: int,
+    by: str = "degree",
+    src: str = "src",
+    dst: str = "dst",
+    seed: int = 7,
+) -> DataFrame:
+    """(node): a k-landmark sample for the sampled-centrality kernels
+    (harmonic_closeness_sampled, betweenness_landmarks). Two policies:
+
+    - by="degree" (default): the k highest-TOTAL-degree nodes, ties
+      broken by node id (deterministic). This is the policy the r12
+      zipfian soak MEASURED as the operational one: on the α=1.5 graph
+      at n=2M, tail landmarks (out-degree 1) start pseudo-random chains
+      hundreds of hops deep — BFS truncated at max_iter=40 after 129 s,
+      converged=false — while the two highest-degree landmarks converge
+      in 11 levels / 82 s (BASELINE.md round-12 notes). High-degree
+      sources also cover the most shortest-path mass per landmark, the
+      standard pivot-selection guidance (Brandes-Pich 2007 evaluate
+      degree-biased pivots among their strategies).
+    - by="random": hash-deterministic uniform sample — order by
+      xxhash64(node, seed) and take k. Deterministic across runs and
+      partitionings (no RAND(), so gates/oracles can replay it); use
+      when landmark bias in the estimate matters more than depth.
+
+    Both run as a TakeOrdered over the distinct node set (k is small by
+    construction — this is a SAMPLER), so no full sort materializes at
+    100 TB; the degree pass is the one-shuffle degrees() aggregate."""
+    if k < 1:
+        raise ValueError(f"sample_landmarks: k must be >= 1, got {k}")
+    if by == "degree":
+        return (
+            degrees(edges, src, dst)
+            .orderBy(F.col("degree").desc(), F.col("node"))
+            .limit(k)
+            .select("node")
+        )
+    if by == "random":
+        nodes = (
+            edges.select(F.col(src).cast("string").alias("node"))
+            .union(edges.select(F.col(dst).cast("string").alias("node")))
+            .distinct()
+        )
+        return (
+            nodes.orderBy(F.xxhash64(F.col("node"), F.lit(seed)), F.col("node"))
+            .limit(k)
+            .select("node")
+        )
+    raise ValueError(f"sample_landmarks: unknown policy {by!r} (degree|random)")
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -694,7 +746,9 @@ def harmonic_closeness_sampled(
     "s<sep>s" — so per-landmark distances ride the same frontier loop
     with state O(k·V) instead of k driver-sequenced runs paying k x the
     per-round action floor. `sep` must not occur in node ids (ValueError
-    if a landmark contains it)."""
+    if a landmark contains it). For landmark CHOICE prefer
+    sample_landmarks(edges, k, by="degree") — see its docstring for the
+    measured depth receipt on skewed graphs."""
     lm = landmarks.select(F.col("node").cast("string").alias("_s")).distinct()
     if lm.filter(F.col("_s").contains(sep)).limit(1).count() > 0:
         raise ValueError(f"landmark ids must not contain separator {sep!r}")
@@ -1110,7 +1164,11 @@ def betweenness_landmarks(
     δ_s(s); a landmark CAN appear with positive betweenness when it lies
     on another landmark's shortest paths, exactly per the formula.
     Only nodes with positive dependency appear (leaves of every DAG
-    don't); outer-join a vertex table downstream if zeros matter."""
+    don't); outer-join a vertex table downstream if zeros matter.
+    Landmark choice drives the round count: prefer
+    sample_landmarks(edges, k, by="degree") — tail landmarks start
+    chains hundreds of BFS levels deep on skewed graphs (the measured
+    r12 truncation receipt in sample_landmarks' docstring)."""
     lm = landmarks.select(F.col("node").cast("string").alias("_s")).distinct()
     if lm.filter(F.col("_s").contains(sep)).limit(1).count() > 0:
         raise ValueError(f"landmark ids must not contain separator {sep!r}")

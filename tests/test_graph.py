@@ -1222,3 +1222,48 @@ def test_shortest_paths_targeted_unreachable_and_fixpoint(spark):
     }
     assert got == {"c": 2.0}
     assert stats["early_stopped"] is False and stats["converged"] is True
+
+
+def test_sample_landmarks_degree_and_random(spark):
+    from eth2dgraph_spark.graph import sample_landmarks
+
+    # degrees: b=4 (3 out + 1 in), a=3, c=3, d=2 -> top-2 = b, then the
+    # a/c tie breaks by node id (a)
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("b", "d"), ("a", "b"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    top = [r["node"] for r in sample_landmarks(edges, 2, by="degree").collect()]
+    assert top == ["b", "a"]
+    # random: deterministic across calls and partitionings, k distinct
+    r1 = sorted(r["node"] for r in sample_landmarks(edges, 3, by="random").collect())
+    r2 = sorted(
+        r["node"]
+        for r in sample_landmarks(edges.repartition(5), 3, by="random").collect()
+    )
+    assert r1 == r2 and len(set(r1)) == 3
+    assert set(r1) <= {"a", "b", "c", "d"}
+    # a different seed may pick a different set but stays deterministic
+    r3 = sorted(
+        r["node"] for r in sample_landmarks(edges, 3, by="random", seed=99).collect()
+    )
+    assert len(set(r3)) == 3
+    with pytest.raises(ValueError, match="k must be"):
+        sample_landmarks(edges, 0)
+    with pytest.raises(ValueError, match="unknown policy"):
+        sample_landmarks(edges, 2, by="pagerank")
+
+
+def test_sample_landmarks_feed_betweenness(spark):
+    """The helper's output plugs straight into betweenness_landmarks
+    (schema contract) and picks the hub of a star graph."""
+    from eth2dgraph_spark.graph import betweenness_landmarks, sample_landmarks
+
+    rows = [("h", f"x{i}") for i in range(5)] + [(f"x{i}", "h") for i in range(5)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    lm = sample_landmarks(edges, 1, by="degree")
+    assert [r["node"] for r in lm.collect()] == ["h"]
+    out = betweenness_landmarks(edges, lm, max_iter=5)
+    # from the hub every x_i is reached directly: no intermediate node
+    # carries dependency, so the result is empty — the contract holds
+    assert out.count() == 0

@@ -151,7 +151,7 @@ def main() -> None:
             print(f"# alpha={alpha} harmonic: {rec['harmonic']}", file=sys.stderr)
         if "betweenness" in OPS:
             # 2 landmarks keep the product graph at 2x edges. Landmarks =
-            # the two HIGHEST-degree nodes (ranks 0 and 1) — the realistic
+            # sample_landmarks(by='degree') — the realistic
             # degree-biased sampling choice, and the one that keeps BFS
             # depth O(log n) on this graph: a TAIL landmark (out-degree 1)
             # starts a pseudo-random chain hundreds of hops deep (measured:
@@ -161,7 +161,9 @@ def main() -> None:
             # under test is the per-level DAG slice join vs the hub fan-out.
             from eth2dgraph_spark.graph import betweenness_landmarks
 
-            lm2 = spark.range(0, 2).selectExpr("CAST(id AS STRING) AS node")
+            from eth2dgraph_spark.graph import sample_landmarks
+
+            lm2 = sample_landmarks(edges, 2, by="degree")
             st3: dict = {}
             t0 = time.time()
             cnt = betweenness_landmarks(edges, lm2, max_iter=40, stats=st3).count()
