@@ -1448,6 +1448,70 @@ def q_betweenness_landmarks(spark, sf):  # landmark-sampled Brandes
     return betweenness_landmarks(edges, lm, max_iter=6)
 
 
+def q_betweenness_weighted(spark, sf):  # WEIGHTED Brandes betweenness
+    # (r13 VERDICT item 7 — closes the one centrality-family asymmetry:
+    # betweenness_landmarks is hop-count by design) over a 3-level
+    # supplier graph whose dependency values have a CLOSED FORM, built so
+    # the gate FAILS under hop-count semantics: two roots R/R2 (identical
+    # edges — batching arm, everything doubles, n_sources=2) -> hubs
+    # (key 25g, w=2) -> the group's 24 members (w=3, so dist 5 via hub),
+    # plus per-member DIRECT root edges that pin the weighted DAG rules:
+    #   k%5==1: direct w=5  TIES the 2-hop path  -> sigma=2 across
+    #           DIFFERENT hop counts (the exact-hop sigma accumulation),
+    #           hub contribution 1/2;
+    #   k%5==2: direct w=4  WINS (4 < 5)         -> hub edge drops;
+    #   k%5==3: direct w=7  LOSES (7 > 5)        -> direct edge drops —
+    #           hop-count Brandes would route 1-hop here, so an
+    #           unweighted engine hash-mismatches;
+    # members with k%10==5 carry a w=1 leaf (delta=1, the (1+delta)
+    # chain), and hub_g -> hub_{g+1} w=10 edges are non-shortest (2 < 12,
+    # the weighted DAG filter). All terms are exact binary halves. The
+    # general algorithm is pinned separately by the randomized
+    # Dijkstra-Brandes test (tests/test_graph.py).
+    from eth2dgraph_spark.graph import betweenness_weighted
+
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 7, "0")
+
+    grp = F.floor(k / 25)
+    hubs = s.filter(k % 25 == 0)
+    members = s.filter(k % 25 != 0)
+    parts_list = []
+    for root in ("R", "R2"):
+        parts_list.append(
+            hubs.select(F.lit(root).alias("src"), pad(k).alias("dst"), F.lit(2.0).alias("w"))
+        )
+        for rem, w in ((1, 5.0), (2, 4.0), (3, 7.0)):
+            parts_list.append(
+                members.filter(k % 5 == rem).select(
+                    F.lit(root).alias("src"), pad(k).alias("dst"), F.lit(w).alias("w")
+                )
+            )
+    parts_list.append(
+        members.select(pad(grp * 25).alias("src"), pad(k).alias("dst"), F.lit(3.0).alias("w"))
+    )
+    parts_list.append(
+        hubs.select(pad(k).alias("src"), (k + 25).alias("nk"))
+        .join(s.select(F.col("s_suppkey").alias("nk")), "nk", "left_semi")
+        .select("src", pad(F.col("nk")).alias("dst"), F.lit(10.0).alias("w"))
+    )
+    parts_list.append(
+        members.filter(k % 10 == 5).select(
+            pad(k).alias("src"),
+            F.concat(F.lit("x"), pad(k)).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    edges = parts_list[0]
+    for p in parts_list[1:]:
+        edges = edges.unionByName(p)
+    lm = spark.createDataFrame([("R",), ("R2",)], "node string")
+    return betweenness_weighted(edges, lm, weight="w", max_iter=8)
+
+
 def q_sssp_paths(spark, sf):  # SSSP with PATH RECONSTRUCTION (Dgraph's
     # `shortest` returns the path, not the length): same graph/seeds as
     # sssp_dists but through graph.shortest_path_tree, which also emits
@@ -3854,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) NEW this round:
         "flac_envelope": q_flac_envelope,
         "audio_near_dups_flac": q_audio_near_dups_flac,
+        "betweenness_weighted": q_betweenness_weighted,
         "jpeg_luma": q_jpeg_luma,
         "gif_luma": q_gif_luma,
         "video_near_dups_gif": q_video_near_dups_gif,
@@ -5643,6 +5708,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS node,
                    2.0 AS betweenness, 2::BIGINT AS n_sources
+            FROM mem WHERE k % 10 = 5""",
+        "betweenness_weighted": """
+            WITH mem AS (
+                SELECT s_suppkey AS k, s_suppkey // 25 AS g,
+                       CAST(CASE WHEN s_suppkey % 5 = 1 THEN 0.5
+                                 WHEN s_suppkey % 5 = 2 THEN 0.0
+                                 ELSE 1.0 + (CASE WHEN s_suppkey % 10 = 5
+                                                  THEN 1.0 ELSE 0.0 END)
+                            END AS DOUBLE) AS contrib
+                FROM supplier WHERE s_suppkey % 25 <> 0),
+            grp AS (SELECT g, sum(contrib) AS dep FROM mem GROUP BY g),
+            hubs AS (
+                SELECT s.s_suppkey AS k, grp.dep
+                FROM supplier s JOIN grp ON grp.g = s.s_suppkey // 25
+                WHERE s.s_suppkey % 25 = 0)
+            SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS node,
+                   CAST(2.0 * dep AS DOUBLE) AS betweenness,
+                   2::BIGINT AS n_sources
+            FROM hubs WHERE dep > 0
+            UNION ALL
+            SELECT lpad(CAST(k AS VARCHAR), 7, '0') AS node,
+                   CAST(2.0 AS DOUBLE) AS betweenness, 2::BIGINT AS n_sources
             FROM mem WHERE k % 10 = 5""",
         "sssp_paths": """
             WITH RECURSIVE e0 AS (

@@ -162,6 +162,9 @@ HEADLINE = [
     # same end-of-run placement policy
     "sssp_targeted",
     "betweenness_landmarks",
+    # round-13: weighted Brandes (SSSP + sigma/delta DAG rounds, all
+    # localCheckpoint) — same end-of-run placement policy
+    "betweenness_weighted",
 ]
 
 # The 29 queries benched identically since round 1 — the cross-round /
@@ -211,6 +214,7 @@ COMPARABLE_29 = [
     "betweenness_landmarks",
     "flac_envelope",
     "audio_near_dups_flac",
+    "betweenness_weighted",
     }
 ]
 

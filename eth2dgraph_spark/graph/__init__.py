@@ -1290,6 +1290,180 @@ def betweenness_landmarks(
     return out
 
 
+def betweenness_weighted(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: "str | None" = None,
+    max_iter: int = 30,
+    checkpoint_dir: "str | None" = None,
+    sep: str = "|",
+    stats: "dict | None" = None,
+) -> DataFrame:
+    """(node, betweenness, n_sources): landmark-sampled betweenness over
+    WEIGHTED shortest paths — the Brandes (2001) weighted variant, closing
+    the one asymmetry in the centrality family (betweenness_landmarks is
+    hop-count by design; harmonic and the SSSP family were already
+    weighted). Directed edges; weights must be STRICTLY positive
+    (ValueError otherwise — a zero-weight cycle would make the
+    shortest-path "DAG" cyclic and σ infinite); parallel (u, v) edges
+    collapse to their minimum weight (simple-graph semantics, matching
+    shortest_paths' min-relaxation). Prefer INTEGER-VALUED weights: the
+    DAG membership test dist(u) + w == dist(v) is exact float64 equality,
+    which integer sums satisfy bit-for-bit while arbitrary floats may
+    disagree across summation orders (documented contract, pinned by the
+    gate's integer weights and the randomized textbook pin).
+
+    Where unweighted Brandes rides BFS levels, the weighted DAG has no
+    integer levels, so the kernel runs three phases over the
+    landmark-composite product graph ("s<sep>u" ids, the harmonic trick):
+
+    1. Converged weighted dist via shortest_paths (delta-stepping-
+       flavored Bellman-Ford; rounds = weighted-tree hop depth).
+    2. σ over the shortest-path DAG (edges with dist(u) + w == dist(v),
+       materialized once) by EXACT-HOP frontier propagation: frontier_t
+       carries the count of shortest paths with exactly t DAG edges;
+       equal-weight paths of DIFFERENT hop counts reach a node in
+       different rounds and SUM — σ(v) is the union-aggregate over all
+       rounds. D = rounds until the frontier empties.
+    3. δ by D full-recompute rounds of the Brandes recurrence
+       δ(u) = Σ_{(u,v)∈DAG} σ(u)/σ(v) · (1 + δ(v)): after t rounds the
+       value is exact for every node whose reverse DAG depth <= t, and
+       any node's reverse depth is <= D (its downstream path extends
+       backward to a source, giving a source-rooted path phase 2 walked).
+       Each round joins the FULL ratio-tagged DAG against the previous
+       δ frame — the structural cost of weighted levels vs the
+       unweighted kernel's per-level slices (a dist-ordered sweep would
+       need one round per DISTINCT dist value, typically far more than D).
+
+    max_iter bounds all three phases; stats records
+    {'sssp_iterations', 'sigma_hops', 'converged'}. Same output contract
+    as betweenness_landmarks: only nodes with positive dependency appear,
+    sources report no δ_s(s), landmark ids must not contain `sep`."""
+    lm = landmarks.select(F.col("node").cast("string").alias("_s")).distinct()
+    if lm.filter(F.col("_s").contains(sep)).limit(1).count() > 0:
+        raise ValueError(f"landmark ids must not contain separator {sep!r}")
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e0 = (
+        edges.select(
+            F.col(src).cast("string").alias("_u"),
+            F.col(dst).cast("string").alias("_v"),
+            wcol.alias("_w"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .groupBy("_u", "_v")
+        .agg(F.min("_w").alias("_w"))
+    )
+    if e0.filter(F.col("_w") <= 0).limit(1).count() > 0:
+        raise ValueError("betweenness_weighted: weights must be strictly positive")
+    tagged = (
+        e0.join(F.broadcast(lm))
+        .select(
+            F.concat(F.col("_s"), F.lit(sep), F.col("_u")).alias("src"),
+            F.concat(F.col("_s"), F.lit(sep), F.col("_v")).alias("dst"),
+            F.col("_w").alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds = lm.select(F.concat(F.col("_s"), F.lit(sep), F.col("_s")).alias("node"))
+    st1: dict = {}
+    dist = shortest_paths(
+        tagged,
+        seeds,
+        weight="w",
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        stats=st1,
+    )
+    # phase 2: the weighted shortest-path DAG, built once
+    du = dist.select(F.col("node").alias("_su"), F.col("dist").alias("_du"))
+    dv = dist.select(F.col("node").alias("_sv"), F.col("dist").alias("_dv"))
+    dag = (
+        tagged.join(du, tagged.src == du["_su"])
+        .join(dv, tagged.dst == dv["_sv"])
+        .filter(F.col("_du") + F.col("w") == F.col("_dv"))
+        .select(F.col("_su").alias("u"), F.col("_sv").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()
+    tagged.unpersist()
+    # σ by exact-hop frontier propagation
+    frontier = _truncator(seeds.withColumn("sigma", F.lit(1.0)), checkpoint_dir)
+    sig_frames = [frontier]
+    hops, converged = 0, False
+    for _ in range(max_iter):
+        nxt = _truncator(
+            dag.join(frontier, dag.u == frontier.node)
+            .select(F.col("v").alias("node"), "sigma")
+            .groupBy("node")
+            .agg(F.sum("sigma").alias("sigma")),
+            checkpoint_dir,
+        )
+        if nxt.isEmpty():
+            converged = True
+            break
+        hops += 1
+        sig_frames.append(nxt)
+        frontier = nxt
+    sig = sig_frames[0]
+    for fr in sig_frames[1:]:
+        sig = sig.unionByName(fr)
+    sig = _truncator(
+        sig.groupBy("node").agg(F.sum("sigma").alias("sigma")), checkpoint_dir
+    )
+    # phase 3: ratio-tagged DAG + D full-recompute Brandes rounds
+    gu = sig.select(F.col("node").alias("_gun"), F.col("sigma").alias("_gu"))
+    gv = sig.select(F.col("node").alias("_gvn"), F.col("sigma").alias("_gv"))
+    dag2 = (
+        dag.join(gu, dag.u == gu["_gun"])
+        .join(gv, dag.v == gv["_gvn"])
+        .select("u", "v", (F.col("_gu") / F.col("_gv")).alias("ratio"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag2.count()
+    dag.unpersist()
+    delta = None
+    for _ in range(hops):
+        if delta is None:
+            contrib = dag2.withColumn("_dn", F.lit(0.0))
+        else:
+            contrib = dag2.join(
+                delta.select(F.col("node").alias("v"), F.col("delta").alias("_dn")),
+                "v",
+                "left",
+            ).withColumn("_dn", F.coalesce(F.col("_dn"), F.lit(0.0)))
+        delta = _truncator(
+            contrib.groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.col("ratio") * (1.0 + F.col("_dn"))).alias("delta")),
+            checkpoint_dir,
+        )
+    dag2.unpersist()
+    if stats is not None:
+        stats["sssp_iterations"] = st1.get("iterations")
+        stats["sigma_hops"] = hops
+        stats["converged"] = bool(st1.get("converged")) and converged
+    if delta is None:
+        return lm.limit(0).select(
+            F.col("_s").alias("node"),
+            F.lit(0.0).alias("betweenness"),
+            F.lit(0).cast("long").alias("n_sources"),
+        )
+    import re as _re
+
+    parts = F.split(F.col("node"), _re.escape(sep), 2)
+    return (
+        delta.filter(F.col("delta") > 0)
+        .select(parts.getItem(0).alias("_seed"), parts.getItem(1).alias("_node"), "delta")
+        .filter(F.col("_seed") != F.col("_node"))  # Brandes: no δ_s(s)
+        .groupBy(F.col("_node").alias("node"))
+        .agg(
+            F.sum("delta").alias("betweenness"),
+            F.countDistinct("_seed").alias("n_sources"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph — 1-row (n_triangles).
 

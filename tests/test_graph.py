@@ -1267,3 +1267,142 @@ def test_sample_landmarks_feed_betweenness(spark):
     # from the hub every x_i is reached directly: no intermediate node
     # carries dependency, so the result is empty — the contract holds
     assert out.count() == 0
+
+
+def _python_weighted_brandes(edges, sources):
+    """Textbook weighted Brandes (Dijkstra + σ, then dependency sweep in
+    settled order) — the independent pin for betweenness_weighted."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    best = {}
+    for u, v, w in edges:
+        if u != v:
+            key = (u, v)
+            if key not in best or w < best[key]:
+                best[key] = w
+    for (u, v), w in best.items():
+        adj[u].append((v, w))
+    total = defaultdict(float)
+    for s in sources:
+        dist, sigma, preds = {s: 0.0}, defaultdict(float), defaultdict(list)
+        sigma[s] = 1.0
+        settled_order = []
+        done = set()
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u in done:
+                continue
+            done.add(u)
+            settled_order.append(u)
+            for v, w in adj[u]:
+                nd = d + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    sigma[v] = sigma[u]
+                    preds[v] = [u]
+                    heapq.heappush(pq, (nd, v))
+                elif nd == dist[v]:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = defaultdict(float)
+        for v in reversed(settled_order):
+            for u in preds[v]:
+                delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if v != s and delta[v] > 0:
+                total[v] += delta[v]
+    return dict(total)
+
+
+def test_betweenness_weighted_randomized_textbook_pin(spark):
+    """Random weighted digraphs (integer weights 1..3 force equal-weight
+    ties across DIFFERENT hop counts — the exact-hop σ accumulation under
+    test) against the pure-Python Dijkstra-Brandes."""
+    import random
+
+    from eth2dgraph_spark.graph import betweenness_weighted
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = 14
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        seen = set()
+        for _ in range(40):
+            u, v = rng.sample(nodes, 2)
+            if (u, v) not in seen:
+                seen.add((u, v))
+                edges.append((u, v, float(rng.randint(1, 3))))
+        sources = rng.sample(nodes, 2)
+        want = _python_weighted_brandes(edges, sources)
+        edf = spark.createDataFrame(edges, "src string, dst string, w double")
+        lm = spark.createDataFrame([(s,) for s in sources], "node string")
+        st: dict = {}
+        got = {
+            r["node"]: r["betweenness"]
+            for r in betweenness_weighted(edf, lm, weight="w", max_iter=40, stats=st).collect()
+        }
+        assert st["converged"], (trial, st)
+        assert set(got) == set(want), (trial, sorted(got), sorted(want))
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (trial, k)
+
+
+def test_betweenness_weighted_prefers_light_path_over_fewer_hops(spark):
+    """The semantics the unweighted kernel cannot express: s->m direct
+    (1 hop, weight 7) loses to s->h->m (2 hops, weight 5), so ALL
+    dependency lands on h; hop-count Brandes would put none there."""
+    from eth2dgraph_spark.graph import betweenness_landmarks, betweenness_weighted
+
+    edges = spark.createDataFrame(
+        [("s", "m", 7.0), ("s", "h", 2.0), ("h", "m", 3.0), ("m", "t", 1.0)],
+        "src string, dst string, w double",
+    )
+    lm = spark.createDataFrame([("s",)], "node string")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_weighted(edges, lm, weight="w").collect()
+    }
+    assert got == {"h": 2.0, "m": 1.0}  # h carries m AND t; m carries t
+    un = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_landmarks(edges, lm).collect()
+    }
+    assert un == {"m": 1.0}  # hop-count Brandes: direct 1-hop edge wins
+
+
+def test_betweenness_weighted_equal_weight_different_hops_sigma(spark):
+    """σ across hop levels: s->m (weight 5) ties s->h->m (2+3) — σ(m)=2,
+    so δ(h) = 1/2 · (1 + δ(m)); m carries a leaf so δ(m) = 1."""
+    from eth2dgraph_spark.graph import betweenness_weighted
+
+    edges = spark.createDataFrame(
+        [("s", "m", 5.0), ("s", "h", 2.0), ("h", "m", 3.0), ("m", "t", 1.0)],
+        "src string, dst string, w double",
+    )
+    lm = spark.createDataFrame([("s",)], "node string")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_weighted(edges, lm, weight="w").collect()
+    }
+    # σ(m)=2, σ(t)=2 -> δ(m) = (2/2)·(1+0) = 1; δ(h) = (1/2)·(1+δ(m)) = 1
+    assert got == {"h": 1.0, "m": 1.0}
+
+
+def test_betweenness_weighted_rejections(spark):
+    from eth2dgraph_spark.graph import betweenness_weighted
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0)], "src string, dst string, w double"
+    )
+    lm = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="strictly positive"):
+        betweenness_weighted(edges, lm, weight="w")
+    lm_bad = spark.createDataFrame([("a|b",)], "node string")
+    edges_ok = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="separator"):
+        betweenness_weighted(edges_ok, lm_bad, weight="w")
