@@ -3914,24 +3914,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py at sf0.01 (full sweep recorded in BASELINE.md
     # round-12 notes).
     return {
-        # --- round-13 window (entries 1-50; final rotation at round end) ---
+        # --- round-13 window (entries 1-50) ---
+        # Window policy (the standing freshness rule + VERDICT r12 item
+        # 1): (a) the 3 gates NEW this round (flac_envelope /
+        # audio_near_dups_flac — the stdlib FLAC codec end-to-end;
+        # betweenness_weighted — weighted Brandes, closing the
+        # centrality-family asymmetry); (b) the 7 whose CODE changed
+        # since their last driver row (gif_luma / video_near_dups_gif —
+        # RGB-compositing local-palette fix in functions/gif.py + the
+        # repartition-before-synth pattern; video_near_dups /
+        # image_near_dups — gate-level repartition + the
+        # min_partitions engine floor; audio_near_dups /
+        # audio_near_frames / audio_dedup_stream — audio_fingerprints'
+        # engine floor + the fLaC magic-dispatch default decoder);
+        # (c) the 3 r9 fills displaced from the r12 window by its new
+        # gates (min_cost_lineitem, waiting_supplier, unpivot_metrics —
+        # named at the r12 boundary); (d) the r9-cohort overflow in
+        # registry order (try_funcs .. interface_jaccard, 37 of 40 —
+        # last driver-certified in r9, the oldest cohort). The overflow
+        # remainder (large_orders, length_histogram, minhash_signatures)
+        # leads round 14's rotation (named at the boundary below).
+        # Every gate outside the window is re-verified locally this
+        # round via tools/check_oracle.py at sf0.01 (full sweep recorded
+        # in BASELINE.md round-13 notes).
         # (a) NEW this round:
         "flac_envelope": q_flac_envelope,
         "audio_near_dups_flac": q_audio_near_dups_flac,
         "betweenness_weighted": q_betweenness_weighted,
-        "jpeg_luma": q_jpeg_luma,
+        # (b) code changed since their last driver row:
         "gif_luma": q_gif_luma,
         "video_near_dups_gif": q_video_near_dups_gif,
+        "video_near_dups": q_video_near_dups,
+        "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
+        "audio_near_frames": q_audio_near_frames,
+        "audio_dedup_stream": q_audio_dedup_stream,
+        # (c) r9 fills displaced from the r12 window:
+        "min_cost_lineitem": q_min_cost_lineitem,
+        "waiting_supplier": q_waiting_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        # (d) the r9-cohort overflow, registry order (37 of 40):
+        "try_funcs": q_try_funcs,
+        "regexp_funcs": q_regexp_funcs,
+        "date_funcs": q_date_funcs,
+        "null_funcs": q_null_funcs,
+        "explode_outer": q_explode_outer,
+        "rep_stats": q_rep_stats,
+        "segment_stats": q_segment_stats,
+        "coreness_capped": q_coreness_capped,
+        "small_qty_avg": q_small_qty_avg,
+        "recent_part_suppliers": q_recent_part_suppliers,
+        "bpe_merges": q_bpe_merges,
+        "windowed_append": q_windowed_append,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "stream_join": q_stream_join,
+        "cluster_reps": q_cluster_reps,
+        "script_profile": q_script_profile,
+        "entropy_profile": q_entropy_profile,
+        "wordpiece_encode": q_wordpiece_encode,
+        "dedup_clusters": q_dedup_clusters,
+        "lpa_communities": q_lpa_communities,
+        "pagerank_ranks": q_pagerank_ranks,
+        "khop_reach": q_khop_reach,
+        "kcore_2rounds": q_kcore_2rounds,
+        "modularity": q_modularity,
+        "ann_topk": q_ann_topk,
+        "approx_sketches": q_approx_sketches,
+        "boilerplate_clean": q_boilerplate_clean,
+        "boilerplate_stats": q_boilerplate_stats,
+        "brand_supplier_count": q_brand_supplier_count,
+        "cosine_ngram_pairs": q_cosine_ngram_pairs,
+        "custdist": q_custdist,
+        "decontam": q_decontam,
+        "embedding_near_dups": q_embedding_near_dups,
+        "heavy_hitters": q_heavy_hitters,
+        "important_parts": q_important_parts,
+        "interface_jaccard": q_interface_jaccard,
+        # ================= 50-gate window boundary (entry 50 ends) =======
+        # Round-14's leading rotation target: the r9-overflow remainder
+        # (large_orders, length_histogram, minhash_signatures), then the
+        # r10 cohort in prior registry order below.
+        "jpeg_luma": q_jpeg_luma,
         "image_near_dups_jpeg": q_image_near_dups_jpeg,
         "image_dedup_stream": q_image_dedup_stream,
         "sssp_targeted": q_sssp_targeted,
         "betweenness_landmarks": q_betweenness_landmarks,
-        # (b) code changed since their r11 driver row:
-        "image_near_dups": q_image_near_dups,
         "sssp_route": q_sssp_route,
         "msf_edges": q_msf_edges,
         "sl_clusters": q_sl_clusters,
-        # (c) the 35-gate r8-stale overflow (round-11 VERDICT item 1):
         "fingerprint": q_fingerprint,
         "first_per_key": q_first_per_key,
         "format_roundtrips": q_format_roundtrips,
@@ -3967,34 +4038,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "tumbling_window": q_tumbling_window,
         "unigram_encode": q_unigram_encode,
-        # (d) r9 cohort, registry order (7 of 41 fit):
         "sliding_window": q_sliding_window,
         "map_funcs": q_map_funcs,
         "lateral_topk": q_lateral_topk,
         "window_ignore_nulls": q_window_ignore_nulls,
-        # ================= 50-gate window boundary (entry 50 ends) =======
-        # (min_cost_lineitem was the 5th r9 fill until video_near_dups_gif
-        # — a NEW gate — displaced it under the freshness rule)
-        "min_cost_lineitem": q_min_cost_lineitem,
-        # (waiting_supplier was the 6th r9 fill until gif_luma — a NEW
-        # gate — displaced it under the freshness rule)
-        "waiting_supplier": q_waiting_supplier,
-        # (unpivot_metrics was the 7th r9 fill until image_dedup_stream —
-        # a NEW gate this round — displaced it under the freshness rule;
-        # it leads round 13's r9-overflow rotation block below)
-        "unpivot_metrics": q_unpivot_metrics,
-        # Below: the r11-certified cohort first (sssp_dists ..
-        # audio_dedup_stream), then the r7/r8/r9/r10 cohorts in prior
-        # registry order — every one re-verified by the full local sweep.
-        # Round-13's leading rotation target is the 34-gate r9-cohort
-        # overflow (try_funcs through minhash_signatures below — last
-        # driver-certified in r9, the oldest cohort after this rotation).
         "sssp_dists": q_sssp_dists,
         "sssp_paths": q_sssp_paths,
         "harmonic_landmarks": q_harmonic_landmarks,
-        "audio_near_frames": q_audio_near_frames,
         "cross_dedup_stream": q_cross_dedup_stream,
-        "audio_dedup_stream": q_audio_dedup_stream,
         "dsir_weights": q_dsir_weights,
         "filter_agg": q_filter_agg,
         "graph_degrees": q_graph_degrees,
@@ -4035,50 +4086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "event_gaps": q_event_gaps,
         "events_extrema": q_events_extrema,
-        "try_funcs": q_try_funcs,
-        "regexp_funcs": q_regexp_funcs,
-        "date_funcs": q_date_funcs,
-        "null_funcs": q_null_funcs,
-        "explode_outer": q_explode_outer,
-        "rep_stats": q_rep_stats,
-        "segment_stats": q_segment_stats,
-        "coreness_capped": q_coreness_capped,
-        "small_qty_avg": q_small_qty_avg,
-        "recent_part_suppliers": q_recent_part_suppliers,
-        "bpe_merges": q_bpe_merges,
-        "windowed_append": q_windowed_append,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "stream_join": q_stream_join,
-        "cluster_reps": q_cluster_reps,
-        "script_profile": q_script_profile,
-        "entropy_profile": q_entropy_profile,
-        "wordpiece_encode": q_wordpiece_encode,
-        "dedup_clusters": q_dedup_clusters,
-        "lpa_communities": q_lpa_communities,
-        "pagerank_ranks": q_pagerank_ranks,
-        "khop_reach": q_khop_reach,
-        "kcore_2rounds": q_kcore_2rounds,
-        "modularity": q_modularity,
-        "ann_topk": q_ann_topk,
-        "approx_sketches": q_approx_sketches,
-        "boilerplate_clean": q_boilerplate_clean,
-        "boilerplate_stats": q_boilerplate_stats,
-        "brand_supplier_count": q_brand_supplier_count,
-        "cosine_ngram_pairs": q_cosine_ngram_pairs,
-        "custdist": q_custdist,
-        "decontam": q_decontam,
-        "embedding_near_dups": q_embedding_near_dups,
-        "heavy_hitters": q_heavy_hitters,
-        "important_parts": q_important_parts,
-        "interface_jaccard": q_interface_jaccard,
         "large_orders": q_large_orders,
         "length_histogram": q_length_histogram,
         "minhash_signatures": q_minhash_signatures,
         "wav_envelope": q_wav_envelope,
         "avi_luma": q_avi_luma,
-        "video_near_dups": q_video_near_dups,
-        "audio_near_dups": q_audio_near_dups,
         "hits_scores": q_hits_scores,
         "line_profile": q_line_profile,
         "ppr_ranks": q_ppr_ranks,
