@@ -15,7 +15,7 @@ Payloads are synthesized INSIDE the fingerprint job (mapInPandas over a
 range — the soak_r10_scale discipline: no driver-side generation loop).
 
 Usage: python tools/soak_multimodal_r10.py     (one JSON line)
-  SOAK_SIZES=5000,50000  SOAK_OPS=audio,video,image,jpeg to restrict.
+  SOAK_SIZES=5000,50000  SOAK_OPS=audio,video,image,jpeg,flac to restrict.
 """
 
 from __future__ import annotations
@@ -64,6 +64,50 @@ def audio_assets(spark, n):
                             v = (g * 31 + f * 16 + b * 7) % 256
                         amps.extend([v / 255.0] * 25)
                 payloads.append(encode_wav(np.array(amps), 1000))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"].astype("int64"),
+                    "modality": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(kernel, "asset_id long, modality string, payload binary")
+    )
+
+
+def flac_assets(spark, n):
+    """Round-13 FLAC arm: EXACTLY audio_assets' clip per group, FLAC-
+    encoded — the codec under test is the per-row Rice decode inside
+    audio_fingerprints' magic dispatch; identical fingerprints to the
+    WAV arm (lossless + WAV-identical quantization), so pair counts
+    must MATCH the audio arm at every n (a cross-container soak
+    invariant, not just a wall-clock number)."""
+    from eth2dgraph_spark.functions.flac import encode_flac
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                g = group_of(int(i))
+                amps = []
+                for f in range(3):
+                    for b in range(8):
+                        if b == 0:
+                            v = g % 256
+                        elif b == 1:
+                            v = (g // 256) % 256
+                        elif b == 2:
+                            v = (g // 65536) % 256
+                        elif b == 3:
+                            v = f * 80
+                        else:
+                            v = (g * 31 + f * 16 + b * 7) % 256
+                        amps.extend([v / 255.0] * 25)
+                payloads.append(encode_flac(np.array(amps), 1000))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["id"].astype("int64"),
@@ -195,6 +239,12 @@ def main() -> None:
             if op == "audio":
                 assets = audio_assets(spark, n).persist()
                 assets.count()
+                t0 = time.time()
+                pairs = audio_near_pairs(assets, frame_ms=200, min_shared=2)
+                cnt = pairs.count()
+            elif op == "flac":
+                assets = flac_assets(spark, n).persist()
+                assets.count()  # synth cost excluded: the DECODE is under test
                 t0 = time.time()
                 pairs = audio_near_pairs(assets, frame_ms=200, min_shared=2)
                 cnt = pairs.count()
