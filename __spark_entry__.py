@@ -1778,7 +1778,12 @@ def q_flac_envelope(spark, sf):  # the stdlib FLAC codec driven end-to-end
     from eth2dgraph_spark.functions.flac import synthetic_envelope_flac_udf
 
     flac_env = synthetic_envelope_flac_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # spread the per-row encode->decode roundtrip (single parquet split
+    # otherwise — the jpeg/gif luma gates' measured pattern; FLAC pays a
+    # real per-row Rice encode+decode: 5.07-5.26 s single-split draws)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", F.posexplode(flac_env("doc_id"))).select(
         "doc_id",
         F.col("pos").cast("long").alias("bin"),
