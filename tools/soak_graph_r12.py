@@ -28,7 +28,7 @@
 
 Usage: python tools/soak_graph_r12.py
        SOAK_N=2000000 SOAK_M=4000000 SOAK_ALPHAS=1.1,1.5
-       SOAK_OPS=sssp,msf,harmonic,betweenness,targeted
+       SOAK_OPS=sssp,msf,harmonic,betweenness,betweenness_weighted,targeted
 """
 
 from __future__ import annotations
@@ -173,6 +173,28 @@ def main() -> None:
                 **st3,
             }
             print(f"# alpha={alpha} betweenness: {rec['betweenness']}", file=sys.stderr)
+        if "betweenness_weighted" in OPS:
+            # round-13: the weighted variant on the same zipfian graph
+            # (the chain weights w=src%7+1 already ride zipf_edges) —
+            # the scale question is the D full-DAG backward rounds vs
+            # the unweighted kernel's per-level slices
+            from eth2dgraph_spark.graph import betweenness_weighted, sample_landmarks as _sl
+
+            lmw = _sl(edges, 2, by="degree")
+            st4: dict = {}
+            t0 = time.time()
+            cnt = betweenness_weighted(
+                edges, lmw, weight="w", max_iter=40, stats=st4
+            ).count()
+            rec["betweenness_weighted"] = {
+                "wall_s": round(time.time() - t0, 2),
+                "nodes_with_dependency": cnt,
+                **st4,
+            }
+            print(
+                f"# alpha={alpha} betweenness_weighted: {rec['betweenness_weighted']}",
+                file=sys.stderr,
+            )
         out["alphas"][str(alpha)] = rec
         spark.stop()
 
