@@ -25,7 +25,9 @@ Bitstream per the public spec (RFC 9639 / xiph.org format docs):
 - encode_flac: 16/8-bit, 1..8 channels, fixed-blocking frames (u16
   explicit block size), per-channel subframe choice CONSTANT / best
   FIXED order 0..4 by exact Rice cost / VERBATIM fallback, single-
-  partition Rice residuals, real CRC-8/16 and MD5.
+  partition Rice residuals, per-frame STEREO DECORRELATION (exact-bit
+  argmin over independent / left-side / right-side / mid-side), real
+  CRC-8/16 and MD5.
 
 Correctness pinning: FLAC's losslessness makes the encoder->decoder
 roundtrip self-healing against SYMMETRIC prediction bugs (residual =
@@ -535,11 +537,68 @@ def _write_rice(bw: _BitWriter, res: np.ndarray, k: int) -> None:
             bw.write(1, v + 1)
 
 
+def _plan_subframe(x: np.ndarray, eff: int):
+    """(cost_bits, plan) for one channel signal at `eff` sample bits:
+    plan is ('const',) | ('verbatim',) | ('fixed', order, res, k). The
+    exact bit cost (8-bit subframe header included) is what the stereo
+    decorrelation chooser compares across channel assignments."""
+    n = len(x)
+    if (x == x[0]).all():
+        return 8 + eff, ("const",)
+    best = None  # (cost, order, res, k)
+    diffs = x
+    for order in range(min(4, n - 1) + 1):
+        if order:
+            diffs = np.diff(diffs)
+        res = diffs  # Δ^order x = the residuals at positions order..n-1
+        u = (res << 1) ^ (res >> 63)
+        if len(u) == 0:
+            continue
+        if int(u.max()) >= (1 << 40):
+            continue  # pathological growth; higher orders only worse
+        k, cost = _best_rice_k(u)
+        cost += 8 + order * eff + 2 + 4 + 4  # headers + warmup + residual hdr
+        if best is None or cost < best[0]:
+            best = (cost, order, res.copy(), k)
+    verb_cost = 8 + n * eff
+    if best is None or best[0] >= verb_cost:
+        return verb_cost, ("verbatim",)
+    cost, order, res, k = best
+    return cost, ("fixed", order, res, k)
+
+
+def _write_subframe(bw: _BitWriter, x: np.ndarray, eff: int, plan) -> None:
+    if plan[0] == "const":
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(int(x[0]), eff)
+        return
+    if plan[0] == "verbatim":
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in x.tolist():
+            bw.write(int(v), eff)
+        return
+    _, order, res, k = plan
+    bw.write(0, 1)
+    bw.write(8 + order, 6)  # FIXED order
+    bw.write(0, 1)  # no wasted bits
+    for v in x[:order].tolist():
+        bw.write(int(v), eff)
+    bw.write(0, 2)  # residual method 0 (4-bit Rice)
+    bw.write(0, 4)  # partition order 0
+    bw.write(k, 4)
+    _write_rice(bw, res, k)
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     """Encode samples — (n,) mono or (n, ch) float in [-1, 1] (or already
     int16/int8) — as real FLAC bytes: fixed 4096-sample blocking, per-
     channel CONSTANT / best-FIXED-order(0..4) / VERBATIM subframes with
-    single-partition Rice residuals, frame CRC-8/16, STREAMINFO MD5.
+    single-partition Rice residuals, per-frame stereo decorrelation by
+    exact bit cost, frame CRC-8/16, STREAMINFO MD5.
     Float input quantizes exactly like encode_wav's 16-bit path
     (round, clip), so a clip encoded both ways decodes to IDENTICAL
     float32 samples — the cross-container parity the fingerprint gates
@@ -584,13 +643,51 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     for fi, start in enumerate(range(0, n_total, _BLOCK)):
         blk = x64[start : start + _BLOCK]
         n = blk.shape[0]
+        # channel assignment: mono/multichannel -> independent; STEREO ->
+        # exact-bit-cost argmin over the four spec assignments (the
+        # decorrelation decision real encoders make per frame — side =
+        # l - r collapses correlated channels, mid/side anti-correlated
+        # ones; ties break toward the smallest code = independent, so
+        # decorrelation only engages when it strictly saves bits)
+        if ch == 2:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            planned = {
+                sig_id: _plan_subframe(sig, eff)
+                for sig_id, (sig, eff) in {
+                    "l": (left, bits),
+                    "r": (right, bits),
+                    "s": (side, bits + 1),
+                    "m": (mid, bits),
+                }.items()
+            }
+            layouts = {
+                1: (("l", left, bits), ("r", right, bits)),
+                8: (("l", left, bits), ("s", side, bits + 1)),
+                9: (("s", side, bits + 1), ("r", right, bits)),
+                10: (("m", mid, bits), ("s", side, bits + 1)),
+            }
+            ch_code = min(
+                layouts,
+                key=lambda c: (sum(planned[t[0]][0] for t in layouts[c]), c),
+            )
+            subframes = [
+                (sig, eff, planned[sid][1]) for sid, sig, eff in layouts[ch_code]
+            ]
+        else:
+            ch_code = ch - 1
+            subframes = [
+                (blk[:, c], bits, _plan_subframe(blk[:, c], bits)[1])
+                for c in range(ch)
+            ]
         bw = _BitWriter()
         bw.write(0b11111111111110, 14)
         bw.write(0, 1)  # reserved
         bw.write(0, 1)  # fixed blocking
         bw.write(7, 4)  # block size: u16 n-1 at header end
         bw.write(sr_code, 4)
-        bw.write(ch - 1, 4)  # independent channels
+        bw.write(ch_code, 4)
         bw.write(4 if bits == 16 else 1, 3)
         bw.write(0, 1)  # reserved
         for byte in _utf8ish_encode(fi):
@@ -598,49 +695,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         bw.write(n - 1, 16)
         bw.write(sr_field, sr_bits)
         bw.write(_crc8(bytes(bw.buf)), 8)
-
-        for c in range(ch):
-            x = blk[:, c]
-            if n > 0 and (x == x[0]).all():
-                bw.write(0, 1)
-                bw.write(0, 6)  # CONSTANT
-                bw.write(0, 1)
-                bw.write(int(x[0]), bits)
-                continue
-            # best fixed order by exact single-partition Rice cost
-            best = None  # (cost, order, res, k)
-            diffs = x
-            for order in range(min(4, n - 1) + 1):
-                if order:
-                    diffs = np.diff(diffs)
-                res = diffs  # Δ^order x = the residuals at positions order..n-1
-                u = (res << 1) ^ (res >> 63)
-                if len(u) == 0:
-                    continue
-                if int(u.max()) >= (1 << 40):
-                    continue  # pathological growth; higher orders only worse
-                k, cost = _best_rice_k(u)
-                cost += order * bits + 2 + 4 + 4  # warmup + residual headers
-                if best is None or cost < best[0]:
-                    best = (cost, order, res.copy(), k)
-            verb_cost = n * bits
-            if best is None or best[0] >= verb_cost:
-                bw.write(0, 1)
-                bw.write(1, 6)  # VERBATIM
-                bw.write(0, 1)
-                for v in x.tolist():
-                    bw.write(int(v), bits)
-                continue
-            _, order, res, k = best
-            bw.write(0, 1)
-            bw.write(8 + order, 6)  # FIXED order
-            bw.write(0, 1)  # no wasted bits
-            for v in x[:order].tolist():
-                bw.write(int(v), bits)
-            bw.write(0, 2)  # residual method 0 (4-bit Rice)
-            bw.write(0, 4)  # partition order 0
-            bw.write(k, 4)
-            _write_rice(bw, res, k)
+        for sig, eff, plan in subframes:
+            _write_subframe(bw, sig, eff, plan)
         bw.align()
         body = bw.getvalue()
         frames += body

@@ -392,3 +392,74 @@ def test_decode_audio_features_flac(spark):
     got = {r["asset_id"]: r for r in multimodal.decode_audio_features(assets).collect()}
     assert got[1]["decode_ok"] == "ok" and len(got[1]["feature"]) == 16
     assert got[2]["decode_ok"] == "error"
+
+
+# ------------------------------------------------- stereo decorrelation
+
+
+def _frame_ch_code(enc: bytes) -> int:
+    """Channel-assignment nibble of the FIRST frame header (byte 3 of
+    the frame, which starts right after the 42-byte fLaC+STREAMINFO)."""
+    assert enc[42] == 0xFF  # sync
+    return enc[45] >> 4
+
+
+def test_encoder_picks_decorrelation_and_roundtrips():
+    """Each stereo construction forces a different winning assignment;
+    all four roundtrip bit-exactly through the production decoder (the
+    decoder's decorrelation paths now see full encoder streams, not
+    just the hand-built single frames)."""
+    # the shared base is INCOMPRESSIBLE (random), so fixed predictors
+    # can't flatten it and the assignment choice is decisive — a smooth
+    # base ties all four at near-zero cost
+    rs = np.random.RandomState(11)
+    w = rs.randint(-12000, 12000, size=3000)
+    e1 = rs.randint(-3, 4, size=3000)
+    e2 = rs.randint(-3, 4, size=3000)
+
+    # identical channels: side == 0 (CONSTANT); left/side and mid/side
+    # tie, and the deterministic tie-break takes the smaller code 8
+    st = np.stack([w, w], axis=1).astype(np.int16)
+    enc = encode_flac(st, 8000)
+    assert _frame_ch_code(enc) == 8
+    dec, _ = decode_flac(enc)
+    assert np.array_equal(dec, st.astype(np.float32) / 32768.0)
+    # and decorrelation actually pays: well under two independent channels
+    assert len(enc) < 0.6 * len(encode_flac(
+        rs.randint(-12000, 12000, size=(3000, 2)).astype(np.int16), 8000))
+
+    # right = left + tiny noise: one full channel + a tiny side
+    st2 = np.stack([w, w + e1], axis=1).astype(np.int16)
+    enc2 = encode_flac(st2, 8000)
+    assert _frame_ch_code(enc2) in (8, 9, 10)
+    dec2, _ = decode_flac(enc2)
+    assert np.array_equal(dec2, st2.astype(np.float32) / 32768.0)
+
+    # anti-correlated: mid = (l+r)>>1 is tiny while side/left/right are
+    # all full-entropy -> mid/side wins uniquely (odd l+r parities ride
+    # the side low-bit re-injection)
+    st3 = np.stack([w + e1, -w + e2], axis=1).astype(np.int16)
+    enc3 = encode_flac(st3, 8000)
+    assert _frame_ch_code(enc3) == 10
+    dec3, _ = decode_flac(enc3)
+    assert np.array_equal(dec3, st3.astype(np.float32) / 32768.0)
+
+    # independent random channels: decorrelation cannot help -> code 1
+    st4 = rs.randint(-32768, 32768, size=(3000, 2)).astype(np.int16)
+    enc4 = encode_flac(st4, 8000)
+    assert _frame_ch_code(enc4) == 1
+    dec4, _ = decode_flac(enc4)
+    assert np.array_equal(dec4, st4.astype(np.float32) / 32768.0)
+
+
+def test_decorrelated_multiframe_and_md5():
+    """Decorrelation decisions are PER FRAME; a 2.5-frame stereo stream
+    roundtrips with the MD5 end-to-end check engaged."""
+    rs = np.random.RandomState(5)
+    n = 4096 * 2 + 1500
+    left = (1500 * np.sin(np.arange(n) / 30.0)).astype(np.int64)
+    right = left + rs.randint(-2, 3, size=n)
+    st = np.stack([left, right], axis=1).astype(np.int16)
+    dec, rate = decode_flac(encode_flac(st, 44100))
+    assert rate == 44100
+    assert np.array_equal(dec, st.astype(np.float32) / 32768.0)
