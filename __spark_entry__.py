@@ -1881,7 +1881,15 @@ def q_audio_near_dups(spark, sf):  # audio near-dup END-TO-END on real
     from eth2dgraph_spark.pipeline.multimodal import audio_near_pairs
 
     clip = synthetic_clip_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the video/flac gates' measured
+    # pattern): documents is one input split at these sfs, so synth ran on
+    # one core — and since r14's eager cut in fingerprint_overlap_pairs
+    # the single-core synth sits on the critical path ONCE instead of
+    # hiding behind the duplicated subtree (measured pair: 3.77 s
+    # single-split-with-cut vs 3.01 before the cut vs spread+cut below)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("modality"),
@@ -2256,7 +2264,11 @@ def q_audio_near_frames(spark, sf):  # Hamming-TOLERANT audio matching on
     )
 
     clip = synthetic_drift_clip_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the video/flac gates' measured
+    # pattern — single-split input otherwise runs synth on one core)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("modality"),
@@ -2324,7 +2336,12 @@ def q_asset_cluster_reps(spark, sf):  # the full multimodal dedup POLICY
     from eth2dgraph_spark.pipeline.multimodal import video_near_pairs
 
     clip = synthetic_clip_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the video_near_dups gate's
+    # measured pattern — this composition gate was the last caller
+    # synthesizing AVI clips from the single-split documents scan)
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("modality"),
@@ -2363,7 +2380,12 @@ def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
     )
 
     clip = synthetic_clip_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the near-dup gates' measured
+    # pattern): H0's 4000-clip synth+fingerprint and the landing-file
+    # builds below otherwise run the WAV encode on one core
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def assets(ids):
         return ids.select(
@@ -2392,7 +2414,11 @@ def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
     tmp = tempfile.mkdtemp(prefix="audio_dedup_stream_")
     landing = os.path.join(tmp, "landing")
     for sub, frame in (("b1", b1), ("b2", b2)):
-        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+        # repartition(1), NOT coalesce(1): coalesce collapses the synth
+        # UDF into the single writer task (one-core encode); repartition
+        # keeps synth wide and shuffles only the finished payload bytes
+        # into the one landing file (r14 measured pattern)
+        frame.repartition(1).write.parquet(os.path.join(landing, sub))
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
         dd = os.path.join(landing, sub)
@@ -2444,7 +2470,12 @@ def q_image_dedup_stream(spark, sf):  # incremental IMAGE ingest PHYSICALLY
     )
 
     img = synthetic_jpeg_udf()
-    d = _t(spark, sf, "documents").select("doc_id")
+    # repartition BEFORE the synth UDF (the near-dup gates' measured
+    # pattern): H0's 4000-image JPEG synth+decode and the landing-file
+    # builds below otherwise run on one core
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def assets(ids):
         return ids.select(
@@ -2473,7 +2504,10 @@ def q_image_dedup_stream(spark, sf):  # incremental IMAGE ingest PHYSICALLY
     tmp = tempfile.mkdtemp(prefix="image_dedup_stream_")
     landing = os.path.join(tmp, "landing")
     for sub, frame in (("b1", b1), ("b2", b2)):
-        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+        # repartition(1), NOT coalesce(1): coalesce collapses the synth
+        # UDF into the single writer task (one-core JPEG encode);
+        # repartition keeps synth wide and shuffles only payload bytes
+        frame.repartition(1).write.parquet(os.path.join(landing, sub))
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
         dd = os.path.join(landing, sub)

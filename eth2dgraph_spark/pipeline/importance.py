@@ -459,6 +459,13 @@ def ppl_buckets(
             "rppl"
         ),
     )
+    # eager cut: TWO consumers read r (the percentile aggregate and the
+    # output projection), and without it each re-runs the whole
+    # ngram_lm_scores subtree — the count-table joins twice end to end
+    # (r14 plan audit: the before-plan carries the scoring subtree twice,
+    # ~16 Exchanges). The checkpoint holds (id, n_grams, rppl) only —
+    # corpus rows x 3 scalars, the guide-§8 lightweight-proxy shape.
+    r = r.localCheckpoint(eager=True)
     lo, hi = cuts
     cut_row = F.broadcast(
         r.where(F.col("rppl").isNotNull()).agg(

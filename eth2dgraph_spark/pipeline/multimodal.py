@@ -362,6 +362,7 @@ def phash_features(
     pixel_decoder: "Callable[[bytes | None], np.ndarray] | None" = None,
     hash_size: int = 8,
     dct_size: int = 32,
+    min_partitions: "int | None" = None,
 ) -> DataFrame:
     """(asset_id, phash, decode_ok) for image assets: decode payload ->
     grayscale pixel array -> phash64. The decoder contract returns a 2D
@@ -370,7 +371,15 @@ def phash_features(
     functions/jpeg.py, magic-byte dispatch) — a REAL perceptual decode
     in every environment; other formats degrade to 'error' rows. (The old byte-tiling stub is gone from the default chain: it
     hashed arbitrary bytes, not pixels — inject a decoder explicitly for
-    format-agnostic plumbing smoke tests.)"""
+    format-agnostic plumbing smoke tests.)
+
+    min_partitions forwards to the _floor_partitions contract (None =
+    floor at defaultParallelism, 0 = off, int = explicit floor) — the
+    same engine-level decode-parallelism floor audio_fingerprints and
+    video_frame_phashes already carry; the image kernel was the last
+    codec path without it (its batch gates repartitioned at the gate, but
+    foreachBatch callers arrive as one-split frames and decoded on one
+    core — r14 measured pair on image_dedup_stream)."""
     if pixel_decoder is None:
         if HAS_PIL:
             def pixel_decoder(payload):  # noqa: F811 — flag-resolved default
@@ -414,9 +423,9 @@ def phash_features(
                 }
             )
 
-    return assets.select("asset_id", "payload").mapInPandas(
-        kernel, schema="asset_id long, phash long, decode_ok string"
-    )
+    return _floor_partitions(
+        assets.select("asset_id", "payload"), min_partitions
+    ).mapInPandas(kernel, schema="asset_id long, phash long, decode_ok string")
 
 
 def phash_near_pairs(
@@ -900,7 +909,10 @@ def video_frame_phashes(
     absorbs pixel-level noise (re-encode, mild filtering), so downstream
     overlap counting can match frames EXACTLY on the hash — the property
     that makes video near-dup a postings problem instead of a pairwise
-    image-distance problem at 100 TB."""
+    image-distance problem at 100 TB.
+
+    min_partitions forwards to the _floor_partitions contract (None =
+    floor at defaultParallelism, 0 = off, int = explicit floor)."""
     if decoder is None:
         decoder, ok_label = _decode_video_gray_stdlib, "ok"
     elif ok_label is None:
@@ -969,8 +981,17 @@ def fingerprint_overlap_pairs(
     hashes — black frames, title cards, silence shared by every asset —
     would otherwise emit O(f^2) pair rows on single keys; dropped postings
     only UNDERCOUNT n_shared), then the triangular self-join on the
-    surviving postings. NULL hashes ('error' frames) never post."""
+    surviving postings. NULL hashes ('error' frames) never post.
+
+    The capped postings are eagerly localCheckpoint'ed before the
+    triangular self-join: both join arms read the SAME frame, and without
+    the cut each arm re-runs the whole upstream fingerprint chain — for
+    the production callers that chain is the mapInPandas codec decode,
+    i.e. the entire corpus decoded twice (r14 plan audit: two duplicate
+    MapInPandas subtrees in every near-dup gate plan). The checkpoint
+    holds (id, hash) longs only — the guide-§8 lightweight-proxy shape."""
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     fps_ = (
         frame_hashes.filter(F.col(hash_col).isNotNull())
@@ -981,16 +1002,20 @@ def fingerprint_overlap_pairs(
         fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_fh")))
         .filter((F.col("_n") > 1) & (F.col("_n") <= max_posting))
         .drop("_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = capped.select(F.col("id").alias("id_a"), "_fh")
     b = capped.select(F.col("id").alias("id_b"), "_fh")
-    return (
+    out = (
         a.join(b, "_fh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+        .localCheckpoint(eager=True)
     )
+    capped.unpersist()
+    return out
 
 
 def video_overlap_pairs(
@@ -1345,7 +1370,15 @@ def fingerprint_overlap_pairs_hamming(
     singleton postings are kept (a hash posted once can still match a NEAR
     hash posted elsewhere); `max_posting` bounds hot hashes the same way.
     `max_bucket=None` leaves banding uncapped (vocabulary-sized buckets);
-    pass dedup.DEFAULT_MAX_BAND_BUCKET for adversarial vocabularies."""
+    pass dedup.DEFAULT_MAX_BAND_BUCKET for adversarial vocabularies.
+
+    The capped postings are eagerly localCheckpoint'ed before the fan-out:
+    FOUR consumers read this frame (vals -> ident, vals -> the banding
+    kernel, and the two postings join arms), and without the cut each
+    re-runs the whole upstream fingerprint chain — the mapInPandas codec
+    decode for the production callers (r14 plan audit: the drift-audio
+    gate plan carried 14 duplicate Python-eval subtrees). The checkpoint
+    holds (id, hash) longs only."""
     from pyspark.sql.window import Window
 
     from .dedup import simhash_near_pairs
@@ -1361,6 +1394,7 @@ def fingerprint_overlap_pairs_hamming(
         fps_.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_fh")))
         .filter(F.col("_n") <= max_posting)
         .drop("_n")
+        .localCheckpoint(eager=True)
     )
     vals = capped.select("_fh").distinct()
     ident = vals.select(F.col("_fh").alias("_h1"), F.col("_fh").alias("_h2"))
