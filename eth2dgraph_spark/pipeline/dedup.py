@@ -456,6 +456,26 @@ def _minhash_from_x(xrows: DataFrame, num_hashes: int) -> DataFrame:
     return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _banded_sig_keys(sigs: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) LSH band rows from an (id, sig) frame — the shared
+    band construction of minhash_cross_pairs and its from-features sibling
+    (one definition so a stored signature bands EXACTLY like a fresh one)."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 # Band buckets larger than this are STAR-expanded (each member paired with
 # the bucket-min) instead of all-pairs expanded. A cluster of f documents
 # whose signatures are (near-)identical — templated pages, mirrors,
@@ -736,6 +756,15 @@ def simhash_near_pairs(
     each member against the bucket-min only. Exact-or-underestimated; the
     full clusters are reconstructed by connected components downstream."""
     banded = simhash_banded(signatures, max_hamming, num_chunks)
+    if max_bucket is None:
+        # eager cut before the triangular self-join: both arms read the
+        # SAME banded frame, and without it each arm re-runs the whole
+        # upstream signature chain — for phash_near_pairs callers that is
+        # the mapInPandas image decode of the entire corpus, twice (r14
+        # plan audit). The checkpoint holds (id, simhash, band, chunk)
+        # longs only — num_chunks x corpus rows, the same volume the
+        # capped branch already persists as `ann`.
+        banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "chunk")
     if max_bucket is None:
@@ -878,21 +907,7 @@ def minhash_cross_pairs(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         sigs = _minhash_from_x(ex, num_hashes)
-        banded = sigs.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
-                        )
-                        for b in range(num_bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("id", "bk.band", "bk.key")
-        return ex, banded
+        return ex, _banded_sig_keys(sigs, num_bands, rows_per_band)
 
     ex_n, band_n = prep(new_df)
     ex_h, band_h = prep(hist_df)
@@ -949,6 +964,121 @@ def minhash_cross_pairs(
     return out
 
 
+def minhash_doc_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig, hs): per-document MinHash signature (array<long>, the
+    minhash_cross_pairs construction verbatim) + DISTINCT xxhash64 shingle
+    set (array<long>, the exact-Jaccard verification evidence). This is
+    the row a near-dup HISTORY table stores instead of raw text — compute
+    once on arrival, band and verify forever after without touching the
+    document again (the fingerprint-table-not-text contract the multimodal
+    stream already follows). Eagerly localCheckpoint'ed: every caller
+    feeds it to >=2 consumers (banding + verification, or pair join +
+    history append), and the frame is id + num_hashes longs + one
+    distinct-shingle array — the guide-§8 lightweight-proxy shape."""
+    from pyspark.storagelevel import StorageLevel
+
+    ex = (
+        _exploded_shingles(df, id_col, text_col, k)
+        .select(
+            "id",
+            (_shingle_hash64(F.col("shingle")) % F.lit(_MINHASH_PRIME)).alias("x"),
+            F.xxhash64("shingle").alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = _minhash_from_x(ex, num_hashes)
+    hsets = (
+        ex.select("id", "h")
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    out = sigs.join(hsets, "id").localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
+
+
+def minhash_cross_pairs_from_features(
+    new_feats: DataFrame,
+    hist_feats: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    max_band_bucket: "int | None" = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """minhash_cross_pairs over PRECOMPUTED (id, sig, hs) feature frames
+    (minhash_doc_features): identical candidate set (the band keys are the
+    same sig slices via _banded_sig_keys), identical exact-Jaccard
+    verification (hs is the same distinct xxhash64 set; sz == size(hs)),
+    so the output is row-for-row the text-based function's — pinned by
+    test. The point is the streaming/incremental cost model: the history
+    side never re-shingles, so a batch pays O(batch + band-matched
+    history) instead of O(full history text) — the per-batch shape that
+    survives a 100 TB history."""
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // num_bands
+    bn = _banded_sig_keys(new_feats, num_bands, rows_per_band).select(
+        F.col("id").alias("new_id"), "band", "key"
+    )
+    band_h = _banded_sig_keys(hist_feats, num_bands, rows_per_band)
+    if max_band_bucket is None:
+        bh = band_h.select(F.col("id").alias("hist_id"), "band", "key")
+        cands = bn.join(bh, ["band", "key"]).select("new_id", "hist_id").distinct()
+    else:
+        w = Window.partitionBy("band", "key")
+        bh = (
+            band_h.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_min", F.min("id").over(w))
+            .select(F.col("id").alias("hist_id"), "band", "key", "_n", "_min")
+        )
+        small = bn.join(
+            bh.filter(F.col("_n") <= max_band_bucket), ["band", "key"]
+        ).select("new_id", "hist_id")
+        star = bn.join(
+            bh.filter(F.col("_n") > max_band_bucket)
+            .select("band", "key", F.col("_min").alias("hist_id"))
+            .distinct(),
+            ["band", "key"],
+        ).select("new_id", "hist_id")
+        cands = small.unionByName(star).distinct()
+    sn = (
+        new_feats.join(
+            cands.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
+        )
+        .select(
+            F.col("id").alias("new_id"),
+            F.col("hs").alias("hs_n"),
+            F.size("hs").alias("sz_n"),
+        )
+    )
+    sh = (
+        hist_feats.join(
+            cands.select(F.col("hist_id").alias("id")).distinct(), "id", "left_semi"
+        )
+        .select(
+            F.col("id").alias("hist_id"),
+            F.col("hs").alias("hs_h"),
+            F.size("hs").alias("sz_h"),
+        )
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_h"))
+    # shuffle_hash: the minhash_cross_pairs verification-join rationale
+    return (
+        cands.join(sn.hint("shuffle_hash"), "new_id")
+        .join(sh.hint("shuffle_hash"), "hist_id")
+        .withColumn("jaccard", inter / (F.col("sz_n") + F.col("sz_h") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "jaccard")
+    )
+
+
 def minhash_cross_pairs_stream(
     new_stream: DataFrame,
     initial_history: DataFrame,
@@ -956,7 +1086,11 @@ def minhash_cross_pairs_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     timeout_s: int = 600,
-    **minhash_kwargs,
+    k: int = DEFAULT_SHINGLE,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    max_band_bucket: "int | None" = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """PHYSICALLY-STREAMING incremental near-dup: execute
     minhash_cross_pairs per micro-batch of `new_stream` (foreachBatch,
@@ -964,10 +1098,19 @@ def minhash_cross_pairs_stream(
     `initial_history` and grows by each processed batch — so a doc in
     batch 2 pairs against both the original corpus and everything that
     arrived in batch 1. This is the op a 100 TB ingest actually runs: the
-    history lives as an append-only parquet table under `work_dir` (the
-    exact production shape — no driver-side state, no growing lineage;
-    each batch reads the table fresh), candidate pairs append to a second
-    parquet table, and the final result is one batch read of that table.
+    history lives as an append-only parquet table of PRECOMPUTED
+    (id, sig, hs) feature rows under `work_dir` (minhash_doc_features —
+    signature + distinct shingle-hash set; no driver-side state, no
+    growing lineage; each batch reads the table fresh), candidate pairs
+    append to a second parquet table, and the final result is one batch
+    read of that table. Storing features instead of raw text is the
+    load-bearing scale choice (r14): a text-table history re-shingled and
+    re-signed EVERY history document on EVERY batch — O(full history
+    text) per batch — while the feature table makes a batch cost
+    O(batch + band-matched history), the fingerprint-table-not-text
+    contract the multimodal stream (fingerprint_cross_pairs_stream) was
+    born with. Results are identical
+    (minhash_cross_pairs_from_features docstring, pinned by test).
 
     Semantics (deterministic given ordered input files): with batches
     B1..Bk arriving in order over initial history H0,
@@ -996,7 +1139,7 @@ def minhash_cross_pairs_stream(
     hist_dir = os.path.join(work_dir, "history")
     pairs_dir = os.path.join(work_dir, "pairs")
     (
-        initial_history.select(F.col(id_col), F.col(text_col))
+        minhash_doc_features(initial_history, id_col, text_col, k, num_hashes)
         .withColumn("_batch", F.lit(-1))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1009,10 +1152,18 @@ def minhash_cross_pairs_stream(
         hist = (
             sess.read.parquet(hist_dir)
             .filter(F.col("_batch") != batch_id)  # crash-replay: never self
-            .select(id_col, text_col)
+            .select("id", "sig", "hs")
         )
-        pairs = minhash_cross_pairs(
-            batch_df, hist, id_col=id_col, text_col=text_col, **minhash_kwargs
+        # feature the batch ONCE (localCheckpoint inside): the pair join
+        # and the history append both read this frame
+        feats = minhash_doc_features(batch_df, id_col, text_col, k, num_hashes)
+        pairs = minhash_cross_pairs_from_features(
+            feats,
+            hist,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            threshold=threshold,
+            max_band_bucket=max_band_bucket,
         )
         # pairs first, THEN the history write: a batch must never see
         # itself in history (that would create new x new pairs)
@@ -1024,8 +1175,7 @@ def minhash_cross_pairs_stream(
             .parquet(pairs_dir)
         )
         (
-            batch_df.select(F.col(id_col), F.col(text_col))
-            .withColumn("_batch", F.lit(batch_id))
+            feats.withColumn("_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
@@ -1054,6 +1204,8 @@ def minhash_cross_pairs_stream(
         # analysis-only probe plan (no job runs) and return it empty
         probe = minhash_cross_pairs(
             initial_history, initial_history,
-            id_col=id_col, text_col=text_col, **minhash_kwargs,
+            id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes,
+            num_bands=num_bands, threshold=threshold,
+            max_band_bucket=max_band_bucket,
         )
         return spark.createDataFrame([], probe.schema)

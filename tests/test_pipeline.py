@@ -1358,6 +1358,67 @@ def test_minhash_cross_pairs_bipartite_and_star_cap(spark):
     assert uncapped == {(100, i) for i in range(1, 6)}
 
 
+def test_minhash_cross_pairs_from_features_equivalence(spark):
+    """The feature-table path (minhash_doc_features +
+    minhash_cross_pairs_from_features — what the r14 stream history
+    stores) must reproduce the text path ROW FOR ROW, jaccard included,
+    under both the capped and uncapped band-bucket modes, including
+    after a parquet roundtrip of the feature rows (the history-table
+    lifecycle). This is the equivalence that lets the streaming history
+    stop re-shingling its full text per batch."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different unrelated words here entirely"),
+         (4, "the quick brown fox jumps over the hazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "the quick brown fox jumps over the lazy cat"),
+         (12, "zzz qqq www vvv uuu ttt sss rrr ppp ooo")],
+        "doc_id long, text string",
+    )
+    for cap in (None, 1):
+        want = sorted(
+            (r["new_id"], r["hist_id"], round(r["jaccard"], 9))
+            for r in dedup.minhash_cross_pairs(
+                new, hist, k=3, threshold=0.3, max_band_bucket=cap
+            ).collect()
+        )
+        nf = dedup.minhash_doc_features(new, k=3)
+        hf = dedup.minhash_doc_features(hist, k=3)
+        got = sorted(
+            (r["new_id"], r["hist_id"], round(r["jaccard"], 9))
+            for r in dedup.minhash_cross_pairs_from_features(
+                nf, hf, threshold=0.3, max_band_bucket=cap
+            ).collect()
+        )
+        assert got == want and len(want) > 0
+
+
+def test_minhash_doc_features_parquet_roundtrip(spark, tmp_path):
+    """Feature rows surviving the history table's parquet write/read must
+    band and verify identically (exact longs through the roundtrip)."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different unrelated words here entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    hf = dedup.minhash_doc_features(hist, k=3)
+    p = str(tmp_path / "feats")
+    hf.write.parquet(p)
+    hf2 = spark.read.parquet(p).select("id", "sig", "hs")
+    nf = dedup.minhash_doc_features(new, k=3)
+    got = {(r["new_id"], r["hist_id"]) for r in
+           dedup.minhash_cross_pairs_from_features(nf, hf2, threshold=0.8).collect()}
+    assert got == {(10, 1)}
+
+
 def test_line_profile_known_values(spark):
     """Hand-computed line-level signals; blank lines dropped; NULL/empty
     docs emit zeros, never NULLs or division errors."""
