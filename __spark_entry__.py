@@ -1014,14 +1014,27 @@ def q_quality_clf(spark, sf):  # pipeline: trained quality classifier
     # closed-form); positives = src0/src1 docs, the dsir_weights target
     # convention. Scores rounded 6dp on both engines: cross-partition
     # double-sum order is the only nondeterminism and it sits at ~1e-15.
+    from pyspark.storagelevel import StorageLevel
+
     from eth2dgraph_spark.pipeline import classifier
 
     d = _t(spark, sf, "documents")
     labeled = d.withColumn(
         "label", F.col("source").isin("src0", "src1").cast("double")
     )
-    w = classifier.train_quality_classifier(labeled, num_buckets=512, epochs=2)
-    s = classifier.quality_classifier_scores(d, w, num_buckets=512)
+    # ONE shared feature frame for train + score: the label column plays
+    # no part in l1_hashed_features, so training on `labeled` and scoring
+    # on `d` hash the identical corpus — without this the whole-corpus
+    # tokenize+hash+normalize ran twice (r14 plan audit: two duplicate
+    # feature subtrees). Persist is inside the timed query path; the
+    # feature rows are (id, bucket, x) scalars, not documents.
+    feats = classifier.l1_hashed_features(d, num_buckets=512).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = classifier.train_quality_classifier(
+        labeled, num_buckets=512, epochs=2, feats=feats
+    )
+    s = classifier.quality_classifier_scores(d, w, num_buckets=512, feats=feats)
     return s.select("id", _r6e("clf_score").alias("clf_score"))
 
 
@@ -3200,10 +3213,10 @@ def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     md5-derived pseudo-code (4 KB per document row), so timings are
     comparable across rounds. Not oracle-gated (keccak/CBOR aren't DuckDB-
     expressible); byte-exactness is covered by the golden CSV unit tests."""
-    from eth2dgraph_spark.functions.metadata import metadata_udf
+    from eth2dgraph_spark.functions import keccak as _kk
+    from eth2dgraph_spark.functions.metadata import split_and_decode_hex
     from eth2dgraph_spark.functions.ngrams import ngram_rows
-    from eth2dgraph_spark.functions.skeleton import skeleton_udf
-    from eth2dgraph_spark.functions.keccak import keccak256_udf
+    from eth2dgraph_spark.functions.skeleton import extract_skeleton_hex
 
     docs = _t(spark, sf, "documents")
     block = F.concat(
@@ -3216,12 +3229,43 @@ def q_byte_kernels(spark, sf):  # bench-only: the eth byte-kernel pipeline
     # for the kernel stage — the same layout a real distinct-bytecode frame
     # has after its dedup shuffle.
     frame = frame.repartition(spark.sparkContext.defaultParallelism)
-    enriched = (
-        frame.withColumn("_meta", metadata_udf(F.col("deployed_bytecode")))
-        .withColumn("skeleton", skeleton_udf(F.col("deployed_bytecode")))
-        .withColumn("skeleton_hash", keccak256_udf(F.col("skeleton")))
-        .persist()  # both agg branches read it; never recompute the UDFs
-    )
+
+    # ONE fused mapInPandas for the metadata/skeleton/keccak chain (r14,
+    # guide §4.1): the three-UDF form evaluated as TWO chained
+    # ArrowEvalPython nodes (meta+skeleton batch together; keccak depends
+    # on skeleton), so every 4 KB skeleton crossed the JVM<->Python
+    # boundary twice more than needed. The fused kernel runs the SAME
+    # batch entry points (split_and_decode_hex, extract_skeleton_hex,
+    # keccak256_batch via _to_raw — the exact metadata_udf/skeleton_udf/
+    # keccak256_udf bodies), so every value is bit-identical; the P6
+    # metadata decode stays in the workload, surfaced as the n_meta
+    # parity column. Bytecode now crosses the boundary once.
+    def _fused(batches):
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            codes = pdf["deployed_bytecode"]
+            metas = [split_and_decode_hex(c) for c in codes]  # P6
+            skels = [extract_skeleton_hex(c) for c in codes]  # P8
+            live = [(i, _kk._to_raw(s)) for i, s in enumerate(skels) if s is not None]
+            digests = _kk.keccak256_batch([r for _, r in live])  # P13
+            hashes = [None] * len(skels)
+            for (i, _), d in zip(live, digests):
+                hashes[i] = "0x" + d.hex()
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "skeleton": pd.Series(skels, dtype=object),
+                    "skeleton_hash": pd.Series(hashes, dtype=object),
+                    "n_meta": [
+                        sum(v is not None for v in m.values()) for m in metas
+                    ],
+                }
+            )
+
+    enriched = frame.mapInPandas(
+        _fused, "id long, skeleton string, skeleton_hash string, n_meta int"
+    ).persist()  # both agg branches read it; never recompute the kernels
     ng = ngram_rows(enriched, id_col="skeleton_hash", code_col="skeleton")
     return enriched.agg(
         F.count(F.lit(1)).alias("n_codes"),

@@ -85,9 +85,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
-    """Orient edges to (max, min); connect u and all smaller neighbors to the min."""
-    o = e.select(
+def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
+    """Orient edges to (max, min); connect u and all smaller neighbors to the min.
+
+    `oriented=True` skips the orientation pass WITH ITS SHUFFLE (the
+    distinct): safe exactly when the input is already (u > v) and
+    distinct — true for _large_star output, whose edges are (v, m) with
+    m = min(N(u) ∪ u) <= u < v and a trailing distinct. The CC round loop
+    passes it, removing one of the round's exchanges (r14, guide §2.4);
+    identical results pinned by test against oriented=False."""
+    o = e if oriented else e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
     m = o.groupBy("u").agg(F.min("v").alias("m"))
@@ -120,7 +127,7 @@ def connected_components(
     e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     prev_fp = None
     for _ in range(max_iter):
-        e2 = _truncator(_small_star(_large_star(e)), checkpoint_dir)
+        e2 = _truncator(_small_star(_large_star(e), oriented=True), checkpoint_dir)
         fp_row = e2.agg(
             F.count(F.lit(1)).alias("c"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),

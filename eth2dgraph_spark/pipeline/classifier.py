@@ -91,6 +91,7 @@ def train_quality_classifier(
     epochs: int = DEFAULT_EPOCHS,
     lr: float = DEFAULT_LR,
     l2: float = DEFAULT_L2,
+    feats: "DataFrame | None" = None,
 ) -> dict[int, float]:
     """Full-batch logistic-regression weights {bucket: w} from a labeled
     frame (label_col in {0, 1}; 1 = curated/target quality).
@@ -107,13 +108,22 @@ def train_quality_classifier(
     One persisted feature frame; per epoch: one groupBy(id) for margins,
     one groupBy(bucket) for the gradient, one driver collect bounded by
     num_buckets+1 rows. Raises on an empty or single-class labeled frame
-    (a silent constant classifier would pass every downstream filter)."""
+    (a silent constant classifier would pass every downstream filter).
+
+    `feats` (optional) is a precomputed l1_hashed_features(labeled) frame:
+    train-then-score callers tokenize+hash the SAME corpus twice without
+    it (once here, once in quality_classifier_scores) — pass one shared
+    persisted frame to both and the corpus feature build runs once. The
+    caller owns its lifecycle (this function only persists/unpersists the
+    frame it builds itself); the math is unchanged either way."""
     from pyspark.storagelevel import StorageLevel
 
     spark = labeled.sparkSession
-    feats = l1_hashed_features(labeled, text_col, id_col, num_buckets).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    own_feats = feats is None
+    if own_feats:
+        feats = l1_hashed_features(labeled, text_col, id_col, num_buckets).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     y = labeled.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
@@ -178,7 +188,8 @@ def train_quality_classifier(
             rows = [r for r in rows if r["bucket"] != -1]
             n_docs, n_pos = int(st["_n"]), int(st["_pos"] or 0)
             if n_docs == 0 or n_pos == 0 or n_pos == n_docs:
-                feats.unpersist()
+                if own_feats:
+                    feats.unpersist()
                 raise ValueError(
                     f"train_quality_classifier: need both classes among "
                     f"scorable docs, got {n_pos} positive of {n_docs}"
@@ -189,7 +200,8 @@ def train_quality_classifier(
             w_b = weights.get(b, 0.0)
             new_w[b] = w_b - lr * (float(r["g"]) / n_docs + l2 * w_b)
         weights = new_w
-    feats.unpersist()
+    if own_feats:
+        feats.unpersist()
     return weights
 
 
@@ -199,13 +211,17 @@ def quality_classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    feats: "DataFrame | None" = None,
 ) -> DataFrame:
     """(id, clf_score): sigmoid(w . x) per document under a trained weight
     dict — the corpus-scale pass: broadcast weight join + one groupBy(id).
     Documents with no grams are absent (unscorable; callers keep them,
-    the curate_corpus LM-stage convention)."""
+    the curate_corpus LM-stage convention). `feats` (optional) reuses a
+    precomputed l1_hashed_features(df) frame — see
+    train_quality_classifier; identical scores either way."""
     spark = df.sparkSession
-    feats = l1_hashed_features(df, text_col, id_col, num_buckets)
+    if feats is None:
+        feats = l1_hashed_features(df, text_col, id_col, num_buckets)
     wdf = F.broadcast(_weights_df(spark, weights or {num_buckets: 0.0}))
     margins = (
         feats.join(wdf, "bucket", "left")

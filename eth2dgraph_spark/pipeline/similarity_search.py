@@ -384,10 +384,22 @@ def _blocked_cosine_pairs(
 
     `members` must have (bucket_col, id, v) with v UNIT-NORMALIZED
     arrays (see _with_unit_vec; NULL v rows are dropped here, matching
-    the null-cosine threshold-filter semantics of the expression path)."""
+    the null-cosine threshold-filter semantics of the expression path).
+
+    The members frame is persisted for the duration and the thresholded
+    pair output eagerly localCheckpoint'ed (r14): THREE consumers read
+    members (the per-bucket size table and the left/right block arms),
+    and for the production callers the upstream chain is the embedding
+    normalization / IVF argmin assignment — without the cut that subtree
+    ran ~4x per query (the semantic_dedup before-plan carried 62
+    Exchanges). The checkpoint holds only qualifying (id_a, id_b,
+    cosine) rows — the guide-§8 lightweight-proxy shape."""
     import numpy as np
     import pandas as pd
 
+    from pyspark.storagelevel import StorageLevel
+
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
     id_type = dict(members.dtypes)["id"]
     sizes = (
         members.groupBy(bucket_col)
@@ -474,9 +486,13 @@ def _blocked_cosine_pairs(
             out.append(pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cos}))
         return pd.concat(out) if out else empty
 
-    return tagged.groupBy("_bkt", "_i", "_j").applyInPandas(
-        _kern, f"id_a {id_type}, id_b {id_type}, cosine double"
+    out = (
+        tagged.groupBy("_bkt", "_i", "_j")
+        .applyInPandas(_kern, f"id_a {id_type}, id_b {id_type}, cosine double")
+        .localCheckpoint(eager=True)
     )
+    members.unpersist()
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -547,12 +563,20 @@ def semantic_dedup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the argmin assignment: the over-cap count branch and the
+    # blocked-pairs members both read it, and its crossJoin+groupBy
+    # subtree is the expensive half of the query (r14 plan audit). The
+    # cut downstream in _blocked_cosine_pairs is eager, so the cache is
+    # released before this function returns.
     assigned = (
         base.crossJoin(F.broadcast(centroids))
         .withColumn("d2", d2)
         .groupBy("id", "v")
         .agg(F.min(F.struct("d2", "list_id")).alias("m"))
         .select("id", "v", F.col("m.list_id").alias("list_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_cluster_size is not None:
         # <= nlist count rows: broadcast-joined, no extra shuffle of assigned
@@ -562,10 +586,14 @@ def semantic_dedup_pairs(
             .filter(F.col("_n") <= max_cluster_size)
             .select("list_id")
         )
-        assigned = assigned.join(F.broadcast(ok), "list_id")
-    return _blocked_cosine_pairs(
-        _with_unit_vec(assigned.select("list_id", "id", "v")), "list_id", threshold
+        members = assigned.join(F.broadcast(ok), "list_id")
+    else:
+        members = assigned
+    out = _blocked_cosine_pairs(
+        _with_unit_vec(members.select("list_id", "id", "v")), "list_id", threshold
     )
+    assigned.unpersist()
+    return out
 
 
 def semantic_dedup(

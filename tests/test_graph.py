@@ -42,6 +42,27 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component"] for r in got} == {"n000"}
 
 
+def test_small_star_oriented_skip_equivalent(spark):
+    """oriented=True (the CC round loop's r14 shuffle skip) must be a pure
+    no-op on _large_star output: same rows as the orienting path, on a
+    graph with multi-component structure, reversed duplicates and a hub."""
+    from eth2dgraph_spark.graph import _canonical_undirected, _large_star, _small_star
+
+    raw = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "a"),
+         ("h", "x1"), ("h", "x2"), ("h", "x3"), ("x3", "x1"),
+         ("p", "q"), ("q", "r")],
+    )
+    ls = _large_star(_canonical_undirected(raw, "src", "dst"))
+    want = sorted((r["u"], r["v"]) for r in _small_star(ls).collect())
+    got = sorted((r["u"], r["v"]) for r in _small_star(ls, oriented=True).collect())
+    assert got == want and len(want) > 0
+    # and the precondition itself: large-star output is oriented + distinct
+    rows = [(r["u"], r["v"]) for r in ls.collect()]
+    assert all(u > v for u, v in rows) and len(rows) == len(set(rows))
+
+
 def test_duplicate_clusters_and_dedup(spark):
     docs = spark.createDataFrame(
         [("d1", "t"), ("d2", "t"), ("d3", "t"), ("d4", "u"), ("d5", "v")],
