@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _truncator(df: DataFrame, checkpoint_dir: "str | None"):
+def _truncator(df: DataFrame, checkpoint_dir: "str | None", lazy: bool = False):
     """Per-iteration lineage cut for the iterative kernels. Default:
     localCheckpoint(eager) — executor-local blocks, the measured-fast
     choice on a single machine, but NOT fault-tolerant: on a real
@@ -34,9 +34,19 @@ def _truncator(df: DataFrame, checkpoint_dir: "str | None"):
     job. Pass `checkpoint_dir` (HDFS/S3/shared path) to switch every cut
     to a RELIABLE checkpoint: same semantics, survives executor loss, at
     the cost of writing each round's frame to the shared store. Results
-    are identical either way (pinned by test)."""
+    are identical either way (pinned by test).
+
+    `lazy=True` (r14, guide §1.2 "don't compute things you throw away"):
+    defer the materializing count so the caller's convergence probe — an
+    aggregate/count that must touch EVERY partition — computes and caches
+    the blocks in ITS job, fusing the two per-round driver jobs into one.
+    Only valid when such a probe runs immediately after (a take/isEmpty
+    probe computes a partition subset and leaves the rest to a fill-in
+    job, refunding nothing). Local path only: a reliable RDD checkpoint
+    re-computes the frame inside its writer job unless it was
+    materialized first, so the reliable branch stays eager."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     # the resolved dir comes back scheme-qualified (file:/... or hdfs://...)
@@ -73,15 +83,30 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every neighbor strictly larger than u to min(N(u) ∪ {u})."""
+    """Connect every neighbor strictly larger than u to min(N(u) ∪ {u}).
+
+    One window over hash(u) instead of groupBy+join (r14, guide §2.4):
+    the per-u min table and its join back onto the neighbor list were
+    keyed identically, so the join re-shuffled the full neighbor list a
+    second time (plus sort-merge sorts) for a value the window computes
+    in place — and the neighbor-list union itself evaluated once per
+    consumer. Skew note: a hub u lands its neighbor rows in one window
+    partition, exactly as the old join on u did; min is duplicate- and
+    order-insensitive, WindowExec spills rather than OOMs.
+
+    Output rows are (v, m) with v > u >= m, i.e. already oriented
+    max-to-min. The trailing distinct was dropped with the join (r14):
+    duplicates — several u proposing the same (v, m) — are bounded by
+    the input row count and collapse in _small_star's trailing distinct,
+    so deduping here bought an extra exchange and nothing else.
+    Downstream must treat the output as an oriented MULTISET."""
     nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        nbrs.join(m, "u")
+        nbrs.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -89,19 +114,34 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
     """Orient edges to (max, min); connect u and all smaller neighbors to the min.
 
     `oriented=True` skips the orientation pass WITH ITS SHUFFLE (the
-    distinct): safe exactly when the input is already (u > v) and
-    distinct — true for _large_star output, whose edges are (v, m) with
-    m = min(N(u) ∪ u) <= u < v and a trailing distinct. The CC round loop
-    passes it, removing one of the round's exchanges (r14, guide §2.4);
-    identical results pinned by test against oriented=False."""
+    distinct): safe exactly when every input row already has u > v —
+    true for _large_star output, whose rows are (v, m) with
+    m = min(N(u) ∪ u) <= u < v. Duplicate input rows are harmless in
+    this mode (min is duplicate-insensitive; the trailing distinct
+    collapses repeats), so large_star's multiset output feeds straight
+    in. The CC round loop passes it (r14, guide §2.4); identical results
+    pinned by test against oriented=False.
+
+    Same window-for-groupBy+join rewrite as _large_star (r14): one
+    exchange of the edge list instead of two plus a join. The (u, m)
+    self-edge is emitted once per input ROW instead of once per distinct
+    u — the same set after the trailing distinct, which stays because
+    this output is the round's convergence-fingerprint frame."""
     o = e if oriented else e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
-    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    mv = F.min("v").over(Window.partitionBy("u"))
     moved = (
-        o.join(m, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(m.select("u", F.col("m").alias("v")))
+        o.withColumn("m", mv)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("x")
+        )
+        .select("x.u", "x.v")
     )
     return moved.filter(F.col("u") != F.col("v")).distinct()
 
@@ -127,7 +167,12 @@ def connected_components(
     e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     prev_fp = None
     for _ in range(max_iter):
-        e2 = _truncator(_small_star(_large_star(e), oriented=True), checkpoint_dir)
+        # lazy cut: the fingerprint agg below touches every partition, so
+        # it materializes the checkpoint blocks in the same driver job —
+        # one job per round instead of two (see _truncator)
+        e2 = _truncator(
+            _small_star(_large_star(e), oriented=True), checkpoint_dir, lazy=True
+        )
         fp_row = e2.agg(
             F.count(F.lit(1)).alias("c"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),

@@ -1,0 +1,213 @@
+"""Round-14 interleaved A/B for the committed batch-2 changes, on-box:
+new (committed code) vs old (the pre-change form reconstructed in-process),
+interleaved per rep so host noise hits both arms equally.
+
+Variants:
+  quality_clf    : shared feature frame (new) vs two l1_hashed_features builds (old)
+  dedup_clusters : _small_star(oriented=True) in the CC loop (new) vs
+                   forced orientation pass (old), via monkeypatch
+  byte_kernels   : fused mapInPandas (new) vs three chained UDFs (old)
+
+Usage: python tools/measure_r14_ab2.py [reps] [variant ...]
+"""
+
+from __future__ import annotations
+
+import gc
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _quality_clf_old(spark, sf):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from eth2dgraph_spark.pipeline import classifier
+
+    d = E._t(spark, sf, "documents")
+    labeled = d.withColumn(
+        "label", F.col("source").isin("src0", "src1").cast("double")
+    )
+    w = classifier.train_quality_classifier(labeled, num_buckets=512, epochs=2)
+    s = classifier.quality_classifier_scores(d, w, num_buckets=512)
+    return s.select("id", E._r6e("clf_score").alias("clf_score"))
+
+
+def _byte_kernels_old(spark, sf):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from eth2dgraph_spark.functions.keccak import keccak256_udf
+    from eth2dgraph_spark.functions.metadata import metadata_udf
+    from eth2dgraph_spark.functions.ngrams import ngram_rows
+    from eth2dgraph_spark.functions.skeleton import skeleton_udf
+
+    docs = E._t(spark, sf, "documents")
+    block = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(16)]
+    )
+    code = F.concat(F.lit("0x"), F.repeat(block, 16))
+    frame = docs.select(F.col("doc_id").alias("id"), code.alias("deployed_bytecode"))
+    frame = frame.repartition(spark.sparkContext.defaultParallelism)
+    enriched = (
+        frame.withColumn("_meta", metadata_udf(F.col("deployed_bytecode")))
+        .withColumn("skeleton", skeleton_udf(F.col("deployed_bytecode")))
+        .withColumn("skeleton_hash", keccak256_udf(F.col("skeleton")))
+        .persist()
+    )
+    ng = ngram_rows(enriched, id_col="skeleton_hash", code_col="skeleton")
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.count_distinct("skeleton_hash").alias("n_skeletons"),
+    ).crossJoin(
+        ng.agg(
+            F.count(F.lit(1)).alias("n_ngram_rows"),
+            F.sum("cnt").alias("total_ngrams"),
+        )
+    )
+
+
+class _LegacyStars:
+    """Context manager: swap in the pre-r14 CC round implementation —
+    groupBy+join stars with trailing distincts, orientation pass in
+    small_star, eager truncator (probe job separate)."""
+
+    def __enter__(self):
+        import eth2dgraph_spark.graph as G
+        from pyspark.sql import functions as F
+
+        self._ls, self._ss, self._tr = G._large_star, G._small_star, G._truncator
+
+        def large_star(e):
+            nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            return (
+                nbrs.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+
+        def small_star(e, oriented=False):
+            o = e if oriented else e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).distinct()
+            m = o.groupBy("u").agg(F.min("v").alias("m"))
+            moved = (
+                o.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m.select("u", F.col("m").alias("v")))
+            )
+            return moved.filter(F.col("u") != F.col("v")).distinct()
+
+        def truncator(df, checkpoint_dir, lazy=False):
+            return self._tr(df, checkpoint_dir, lazy=False)
+
+        G._large_star, G._small_star, G._truncator = large_star, small_star, truncator
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.graph as G
+
+        G._large_star, G._small_star, G._truncator = self._ls, self._ss, self._tr
+
+
+class _ForceOrientation:
+    """Context manager: make the CC loop run the legacy orienting
+    _small_star (old arm) regardless of the oriented=True call site."""
+
+    def __enter__(self):
+        import eth2dgraph_spark.graph as G
+
+        self._orig = G._small_star
+
+        def legacy(e, oriented=False):
+            return self._orig(e, oriented=False)
+
+        G._small_star = legacy
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.graph as G
+
+        G._small_star = self._orig
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = set(sys.argv[2:])
+    from eth2dgraph_spark.session import get_spark
+
+    spark = get_spark("m14-ab2")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    qs.update(E.bench_only_queries())
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    qs["last_block"](spark, SF_DIR).collect()
+
+    variants = {
+        "quality_clf": (qs["quality_clf"], _quality_clf_old, None),
+        "byte_kernels": (qs["byte_kernels"], _byte_kernels_old, None),
+        "dedup_clusters": (qs["dedup_clusters"], qs["dedup_clusters"], _ForceOrientation),
+        # window-star + lazy-truncate rewrite vs the full legacy CC round
+        "dedup_clusters_stars": (
+            qs["dedup_clusters"], qs["dedup_clusters"], _LegacyStars,
+        ),
+        "asset_cluster_reps_stars": (
+            qs["asset_cluster_reps"], qs["asset_cluster_reps"], _LegacyStars,
+        ),
+        "sl_clusters_stars": (qs["sl_clusters"], qs["sl_clusters"], _LegacyStars),
+        "msf_edges_stars": (qs["msf_edges"], qs["msf_edges"], _LegacyStars),
+    }
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only}
+
+    # throwaway warm run of each (JIT + python workers), alternating arms
+    for name, (new_fn, old_fn, ctx) in variants.items():
+        new_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        gc.collect()
+
+    times: dict[str, dict[str, list[float]]] = {
+        n: {"new": [], "old": []} for n in variants
+    }
+    for _ in range(reps):
+        for name, (new_fn, old_fn, ctx) in variants.items():
+            for arm in ("new", "old"):
+                fn = new_fn if arm == "new" else old_fn
+                spark.sparkContext.setJobDescription(f"{name}/{arm}")
+                t0 = time.time()
+                if arm == "old" and ctx is not None:
+                    with ctx():
+                        fn(spark, SF_DIR).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                else:
+                    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times[name][arm].append(time.time() - t0)
+                spark.catalog.clearCache()
+                gc.collect()
+    for name in variants:
+        nw, od = min(times[name]["new"]), min(times[name]["old"])
+        print(
+            f"RESULT {name}: new={nw:.2f} old={od:.2f} ratio={nw / od:.2f} "
+            f"(new_all={[round(t, 2) for t in times[name]['new']]} "
+            f"old_all={[round(t, 2) for t in times[name]['old']]})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
