@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _truncator(df: DataFrame, checkpoint_dir: "str | None", lazy: bool = False):
+def _truncator(df: DataFrame, checkpoint_dir: "str | None"):
     """Per-iteration lineage cut for the iterative kernels. Default:
     localCheckpoint(eager) — executor-local blocks, the measured-fast
     choice on a single machine, but NOT fault-tolerant: on a real
@@ -36,17 +36,17 @@ def _truncator(df: DataFrame, checkpoint_dir: "str | None", lazy: bool = False):
     the cost of writing each round's frame to the shared store. Results
     are identical either way (pinned by test).
 
-    `lazy=True` (r14, guide §1.2 "don't compute things you throw away"):
-    defer the materializing count so the caller's convergence probe — an
-    aggregate/count that must touch EVERY partition — computes and caches
-    the blocks in ITS job, fusing the two per-round driver jobs into one.
-    Only valid when such a probe runs immediately after (a take/isEmpty
-    probe computes a partition subset and leaves the rest to a fill-in
-    job, refunding nothing). Local path only: a reliable RDD checkpoint
-    re-computes the frame inside its writer job unless it was
-    materialized first, so the reliable branch stays eager."""
+    MEASURED AND REJECTED (r14): localCheckpoint(eager=False) with the
+    caller's convergence probe as the materializing action ("fuse the
+    two per-round driver jobs into one"). Under AQE the checkpoint's
+    execute() runs every intermediate stage at call time regardless, so
+    lazy only trades the final cheap RDD-level count for running the
+    probe as a multi-stage AQE query over unmaterialized data —
+    interleaved A/B: sssp_targeted 1.24x SLOWER, msf_edges 1.06x,
+    dedup_clusters/asset_cluster_reps a 0.95/1.08 wash
+    (tools/measure_r14_ab2.py `_EagerTruncate`). Eager stays."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=not lazy)
+        return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
     # the resolved dir comes back scheme-qualified (file:/... or hdfs://...)
@@ -167,12 +167,7 @@ def connected_components(
     e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     prev_fp = None
     for _ in range(max_iter):
-        # lazy cut: the fingerprint agg below touches every partition, so
-        # it materializes the checkpoint blocks in the same driver job —
-        # one job per round instead of two (see _truncator)
-        e2 = _truncator(
-            _small_star(_large_star(e), oriented=True), checkpoint_dir, lazy=True
-        )
+        e2 = _truncator(_small_star(_large_star(e), oriented=True), checkpoint_dir)
         fp_row = e2.agg(
             F.count(F.lit(1)).alias("c"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
@@ -1668,9 +1663,16 @@ def k_core(
     prev_n: "int | None" = None
     for _ in range(max_iters):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u")
+        # persist keep across its two consumers (r14, guide §2.4): the
+        # count probe AND the two semi-joins read it — unpersisted, the
+        # truncate job re-ran the whole degree aggregation a second time
+        # every round
+        keep = deg.filter(F.col("deg") >= k).select("u").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n = keep.count()
         if prev_n is not None and n == prev_n:
+            keep.unpersist()
             break
         prev_n = n
         cur = _truncator(
@@ -1679,6 +1681,7 @@ def k_core(
             ),
             checkpoint_dir,
         )
+        keep.unpersist()  # cur is materialized — safe to release
     return cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("u").alias("node"), "degree"
     )
@@ -1761,9 +1764,14 @@ def coreness(
             prev_n: "int | None" = None
             for _ in range(max_iters):
                 deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-                keep = deg.filter(F.col("deg") >= k).select("u")
+                # same keep-persist as k_core (r14): probe + semi-joins
+                # share one computed frame instead of re-aggregating
+                keep = deg.filter(F.col("deg") >= k).select("u").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
                 n = keep.count()
                 if prev_n is not None and n == prev_n:
+                    keep.unpersist()
                     break
                 prev_n = n
                 cur = _truncator(
@@ -1772,6 +1780,7 @@ def coreness(
                     ),
                     checkpoint_dir,
                 )
+                keep.unpersist()  # cur is materialized — safe to release
         if n == 0:  # exact mode: k-core empty -> everyone left was (k-1)-core
             layers.append(nodes_prev.withColumn("coreness", F.lit(k - 1)))
             break

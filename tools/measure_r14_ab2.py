@@ -107,8 +107,8 @@ class _LegacyStars:
             )
             return moved.filter(F.col("u") != F.col("v")).distinct()
 
-        def truncator(df, checkpoint_dir, lazy=False):
-            return self._tr(df, checkpoint_dir, lazy=False)
+        def truncator(df, checkpoint_dir, **kw):
+            return self._tr(df, checkpoint_dir)
 
         G._large_star, G._small_star, G._truncator = large_star, small_star, truncator
         return self
@@ -117,6 +117,74 @@ class _LegacyStars:
         import eth2dgraph_spark.graph as G
 
         G._large_star, G._small_star, G._truncator = self._ls, self._ss, self._tr
+
+
+class _EagerTruncate:
+    """Context manager: force lazy=False in _truncator (the pre-r14
+    separate-probe-job behavior) — old arm for msf/sssp_targeted."""
+
+    def __enter__(self):
+        import eth2dgraph_spark.graph as G
+
+        self._tr = G._truncator
+
+        def eager(df, checkpoint_dir, **kw):
+            return self._tr(df, checkpoint_dir)
+
+        G._truncator = eager
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.graph as G
+
+        G._truncator = self._tr
+
+
+class _LegacyKCore:
+    """Context manager: pre-r14 k_core — keep not persisted, so the
+    truncate job re-runs the degree aggregation every round."""
+
+    def __enter__(self):
+        import eth2dgraph_spark.graph as G
+        from pyspark.sql import functions as F
+
+        self._kc = G.k_core
+
+        def k_core(edges, k=2, max_iters=50, src="src", dst="dst", checkpoint_dir=None):
+            e = (
+                G._canonical_undirected(edges, src, dst)
+                .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+                .distinct()
+            )
+            cur = G._truncator(
+                e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+                checkpoint_dir,
+            )
+            prev_n = None
+            for _ in range(max_iters):
+                deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                keep = deg.filter(F.col("deg") >= k).select("u")
+                n = keep.count()
+                if prev_n is not None and n == prev_n:
+                    break
+                prev_n = n
+                cur = G._truncator(
+                    cur.join(keep, "u", "left_semi").join(
+                        keep.select(F.col("u").alias("v")), "v", "left_semi"
+                    ),
+                    checkpoint_dir,
+                )
+            return cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).select(
+                F.col("u").alias("node"), "degree"
+            )
+
+        G.k_core = k_core
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.graph as G
+
+        G.k_core = self._kc
 
 
 class _ForceOrientation:
@@ -170,6 +238,19 @@ def main() -> None:
         ),
         "sl_clusters_stars": (qs["sl_clusters"], qs["sl_clusters"], _LegacyStars),
         "msf_edges_stars": (qs["msf_edges"], qs["msf_edges"], _LegacyStars),
+        # keep-persist + lazy-probe fusion vs the pre-r14 forms
+        "kcore_2rounds_keep": (qs["kcore_2rounds"], qs["kcore_2rounds"], _LegacyKCore),
+        # CC lazy cut in isolation (new stars in BOTH arms)
+        "dedup_clusters_lazyonly": (
+            qs["dedup_clusters"], qs["dedup_clusters"], _EagerTruncate,
+        ),
+        "asset_cluster_reps_lazyonly": (
+            qs["asset_cluster_reps"], qs["asset_cluster_reps"], _EagerTruncate,
+        ),
+        "msf_edges_lazy": (qs["msf_edges"], qs["msf_edges"], _EagerTruncate),
+        "sssp_targeted_lazy": (
+            qs["sssp_targeted"], qs["sssp_targeted"], _EagerTruncate,
+        ),
     }
     if only:
         variants = {k: v for k, v in variants.items() if k in only}
