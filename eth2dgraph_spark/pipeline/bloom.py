@@ -120,35 +120,43 @@ def bloom_maybe_contains(
     """Append `out_col`: True iff all k probed bits are set (value may be
     in the filter — or a false positive); False is DEFINITIVE absence.
     NULL values probe NULL (unknown — callers route them to the exact
-    path). The filter ships once per executor via a real broadcast."""
+    path). The filter ships once per executor via a real broadcast.
+
+    The probe is a vectorized pandas_udf over ONLY the two hash columns
+    (r14, guide §4.1): the previous mapInPandas form shipped the ENTIRE
+    row — document text included — JVM→Python→JVM just to compute one
+    boolean, and the screen's two consumer branches paid that crossing
+    twice. Now two longs cross per row and the payload never leaves the
+    JVM. Same kernel math, identical output (pinned by tests)."""
     num_bits = int(words.size) * 64
     bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(words, np.uint64))
 
-    def kernel(batches):
+    # returnType-only pandas_udf form: under `from __future__ import
+    # annotations` stringified pd.Series hints break decoration (the
+    # bench.py warmup lesson)
+    def _probe(h1, h2):
         w = bc.value
-        for pdf in batches:
-            out = pd.Series(pd.NA, index=pdf.index, dtype="boolean")
-            mask = pdf["_h1"].notna() & pdf["_h2"].notna()
-            if mask.any():
-                idx = _cell_indices(
-                    pdf.loc[mask, "_h1"].to_numpy(np.int64),
-                    pdf.loc[mask, "_h2"].to_numpy(np.int64),
-                    num_hashes,
-                    num_bits,
-                )
-                bits = (
-                    w[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))
-                ) & np.uint64(1)
-                out[mask] = bits.all(axis=1)
-            yield pdf.drop(columns=["_h1", "_h2"]).assign(**{out_col: out})
+        out = pd.Series(pd.NA, index=h1.index, dtype="boolean")
+        mask = h1.notna() & h2.notna()
+        if mask.any():
+            idx = _cell_indices(
+                h1[mask].to_numpy(np.int64),
+                h2[mask].to_numpy(np.int64),
+                num_hashes,
+                num_bits,
+            )
+            bits = (
+                w[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))
+            ) & np.uint64(1)
+            out[mask] = bits.all(axis=1)
+        return out
 
-    from pyspark.sql.types import BooleanType, StructField, StructType
-
-    # a FRESH StructType: StructType.add mutates in place, and df.schema
-    # returns the DataFrame's cached schema object — adding to it directly
-    # would permanently append the column to df's own reported schema
-    schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
-    return _with_hash_cols(df, col).mapInPandas(kernel, schema=schema)
+    probe = F.pandas_udf(_probe, "boolean")
+    return (
+        _with_hash_cols(df, col)
+        .withColumn(out_col, probe(F.col("_h1"), F.col("_h2")))
+        .drop("_h1", "_h2")
+    )
 
 
 def bloom_screened_anti_join(

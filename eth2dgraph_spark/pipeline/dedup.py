@@ -90,8 +90,22 @@ def dedup_exact(
         fp = df.withColumn("_fp", F.col(fingerprint_col))
     else:
         fp = df.withColumn("_fp", F.md5(_norm_text(text_col)))
-    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return fp.join(winners, ["_fp", id_col], "inner").drop("_fp")
+    # min-per-group via ONE window over hash(_fp) instead of groupBy +
+    # join-back (r14, guide §2.4): the join form evaluated the whole
+    # upstream subtree twice — once under the winners aggregate, once as
+    # the join's left side (measured on the curate gates: the screened
+    # union and its document scans appeared 2x in the plan). Same rows
+    # (id == min(id) per fingerprint group, duplicates of the winner row
+    # included), same column order (window columns are appended and
+    # dropped).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp")
+    return (
+        fp.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
+    )
 
 
 def _exploded_shingles(

@@ -187,6 +187,74 @@ class _LegacyKCore:
         G.k_core = self._kc
 
 
+class _LegacyCurate:
+    """Context manager: pre-r14 curate path — groupBy+join dedup_exact
+    and the full-row mapInPandas bloom probe."""
+
+    def __enter__(self):
+        import numpy as np
+        import pandas as pd
+
+        import eth2dgraph_spark.pipeline.bloom as B
+        import eth2dgraph_spark.pipeline.corpus as C
+        import eth2dgraph_spark.pipeline.dedup as D
+        from pyspark.sql import functions as F
+
+        self._de, self._bmc = C.dedup_exact, B.bloom_maybe_contains
+
+        def dedup_exact(df, id_col="doc_id", text_col="text", fingerprint_col=None):
+            if fingerprint_col is not None:
+                fp = df.withColumn("_fp", F.col(fingerprint_col))
+            else:
+                fp = df.withColumn("_fp", F.md5(D._norm_text(text_col)))
+            winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+            return fp.join(winners, ["_fp", id_col], "inner").drop("_fp")
+
+        def bloom_maybe_contains(
+            df, words, col="fingerprint", num_hashes=B.DEFAULT_NUM_HASHES,
+            out_col="bloom_maybe_seen",
+        ):
+            num_bits = int(words.size) * 64
+            bc = df.sparkSession.sparkContext.broadcast(
+                np.ascontiguousarray(words, np.uint64)
+            )
+
+            def kernel(batches):
+                w = bc.value
+                for pdf in batches:
+                    out = pd.Series(pd.NA, index=pdf.index, dtype="boolean")
+                    mask = pdf["_h1"].notna() & pdf["_h2"].notna()
+                    if mask.any():
+                        idx = B._cell_indices(
+                            pdf.loc[mask, "_h1"].to_numpy(np.int64),
+                            pdf.loc[mask, "_h2"].to_numpy(np.int64),
+                            num_hashes,
+                            num_bits,
+                        )
+                        bits = (
+                            w[idx >> 6]
+                            >> (idx.astype(np.uint64) & np.uint64(63))
+                        ) & np.uint64(1)
+                        out[mask] = bits.all(axis=1)
+                    yield pdf.drop(columns=["_h1", "_h2"]).assign(**{out_col: out})
+
+            from pyspark.sql.types import BooleanType, StructField, StructType
+
+            schema = StructType(
+                list(df.schema.fields) + [StructField(out_col, BooleanType())]
+            )
+            return B._with_hash_cols(df, col).mapInPandas(kernel, schema=schema)
+
+        C.dedup_exact, B.bloom_maybe_contains = dedup_exact, bloom_maybe_contains
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.pipeline.bloom as B
+        import eth2dgraph_spark.pipeline.corpus as C
+
+        C.dedup_exact, B.bloom_maybe_contains = self._de, self._bmc
+
+
 class _ForceOrientation:
     """Context manager: make the CC loop run the legacy orienting
     _small_star (old arm) regardless of the oriented=True call site."""
@@ -250,6 +318,14 @@ def main() -> None:
         "msf_edges_lazy": (qs["msf_edges"], qs["msf_edges"], _EagerTruncate),
         "sssp_targeted_lazy": (
             qs["sssp_targeted"], qs["sssp_targeted"], _EagerTruncate,
+        ),
+        # window dedup_exact + 2-long pandas_udf bloom probe vs legacy
+        "incr_curate_bloom_cut": (
+            qs["incr_curate_bloom"], qs["incr_curate_bloom"], _LegacyCurate,
+        ),
+        "incr_curate_cut": (qs["incr_curate"], qs["incr_curate"], _LegacyCurate),
+        "corpus_pipeline_cut": (
+            qs["corpus_pipeline"], qs["corpus_pipeline"], _LegacyCurate,
         ),
     }
     if only:
