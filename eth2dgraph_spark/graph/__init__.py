@@ -330,6 +330,32 @@ def sample_landmarks(
     raise ValueError(f"sample_landmarks: unknown policy {by!r} (degree|random)")
 
 
+_ROWS_PER_PARTITION = 2_000_000  # task-size ceiling (~100-200 MB of edge rows)
+_MIN_ROWS_PER_TASK = 50_000  # don't split below this — scheduling beats compute
+
+
+def _size_partitions(n_rows: int, spark) -> int:
+    """Shuffle-partition count for an iterative kernel's loop frames,
+    derived from the MEASURED row count instead of the session constant
+    (guide §2.2/§2.5: scale-adaptive partitioning — a constant tuned for
+    either local mode or the cluster is wrong at the other end).
+
+    Two regimes: big inputs get ceil(rows / 2M) tasks (~100-200 MB of
+    edge/rank rows each, the guide's 100 MB-1 GB band — a billion-edge
+    graph gets hundreds of right-sized tasks); smaller inputs get up to
+    defaultParallelism tasks but never tasks under ~50k rows (measured
+    on the sf0.1 pagerank gate: the 32-task session constant pays a
+    per-round scheduling floor — 8 tasks ran 8.7 → 5.5 s best-of-3 —
+    while collapsing ~600k-row rounds to ONE task serialized the real
+    join compute and lost it back, 1.21x. The floor keeps every core
+    busy exactly while there is enough work to go around). The caller
+    pins this count on its PERSISTED loop frames, which makes every
+    per-round join co-partitioned and exchange-free."""
+    par = spark.sparkContext.defaultParallelism
+    busy = min(par, max(1, -(-int(n_rows) // _MIN_ROWS_PER_TASK)))
+    return max(busy, -(-int(n_rows) // _ROWS_PER_PARTITION))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -377,8 +403,14 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # size every loop frame from the measured edge count (r14, guide
+    # §2.2): the persisted frames' partition counts pin the per-round
+    # join widths for the whole iteration, so a session-constant count
+    # pays a fixed scheduling floor per round on small graphs and
+    # under-splits huge ones. One setup count job, amortized over rounds.
+    p = _size_partitions(e.count(), e.sparkSession)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ej = e.join(outdeg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    ej = e.join(outdeg, "src").repartition(p, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -388,6 +420,7 @@ def pagerank(
         .unionByName(
             outdeg.select(F.col("src").alias("node")).withColumn("dangling", F.lit(False))
         )
+        .repartition(p, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
@@ -401,9 +434,16 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     iterations, last_delta = 0, None
     for _ in range(num_iter):
+        # one exchange per round: ej is pinned at (src, p), ranks comes
+        # back from the checkpoint partitioned (node, p) (LogicalRDD
+        # preserves outputPartitioning), so the join is co-partitioned;
+        # the explicit repartition IS the aggregation's exchange
+        # (repartition(k, p) + groupBy(k) share one shuffle) and lands
+        # contribs on (node, p) so the nodes join below is exchange-free
         contribs = (
             ej.join(ranks, ej.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
@@ -474,8 +514,11 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # loop-frame partition count from the measured edge count (r14) —
+    # see pagerank / _size_partitions
+    p = _size_partitions(e.count(), e.sparkSession)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ej = e.join(outdeg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    ej = e.join(outdeg, "src").repartition(p, "src").persist(StorageLevel.MEMORY_AND_DISK)
     srcs = sources.select(F.col("node").cast("string")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -492,6 +535,7 @@ def personalized_pagerank(
             F.broadcast(srcs.withColumn("_is_src", F.lit(True))), "node", "left"
         )
         .withColumn("_is_src", F.coalesce(F.col("_is_src"), F.lit(False)))
+        .repartition(p, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_src = nodes.filter(F.col("_is_src")).count()
@@ -509,6 +553,7 @@ def personalized_pagerank(
         contribs = (
             ej.join(ranks, ej.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
@@ -1600,9 +1645,16 @@ def label_propagation(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
-    nbrs = e.unionByName(
+    nbrs0 = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # loop-frame partition count from the measured neighbor-row count
+    # (r14) — see pagerank / _size_partitions. nbrs is pinned on the
+    # round join's key (v) so only the O(nodes) label side moves per
+    # round; the explicit repartition on u doubles as the counts
+    # aggregation's exchange (hash(u) clusters (u, label) too).
+    p = _size_partitions(nbrs0.count(), nbrs0.sparkSession)
+    nbrs = nbrs0.repartition(p, "v").persist(StorageLevel.MEMORY_AND_DISK)
     labels = nbrs.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
@@ -1611,7 +1663,7 @@ def label_propagation(
             joined = nbrs.join(
                 labels, nbrs["v"] == labels["node"]
             ).select(nbrs["u"].alias("u"), "label")
-            counts = joined.groupBy("u", "label").agg(
+            counts = joined.repartition(p, "u").groupBy("u", "label").agg(
                 F.count(F.lit(1)).alias("c")
             )
             labels = _truncator(
@@ -1621,6 +1673,7 @@ def label_propagation(
                 checkpoint_dir,
             )
     finally:
+        nbrs0.unpersist()
         nbrs.unpersist()
     return labels
 
@@ -1923,15 +1976,21 @@ def hits(
     Parallel edges contribute multiplicity, exactly like pagerank — pass
     .distinct() edges for simple-graph semantics. `stats`, if given a
     dict, receives {"iterations": k, "last_delta": d}."""
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
-    ).repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # loop-frame partition count from the measured edge count (r14) —
+    # see pagerank / _size_partitions
+    p = _size_partitions(e0.count(), e0.sparkSession)
+    e = e0.repartition(p, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(p, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e0.unpersist()
     if nodes.isEmpty():
         e.unpersist()
         nodes.unpersist()
@@ -1946,6 +2005,7 @@ def hits(
         araw = (
             e.join(scores, e.src == scores.node)
             .select(F.col("dst").alias("node"), F.col("hub").alias("h"))
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.sum("h").alias("s"))
         )
@@ -1962,6 +2022,7 @@ def hits(
         hraw = (
             e.join(auth, e.dst == auth.node)
             .select(F.col("src").alias("node"), F.col("auth").alias("a"))
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.sum("a").alias("s"))
         )

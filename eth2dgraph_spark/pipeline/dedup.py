@@ -245,7 +245,20 @@ def ngram_jaccard_pairs(
 
     sh = _hashed_shingle_sets(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    posting_src = sh
+    # pin the posting path's h-exchange at a parallelism floor with an
+    # explicit repartition (r14): this stage is byte-light but
+    # compute-heavy (the in-row triangular expansion), so AQE's
+    # size-based coalescing (parallelismFirst=false, session.py) would
+    # shrink it onto a few cores (measured: ngram_jaccard 1.15-1.24x
+    # under the flag without the pin). REPARTITION_BY_NUM is exempt from
+    # coalescing, replaces the ENSURE_REQUIREMENTS exchange the window /
+    # posting groupBy inserted anyway (same key, so the partitioning is
+    # reused downstream), and floors at defaultParallelism only when the
+    # frame is narrower than that — wide frames keep their splits.
+    dp = max(
+        df.sparkSession.sparkContext.defaultParallelism, sh.rdd.getNumPartitions()
+    )
+    posting_src = sh.repartition(dp, "h")
     if max_shingle_docs is not None:
         if cap_form == "window":
             # ONE shuffle of sh on h: the window's hashpartitioning(h) is
@@ -254,18 +267,20 @@ def ngram_jaccard_pairs(
             # — a corpus-wide stop-shingle streams through disk instead of
             # OOMing a reducer.
             posting_src = (
-                sh.withColumn("_dc", F.count(F.lit(1)).over(Window.partitionBy("h")))
+                posting_src.withColumn(
+                    "_dc", F.count(F.lit(1)).over(Window.partitionBy("h"))
+                )
                 .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
                 .drop("_dc")
             )
         else:
             eligible = (
-                sh.groupBy("h")
+                posting_src.groupBy("h")
                 .agg(F.count(F.lit(1)).alias("_dc"))
                 .filter((F.col("_dc") > 1) & (F.col("_dc") <= max_shingle_docs))
                 .select("h")
             )
-            posting_src = sh.join(eligible, "h", "left_semi")
+            posting_src = posting_src.join(eligible, "h", "left_semi")
     posting = posting_src.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     posting = posting.filter(F.size("ids") > 1)  # no-op under the semi-join; needed for None
     pair = F.explode(
@@ -279,9 +294,16 @@ def ngram_jaccard_pairs(
             )
         )
     ).alias("p")
+    # the candidate-pair volume is large at permissive thresholds (every
+    # co-occurrence is a row), so the intersection aggregate and both
+    # size joins are pinned at dp too (r14): AQE's byte-based coalescing
+    # under-provisions these row-heavy, compute-real stages (measured:
+    # reverting just these pins took the respect arm from 0.91x back to
+    # 1.63x on ngram_jaccard).
     inter = (
         posting.select(pair)
         .select("p.id_a", "p.id_b")
+        .repartition(dp, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -300,16 +322,18 @@ def ngram_jaccard_pairs(
     # of rows at corpus scale). A shuffled hash join keyed on the doc id is
     # the only shape that survives both ends.
     out = (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")).hint(
-                "shuffle_hash"
-            ),
+        inter.repartition(dp, "id_a")
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+            .repartition(dp, "id_a")
+            .hint("shuffle_hash"),
             "id_a",
         )
+        .repartition(dp, "id_b")
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")).hint(
-                "shuffle_hash"
-            ),
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+            .repartition(dp, "id_b")
+            .hint("shuffle_hash"),
             "id_b",
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))

@@ -45,6 +45,16 @@ def get_spark(
         # AQE: runtime coalescing, skew-join handling, dynamic join strategy.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # false = coalesce to advisoryPartitionSizeInBytes instead of
+        # stopping at defaultParallelism — Spark's own config doc
+        # recommends false on clusters, and it is the guide-§2.2
+        # "fewer, larger reduce partitions" lever. Measured r14
+        # (interleaved A/B, tools/measure_r14_iterab.py): iterative
+        # kernels 0.89x (lpa 0.72x), streams cross_dedup_stream 0.69x,
+        # relational 0.64-0.86x, net 0.92-0.96x across mixed sets; the
+        # one consistent regression (ngram_jaccard ~1.15x) is mitigated
+        # at the query with an explicit repartition.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle)
         # Arrow transfer for pandas_udf / mapInPandas kernels.

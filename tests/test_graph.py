@@ -42,6 +42,21 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component"] for r in got} == {"n000"}
 
 
+def test_size_partitions_regimes(spark):
+    """_size_partitions: parallelism floor only while there's >=50k rows
+    per task worth of work; 2M-rows-per-task ceiling for big inputs."""
+    from eth2dgraph_spark.graph import _size_partitions
+
+    par = spark.sparkContext.defaultParallelism
+    assert _size_partitions(1, spark) == 1
+    assert _size_partitions(50_000, spark) == 1
+    assert _size_partitions(100_001, spark) == min(par, 3)
+    # mid-size: one task per 50k rows, capped at the core count
+    assert _size_partitions(50_000 * (par + 5), spark) == par
+    # big: rows/2M wins over the core cap
+    assert _size_partitions(2_000_000 * (par + 3), spark) == par + 3
+
+
 def test_small_star_oriented_skip_equivalent(spark):
     """oriented=True (the CC round loop's r14 shuffle skip) must be a pure
     no-op on _large_star output: same rows as the orienting path, on a

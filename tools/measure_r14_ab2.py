@@ -255,6 +255,102 @@ class _LegacyCurate:
         C.dedup_exact, B.bloom_maybe_contains = self._de, self._bmc
 
 
+class _LegacyPagerank:
+    """Context manager: pre-r14 pagerank — session-constant shuffle
+    partitions for the loop frames (repartition("src") on ej, no node
+    repartitions)."""
+
+    def __enter__(self):
+        import eth2dgraph_spark.graph as G
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        self._pr = G.pagerank
+
+        def pagerank(edges, src="src", dst="dst", num_iter=10, damping=0.85,
+                     tol=None, stats=None, checkpoint_dir=None):
+            e = edges.select(
+                F.col(src).cast("string").alias("src"),
+                F.col(dst).cast("string").alias("dst"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+            ej = e.join(outdeg, "src").repartition("src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            nodes = (
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+                .withColumn("dangling", F.lit(True))
+                .unionByName(
+                    outdeg.select(F.col("src").alias("node")).withColumn(
+                        "dangling", F.lit(False)
+                    )
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            n = nodes.count()
+            if n == 0:
+                e.unpersist()
+                ej.unpersist()
+                nodes.unpersist()
+                return nodes.select("node").withColumn("rank", F.lit(0.0))
+            ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+            iterations, last_delta = 0, None
+            for _ in range(num_iter):
+                contribs = (
+                    ej.join(ranks, ej.src == ranks.node)
+                    .select(
+                        F.col("dst").alias("node"),
+                        (F.col("rank") / F.col("outdeg")).alias("c"),
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("c"))
+                )
+                dangling_mass = ranks.filter(F.col("dangling")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+                rank_expr = (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+                ).alias("rank")
+                base = nodes.join(contribs, "node", "left").join(
+                    F.broadcast(dangling_mass)
+                )
+                nxt = G._truncator(
+                    base.select("node", "dangling", rank_expr), checkpoint_dir
+                )
+                iterations += 1
+                if tol is not None:
+                    last_delta = (
+                        nxt.join(ranks.select("node", F.col("rank").alias("_prev")), "node")
+                        .agg(F.coalesce(F.sum(F.abs(F.col("rank") - F.col("_prev"))), F.lit(0.0)))
+                        .first()[0]
+                    )
+                    ranks = nxt
+                    if last_delta <= tol:
+                        break
+                else:
+                    ranks = nxt
+            if stats is not None:
+                stats["iterations"] = iterations
+                stats["last_delta"] = last_delta
+            e.unpersist()
+            ej.unpersist()
+            nodes.unpersist()
+            return ranks.select("node", "rank")
+
+        G.pagerank = pagerank
+        return self
+
+    def __exit__(self, *a):
+        import eth2dgraph_spark.graph as G
+
+        G.pagerank = self._pr
+
+
 class _ForceOrientation:
     """Context manager: make the CC loop run the legacy orienting
     _small_star (old arm) regardless of the oriented=True call site."""
@@ -326,6 +422,10 @@ def main() -> None:
         "incr_curate_cut": (qs["incr_curate"], qs["incr_curate"], _LegacyCurate),
         "corpus_pipeline_cut": (
             qs["corpus_pipeline"], qs["corpus_pipeline"], _LegacyCurate,
+        ),
+        # data-derived loop-frame partitioning vs session-constant
+        "pagerank_sized": (
+            qs["pagerank_ranks"], qs["pagerank_ranks"], _LegacyPagerank,
         ),
     }
     if only:
