@@ -1990,13 +1990,17 @@ def hits(
         .repartition(p, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e0.unpersist()
     if nodes.isEmpty():
+        # materializes nodes AND (through it) the repartitioned e — only
+        # now is e0's cache safe to drop without recomputing the edge
+        # derivation from the scan
+        e0.unpersist()
         e.unpersist()
         nodes.unpersist()
         return nodes.select(
             "node", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
         )
+    e0.unpersist()
     scores = nodes.select(
         "node", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub")
     )

@@ -89,6 +89,13 @@ def test_relational_queries_stay_jvm_side(spark):
         # + the production fingerprint kernel)
         "flac_envelope",
         "audio_near_dups_flac",
+        # r14: the bloom screen's bit-array probe moved from a full-row
+        # MapInPandas to a vectorized pandas_udf over ONLY the two
+        # JVM-computed hash longs (pipeline/bloom.py) — strictly fewer
+        # bytes across the boundary; the numpy bit probe itself has no
+        # SQL expression (the filter is a driver-built uint64 array
+        # shipped by broadcast)
+        "incr_curate_bloom",
     }
     for name, fn in E.queries().items():
         p = plan_of(fn(spark, SF), "extended")
