@@ -219,6 +219,67 @@ COMPARABLE_29 = [
 ]
 
 
+def band_flags(timings: dict[str, float], bands: dict[str, dict]) -> dict[str, dict]:
+    """Per-query band departures: above p90*1.15 ('high'), below p10*0.85
+    ('low'), or 'no_band' for queries the bands file does not know."""
+    flags: dict[str, dict] = {}
+    for q, t in timings.items():
+        b = bands.get(q)
+        if b is None:
+            flags[q] = {"flag": "no_band"}
+        elif t > b["p90"] * 1.15:
+            flags[q] = {"flag": "high", "ratio": round(t / b["p90"], 2)}
+        elif t < b["p10"] * 0.85:
+            flags[q] = {"flag": "low", "ratio": round(t / b["p10"], 2)}
+    return flags
+
+
+def detect_elevated(flags: dict[str, dict]) -> tuple[bool, float | None]:
+    """Elevated-draw self-diagnosis (VERDICT r13 item 3): host steal on
+    this box shows up as MANY diffuse high flags (r13: 40+ highs at
+    1.16-1.77x across unrelated queries, no single-query outlier) rather
+    than one regressed query. Returns (draw_elevated, median_high_ratio);
+    the median is reported whenever >= 15 highs exist so a near-miss is
+    still visible in the detail record."""
+    high_ratios = sorted(f["ratio"] for f in flags.values() if f.get("flag") == "high")
+    if len(high_ratios) < 15:
+        return False, None
+    median = high_ratios[len(high_ratios) // 2]
+    elevated = 1.15 <= median <= 1.8 and high_ratios[-1] <= 2.5
+    return elevated, median
+
+
+def contract_line(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf_val: float | str,
+    draw_elevated: bool,
+    ndigits: int = 2,
+) -> str:
+    """The ONE stdout JSON line the driver parses. The driver records (and
+    parses the contract JSON from) only the LAST 2000 characters of stdout:
+    BENCH_r12/r13 show `"parsed": null` with a mid-JSON tail because the
+    one-line record outgrew that window once the headline set passed ~75
+    queries and band_flags joined the line (r10=1622 chars parsed OK,
+    r11=1812 parsed OK, r12/r13 over). So this line carries ONLY the
+    contract keys (metric/value/unit/queries/sf [+errors]) with compact
+    separators and 2-decimal per-query rounding (bench noise is >>10ms),
+    and the caller shrinks to 1-decimal if a pathological draw still pushes
+    past 1900 chars. Full-precision detail goes to stderr."""
+    out: dict = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {q: round(t, ndigits) for q, t in timings.items()},
+        "sf": sf_val,
+    }
+    if draw_elevated:
+        out["draw_elevated"] = True
+    if errors:
+        out["errors"] = {q: m[:80] for q, m in errors.items()}
+    return json.dumps(out, separators=(",", ":"))
+
+
 def main() -> None:
     repeat = 2
     if "--repeat" in sys.argv:
@@ -307,7 +368,31 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out: dict = {
+
+    # delta-vs-band column (VERDICT r11 item 6): BANDS.json holds each
+    # query's [p10, p90] over the last recorded round's isolated warm
+    # draws (tools/make_bands.py). Flag only departures — above p90*1.15
+    # (the judge's named-cause threshold) or below p10*0.85 (a suspicious
+    # speedup is worth a look too: it can be a silently-shrunk plan). The
+    # ratio reported is timing/band-edge, so "high: 1.3" reads as "30%
+    # over the top of the band".
+    flags: dict[str, dict] = {}
+    band_err: str | None = None
+    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BANDS.json")
+    if os.path.exists(bands_path):
+        try:
+            with open(bands_path) as f:
+                flags = band_flags(timings, json.load(f)["queries"])
+        except Exception as e:  # noqa: BLE001 — a bad bands file must not kill the numbers
+            band_err = str(e)[:200]
+
+    draw_elevated, elev_median = detect_elevated(flags)
+
+    # Full-precision record — 3-decimal timings, comparable_subtotal_sec,
+    # band_flags, the elevated-draw diagnosis — goes to stderr as one
+    # BENCH_DETAIL line (and is what tools/ archive); stdout gets only the
+    # short contract line (see contract_line).
+    detail: dict = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -321,33 +406,20 @@ def main() -> None:
         ),
     }
     if errors:
-        out["errors"] = errors
-    # delta-vs-band column (VERDICT r11 item 6): BANDS.json holds each
-    # query's [p10, p90] over the last recorded round's isolated warm
-    # draws (tools/make_bands.py). Flag only departures — above p90*1.15
-    # (the judge's named-cause threshold) or below p10*0.85 (a suspicious
-    # speedup is worth a look too: it can be a silently-shrunk plan). The
-    # ratio reported is timing/band-edge, so "high: 1.3" reads as "30%
-    # over the top of the band".
-    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BANDS.json")
-    if os.path.exists(bands_path):
-        try:
-            with open(bands_path) as f:
-                bands = json.load(f)["queries"]
-            flags: dict[str, dict] = {}
-            for q, t in timings.items():
-                b = bands.get(q)
-                if b is None:
-                    flags[q] = {"flag": "no_band"}
-                elif t > b["p90"] * 1.15:
-                    flags[q] = {"flag": "high", "ratio": round(t / b["p90"], 2)}
-                elif t < b["p10"] * 0.85:
-                    flags[q] = {"flag": "low", "ratio": round(t / b["p10"], 2)}
-            if flags:
-                out["band_flags"] = flags
-        except Exception as e:  # noqa: BLE001 — a bad bands file must not kill the numbers
-            out["band_flags_error"] = str(e)[:200]
-    print(json.dumps(out))
+        detail["errors"] = errors
+    if flags:
+        detail["band_flags"] = flags
+    if band_err:
+        detail["band_flags_error"] = band_err
+    if elev_median is not None:
+        detail["draw_elevated"] = draw_elevated
+        detail["elevated_median_ratio"] = elev_median
+    print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
+
+    line = contract_line(timings, errors, sf_val, draw_elevated, ndigits=2)
+    if len(line) > 1900:
+        line = contract_line(timings, errors, sf_val, draw_elevated, ndigits=1)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -42,8 +42,13 @@ def main() -> int:
     draws = []
     for path in sys.argv[1:]:
         with open(path) as f:
-            # the bench JSON line is the LAST line (warmup chatter may precede)
-            line = [ln for ln in f.read().splitlines() if ln.strip().startswith("{")][-1]
+            lines = f.read().splitlines()
+        # prefer the full-precision stderr BENCH_DETAIL record (r14+: the
+        # stdout contract line is trimmed to fit the driver's 2000-char
+        # tail window); otherwise the bench JSON line is the LAST line
+        # starting with "{" (warmup chatter may precede)
+        detail = [ln.split("BENCH_DETAIL ", 1)[1] for ln in lines if "BENCH_DETAIL " in ln]
+        line = detail[-1] if detail else [ln for ln in lines if ln.strip().startswith("{")][-1]
         draws.append(json.loads(line))
     per_query: dict[str, list[float]] = {}
     for d in draws:
