@@ -1027,10 +1027,12 @@ def q_quality_clf(spark, sf):  # pipeline: trained quality classifier
     # on `d` hash the identical corpus — without this the whole-corpus
     # tokenize+hash+normalize ran twice (r14 plan audit: two duplicate
     # feature subtrees). Persist is inside the timed query path; the
-    # feature rows are (id, bucket, x) scalars, not documents.
-    feats = classifier.l1_hashed_features(d, num_buckets=512).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # feature rows are (id, bucket, x) scalars, not documents. Pinned on
+    # id (classifier.pin_features) so every epoch's id-keyed join/groupBy
+    # reuses the cached layout instead of re-exchanging the corpus frame.
+    feats = classifier.pin_features(
+        classifier.l1_hashed_features(d, num_buckets=512)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = classifier.train_quality_classifier(
         labeled, num_buckets=512, epochs=2, feats=feats
     )

@@ -77,6 +77,21 @@ def l1_hashed_features(
     return x.unionByName(bias)
 
 
+def pin_features(feats: DataFrame) -> DataFrame:
+    """Hash-partition a feature frame by id so a PERSISTED copy carries a
+    partitioning every epoch can reuse (guide §2.4: operations keyed the
+    same way share one exchange). l1_hashed_features ends in a union
+    (x rows + bias rows), which reports unknown partitioning, so without
+    this every epoch's margin groupBy(id) and gradient join(id) re-shuffle
+    the corpus-scale frame from the cache; pinned, the margin groupBy, the
+    err join and the gradient join are all satisfied by the cached layout
+    and only the small (id, y) / weight sides move. One exchange paid at
+    build, ~3 corpus-scale exchanges saved per epoch. Uses the session
+    shuffle-partition count (the deploy-time knob; AQE cannot coalesce a
+    cached layout anyway)."""
+    return feats.repartition("id")
+
+
 def _weights_df(spark: SparkSession, weights: dict[int, float]) -> DataFrame:
     rows = [(int(b), float(w)) for b, w in sorted(weights.items())]
     return spark.createDataFrame(rows, "bucket long, w double")
@@ -121,9 +136,11 @@ def train_quality_classifier(
     spark = labeled.sparkSession
     own_feats = feats is None
     if own_feats:
-        feats = l1_hashed_features(labeled, text_col, id_col, num_buckets).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # pin the persisted frame on id (see pin_features): every epoch
+        # joins and re-aggregates it by id
+        feats = pin_features(
+            l1_hashed_features(labeled, text_col, id_col, num_buckets)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     y = labeled.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
