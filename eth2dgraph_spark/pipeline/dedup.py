@@ -806,6 +806,14 @@ def simhash_near_pairs(
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "chunk")
     if max_bucket is None:
+        # NO parallelism pins here (r14, measured-and-REJECTED): pinning
+        # the self-join arms with repartition(dp, band, chunk) — alone or
+        # with a pre-distinct (id_a, id_b) pin — measured image_near_dups
+        # 2.05x / 1.15x WORSE (tools/measure_r14_hampin.py): the pinned
+        # exchanges block AQE's runtime SMJ->BHJ rewrite and add a 20x-
+        # banding-volume shuffle the unpinned plan avoids. The coalesce-
+        # starvation fix for the hamming gates lives in
+        # fingerprint_overlap_pairs_hamming's matches/aggregate pins.
         cands = (
             a.join(b, ["band", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))

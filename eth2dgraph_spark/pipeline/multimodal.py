@@ -1411,10 +1411,27 @@ def fingerprint_overlap_pairs_hamming(
         )
     a = capped.select(F.col("id").alias("id_a"), F.col("_fh").alias("_h1"))
     b = capped.select(F.col("id").alias("id_b"), F.col("_fh").alias("_h2"))
+    # parallelism pins (r14, the ngram_jaccard_pairs pattern): when the
+    # postings fit the broadcast threshold the planner broadcasts THEM and
+    # streams the byte-tiny matches table — so the whole pair expansion +
+    # n_shared aggregate runs in the stage reading the matches-union
+    # exchanges, which AQE's size-based coalescing (parallelismFirst=false,
+    # session.py) collapses to ~1 task (measured: video_near_frames 1.42x
+    # under the flag before the pins). Pinning matches at dp spreads the
+    # expansion; pinning the pair aggregate on (id_a, id_b) covers both
+    # countDistinct phases (subset-clustering), replacing their
+    # ENSURE_REQUIREMENTS exchanges 1:1. At scale the postings side is the
+    # streamed one and already wide, and matches stays vocabulary-pair-
+    # sized, so both pins cost one small-frame shuffle.
+    dp = max(
+        frame_hashes.sparkSession.sparkContext.defaultParallelism,
+        capped.rdd.getNumPartitions(),
+    )
     return (
-        a.join(matches, "_h1")
+        a.join(matches.repartition(dp, "_h1"), "_h1")
         .join(b, "_h2")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(dp, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(
             F.countDistinct(
