@@ -83,6 +83,21 @@ def _ws_tokens(text_col: str = "text"):
     return F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
 
 
+def _overlap_jobs(*thunks):
+    """Run independent Spark actions concurrently from driver threads
+    (guide §2.6 "overlap independent jobs"): the scheduler back-fills
+    executor cores freed by one job's straggler tail with the next job's
+    tasks. Used by the stream gates, whose setup runs several small
+    latency-bound jobs (landing-file writes, the initial-history
+    fingerprint) that are mutually independent — sequentially they each
+    pay their own scheduling floor on a mostly-idle 32-core session.
+    Returns the thunks' results in order; re-raises the first failure."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
 def _r6e(col):
     """Tie-nudged 6-dp rounding for DOUBLE columns, mirrored verbatim in the
     oracle SQL (`round(x + 1e-9, 6)`): a rational like 41/640 or an avg of
@@ -2425,15 +2440,27 @@ def q_audio_dedup_stream(spark, sf):  # incremental multimodal ingest
             )
         )
     )
-    hist_hashes = audio_fingerprints(h0, frame_ms=200).select("asset_id", "ahash")
     tmp = tempfile.mkdtemp(prefix="audio_dedup_stream_")
     landing = os.path.join(tmp, "landing")
-    for sub, frame in (("b1", b1), ("b2", b2)):
-        # repartition(1), NOT coalesce(1): coalesce collapses the synth
-        # UDF into the single writer task (one-core encode); repartition
-        # keeps synth wide and shuffles only the finished payload bytes
-        # into the one landing file (r14 measured pattern)
-        frame.repartition(1).write.parquet(os.path.join(landing, sub))
+
+    # repartition(1), NOT coalesce(1): coalesce collapses the synth
+    # UDF into the single writer task (one-core encode); repartition
+    # keeps synth wide and shuffles only the finished payload bytes
+    # into the one landing file (r14 measured pattern)
+    def _land(sub, frame):
+        return lambda: frame.repartition(1).write.parquet(os.path.join(landing, sub))
+
+    # overlap the three independent setup jobs (guide §2.6): both landing
+    # writes and the H0 fingerprint (4000 clips through the WAV codec —
+    # materialized here so the stream helper's history write is a cached
+    # scan) run concurrently instead of paying three scheduling floors
+    hist_hashes, _, _ = _overlap_jobs(
+        lambda: audio_fingerprints(h0, frame_ms=200)
+        .select("asset_id", "ahash")
+        .localCheckpoint(eager=True),
+        _land("b1", b1),
+        _land("b2", b2),
+    )
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
         dd = os.path.join(landing, sub)
@@ -2515,14 +2542,26 @@ def q_image_dedup_stream(spark, sf):  # incremental IMAGE ingest PHYSICALLY
             )
         )
     )
-    hist_hashes = phash_features(h0).select("asset_id", "phash")
     tmp = tempfile.mkdtemp(prefix="image_dedup_stream_")
     landing = os.path.join(tmp, "landing")
-    for sub, frame in (("b1", b1), ("b2", b2)):
-        # repartition(1), NOT coalesce(1): coalesce collapses the synth
-        # UDF into the single writer task (one-core JPEG encode);
-        # repartition keeps synth wide and shuffles only payload bytes
-        frame.repartition(1).write.parquet(os.path.join(landing, sub))
+
+    # repartition(1), NOT coalesce(1): coalesce collapses the synth
+    # UDF into the single writer task (one-core JPEG encode);
+    # repartition keeps synth wide and shuffles only payload bytes
+    def _land(sub, frame):
+        return lambda: frame.repartition(1).write.parquet(os.path.join(landing, sub))
+
+    # overlap the three independent setup jobs (guide §2.6; same as the
+    # audio stream gate): landing writes + the H0 pHash build run
+    # concurrently, and the materialized H0 makes the helper's history
+    # write a cached scan
+    hist_hashes, _, _ = _overlap_jobs(
+        lambda: phash_features(h0)
+        .select("asset_id", "phash")
+        .localCheckpoint(eager=True),
+        _land("b1", b1),
+        _land("b2", b2),
+    )
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
         dd = os.path.join(landing, sub)
@@ -2592,8 +2631,15 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
     )
     tmp = tempfile.mkdtemp(prefix="cross_dedup_stream_")
     landing = os.path.join(tmp, "landing")
-    for sub, frame in (("b1", b1), ("b2", b2)):
-        frame.coalesce(1).write.parquet(os.path.join(landing, sub))
+    # overlap the two independent landing writes (guide §2.6)
+    _overlap_jobs(
+        *(
+            (lambda s, f: lambda: f.coalesce(1).write.parquet(os.path.join(landing, s)))(
+                sub, frame
+            )
+            for sub, frame in (("b1", b1), ("b2", b2))
+        )
+    )
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
         d = os.path.join(landing, sub)
