@@ -92,10 +92,9 @@ def _overlap_jobs(*thunks):
     fingerprint) that are mutually independent — sequentially they each
     pay their own scheduling floor on a mostly-idle 32-core session.
     Returns the thunks' results in order; re-raises the first failure."""
-    from concurrent.futures import ThreadPoolExecutor
+    from eth2dgraph_spark.pipeline._overlap import overlap_jobs
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        return [f.result() for f in [pool.submit(t) for t in thunks]]
+    return overlap_jobs(*thunks)
 
 
 def _r6e(col):

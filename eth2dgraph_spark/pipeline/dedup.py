@@ -1211,21 +1211,32 @@ def minhash_cross_pairs_stream(
             threshold=threshold,
             max_band_bucket=max_band_bucket,
         )
-        # pairs first, THEN the history write: a batch must never see
-        # itself in history (that would create new x new pairs)
-        (
-            pairs.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(pairs_dir)
-        )
-        (
-            feats.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(hist_dir)
+        # the pairs and history sink writes overlap (r14, guide §2.6):
+        # two tiny dynamic-overwrite jobs whose scheduling floors
+        # dominated the batch. "A batch never sees itself" does NOT
+        # depend on their order — `hist`'s file listing was snapshotted
+        # when sess.read.parquet ran above (before either write starts),
+        # and the `_batch != batch_id` filter excludes this epoch's
+        # history partition on crash replay regardless of which write
+        # committed first (the exact states the kill-and-resume test
+        # already exercises under at-least-once delivery).
+        from ._overlap import overlap_jobs
+
+        overlap_jobs(
+            lambda: (
+                pairs.withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(pairs_dir)
+            ),
+            lambda: (
+                feats.withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(hist_dir)
+            ),
         )
 
     q = (
