@@ -2001,6 +2001,14 @@ def hits(
             "node", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
         )
     e0.unpersist()
+    # second pinned edge copy keyed on dst (r14): e is pinned on src for
+    # the auth half-step's join, so the hub half-step (joining on e.dst)
+    # was re-exchanging the FULL edge frame every round — the docstring's
+    # "both joins move only the scores side" held for only one of the two
+    # half-steps. ed's lineage reads e's cache (already materialized by
+    # the nodes count above), so the copy costs one edge shuffle at setup
+    # and removes one per round.
+    ed = e.repartition(p, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     scores = nodes.select(
         "node", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub")
     )
@@ -2024,7 +2032,7 @@ def hits(
             checkpoint_dir,
         )
         hraw = (
-            e.join(auth, e.dst == auth.node)
+            ed.join(auth, ed.dst == auth.node)
             .select(F.col("src").alias("node"), F.col("auth").alias("a"))
             .repartition(p, "node")
             .groupBy("node")
@@ -2072,5 +2080,6 @@ def hits(
         stats["iterations"] = iterations
         stats["last_delta"] = last_delta
     e.unpersist()
+    ed.unpersist()
     nodes.unpersist()
     return scores.select("node", "auth", "hub")
