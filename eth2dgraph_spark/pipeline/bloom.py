@@ -171,8 +171,21 @@ def bloom_screened_anti_join(
     to the bloom-positive sliver. NULL fingerprints take the exact path
     (a NULL never matches in an anti-join, so they always survive —
     identical to the plain anti-join's NULL semantics)."""
+    from pyspark.storagelevel import StorageLevel
+
     filt = bloom_build(seen, col, num_bits, num_hashes)
-    probed = bloom_maybe_contains(new_df, filt, col, num_hashes)
+    # persist across the two branch consumers (r14): fresh and maybe are
+    # both read inside the caller's ONE union query, and unpersisted each
+    # branch re-evaluated the whole scan + fingerprint + probe subtree
+    # (the incr_curate_bloom plan carried 6 document scans before the r14
+    # probe slimming; 2 remained from this split). Within a single query
+    # both subtree instances share the same InMemoryRelation, so the
+    # increment is computed once and cached for the second branch; the
+    # memory cost is one increment batch, released by the ContextCleaner
+    # when the caller's frame is dropped.
+    probed = bloom_maybe_contains(new_df, filt, col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     fresh = probed.filter(~F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))
     maybe = probed.filter(F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))
     survived = maybe.join(seen.select(col), col, "left_anti")
