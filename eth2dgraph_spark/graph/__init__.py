@@ -152,10 +152,31 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_dir: "str | None" = None,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) where component = lexicographic min node id of the
     component. Isolated vertices don't appear (no edges → no rows); union a
     vertices frame downstream if needed.
+
+    When the canonical edge count is <= `collect_threshold`, the pairs are
+    collected and union-find runs on the driver — the
+    minimum_spanning_forest contraction pattern (the bounded-collect
+    class: 1M string pairs ~ tens of MB, the k-means / vocab collect
+    budget), and for the same measured reason: every distributed star
+    round pays a localCheckpoint action floor on a tiny frame, so a
+    near-dup pair graph (thousands of edges behind a banded pair kernel)
+    spends its whole wall-clock on round scheduling. MEASURED r14
+    (interleaved A/B vs force-distributed): cluster_reps 0.74x,
+    sl_clusters 0.76x, asset_cluster_reps 0.93x (497k edges — near the
+    threshold boundary), dedup_clusters 0.81-0.95x, identical outputs;
+    the Arrow-path createDataFrame below is load-bearing at the ~1M-row
+    ceiling (pickled rows cost seconds). Lexicographic min on Python
+    str equals Spark's
+    UTF8String binary ordering (UTF-8 byte order = code-point order), so
+    the representative is byte-identical. The count probe reads the
+    already-persisted canonical frame — one cached job on the big-graph
+    path, where the distributed rounds below run unchanged. Pass
+    collect_threshold=0 to force the distributed path.
 
     Alternating star rounds; convergence detected with a cheap order-free
     fingerprint (count + xor of per-edge hashes) instead of a subtract().
@@ -165,6 +186,40 @@ def connected_components(
     fixpoint and doubled per-job plan depth, 2.5x SLOWER end to end (29 s vs
     11.6 s on dedup_clusters); per-round checkpointing wins."""
     e = _canonical_undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    if collect_threshold and e.count() <= collect_threshold:
+        rows = e.collect()
+        e.unpersist()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        seen: set[str] = set()
+        nodes: list[str] = []
+        comps: list[str] = []
+        for r in rows:
+            for n in (r[0], r[1]):
+                if n not in seen:
+                    seen.add(n)
+                    nodes.append(n)
+                    comps.append(find(n))
+        # pandas frame -> Arrow-path createDataFrame: the pickled-rows
+        # path costs seconds at the ~1M-row threshold ceiling
+        import pandas as pd
+
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"node": nodes, "component": comps}),
+            "node string, component string",
+        )
     prev_fp = None
     for _ in range(max_iter):
         e2 = _truncator(_small_star(_large_star(e), oriented=True), checkpoint_dir)

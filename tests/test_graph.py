@@ -42,6 +42,25 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component"] for r in got} == {"n000"}
 
 
+def test_connected_components_driver_path_equals_distributed(spark):
+    # the collect_threshold union-find fast path (r14) must be
+    # row-identical to the distributed star rounds — exercised on a graph
+    # with chains, a star hub, duplicate/reversed edges and self-loops
+    edges = (
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
+        + [("hub", f"leaf{i}") for i in range(9)]
+        + [("q1", "q2"), ("q2", "q1"), ("q3", "q3"), ("q3", "q4")]
+    )
+    e = _edges(spark, edges)
+    fast = {(r["node"], r["component"]) for r in connected_components(e).collect()}
+    slow = {
+        (r["node"], r["component"])
+        for r in connected_components(e, collect_threshold=0).collect()
+    }
+    assert fast == slow
+    assert ("q3", "q3") in fast  # self-loop alone must not isolate q3-q4
+
+
 def test_size_partitions_regimes(spark):
     """_size_partitions: parallelism floor only while there's >=50k rows
     per task worth of work; 2M-rows-per-task ceiling for big inputs."""
