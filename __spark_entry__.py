@@ -2630,14 +2630,21 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
     )
     tmp = tempfile.mkdtemp(prefix="cross_dedup_stream_")
     landing = os.path.join(tmp, "landing")
-    # overlap the two independent landing writes (guide §2.6)
-    _overlap_jobs(
+    # overlap the three independent setup jobs (guide §2.6): both landing
+    # writes and the H0 feature build (signature + shingle set for the
+    # whole initial corpus — minhash_doc_features is eagerly
+    # checkpointed, so the thunk materializes it); the stream helper's
+    # history write then reads the cached frame
+    from eth2dgraph_spark.pipeline.dedup import minhash_doc_features
+
+    h0_feats, _, _ = _overlap_jobs(
+        lambda: minhash_doc_features(hist, "doc_id", "text", 3, 32),
         *(
             (lambda s, f: lambda: f.coalesce(1).write.parquet(os.path.join(landing, s)))(
                 sub, frame
             )
             for sub, frame in (("b1", b1), ("b2", b2))
-        )
+        ),
     )
     now = int(time.time())
     for i, sub in enumerate(("b1", "b2")):
@@ -2659,6 +2666,7 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
         num_bands=8,
         threshold=0.5,
         max_band_bucket=None,
+        initial_history_features=h0_feats,
     )
     return out.select("new_id", "hist_id", _r6e("jaccard").alias("jaccard"))
 

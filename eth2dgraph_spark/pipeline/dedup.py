@@ -1137,6 +1137,7 @@ def minhash_cross_pairs_stream(
     num_bands: int = 8,
     threshold: float = 0.8,
     max_band_bucket: "int | None" = DEFAULT_MAX_BAND_BUCKET,
+    initial_history_features: "DataFrame | None" = None,
 ) -> DataFrame:
     """PHYSICALLY-STREAMING incremental near-dup: execute
     minhash_cross_pairs per micro-batch of `new_stream` (foreachBatch,
@@ -1184,9 +1185,20 @@ def minhash_cross_pairs_stream(
     spark = new_stream.sparkSession
     hist_dir = os.path.join(work_dir, "history")
     pairs_dir = os.path.join(work_dir, "pairs")
+    # `initial_history_features` (optional, r14): a precomputed
+    # minhash_doc_features(initial_history) frame — the
+    # train_quality_classifier `feats` convention. Callers that have
+    # other setup jobs (landing-file writes) can build H0's features
+    # concurrently (guide §2.6) and hand the materialized frame in; the
+    # write below is then a cached scan. Identical rows either way
+    # (minhash_doc_features is deterministic).
+    h0 = (
+        initial_history_features
+        if initial_history_features is not None
+        else minhash_doc_features(initial_history, id_col, text_col, k, num_hashes)
+    )
     (
-        minhash_doc_features(initial_history, id_col, text_col, k, num_hashes)
-        .withColumn("_batch", F.lit(-1))
+        h0.withColumn("_batch", F.lit(-1))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch")
