@@ -2599,6 +2599,10 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
 
     from eth2dgraph_spark.pipeline.dedup import minhash_cross_pairs_stream
 
+    # ONE definition of the shingle/signature shape (r15, ADVICE): the H0
+    # feature build and the stream helper MUST agree on k/num_hashes or the
+    # history features silently diverge from the batch features.
+    K, NUM_HASHES = 3, 32
     hist = _t(spark, sf, "documents").select("doc_id", "text")
     b1 = hist.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -2638,7 +2642,7 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
     from eth2dgraph_spark.pipeline.dedup import minhash_doc_features
 
     h0_feats, _, _ = _overlap_jobs(
-        lambda: minhash_doc_features(hist, "doc_id", "text", 3, 32),
+        lambda: minhash_doc_features(hist, "doc_id", "text", K, NUM_HASHES),
         *(
             (lambda s, f: lambda: f.coalesce(1).write.parquet(os.path.join(landing, s)))(
                 sub, frame
@@ -2661,8 +2665,8 @@ def q_cross_dedup_stream(spark, sf):  # cross-corpus near-dup PHYSICALLY
         stream,
         hist,
         os.path.join(tmp, "work"),
-        k=3,
-        num_hashes=32,
+        k=K,
+        num_hashes=NUM_HASHES,
         num_bands=8,
         threshold=0.5,
         max_band_bucket=None,

@@ -245,7 +245,15 @@ def detect_elevated(flags: dict[str, dict]) -> tuple[bool, float | None]:
     if len(high_ratios) < 15:
         return False, None
     median = high_ratios[len(high_ratios) // 2]
-    elevated = 1.15 <= median <= 1.8 and high_ratios[-1] <= 2.5
+    # Outlier-robust cap (r15, VERDICT r14 item 3): the r14 driver draw had
+    # 29 diffuse highs at median 1.66 — textbook host steal — but a single
+    # query at 2.52 defeated the `max <= 2.5` cap and the contract line
+    # shipped without the flag. One genuinely-regressed query must not veto
+    # the environment diagnosis (its own high flag still names it), so the
+    # cap is evaluated with the single largest ratio dropped. The median
+    # window still rejects draws where the BULK of highs is extreme (a real
+    # mass regression reads median > 1.8, not diffuse 1.15-1.8).
+    elevated = 1.15 <= median <= 1.8 and high_ratios[-2] <= 2.5
     return elevated, median
 
 
@@ -255,6 +263,8 @@ def contract_line(
     sf_val: float | str,
     draw_elevated: bool,
     ndigits: int = 2,
+    err_len: int = 80,
+    max_errors: int | None = None,
 ) -> str:
     """The ONE stdout JSON line the driver parses. The driver records (and
     parses the contract JSON from) only the LAST 2000 characters of stdout:
@@ -264,8 +274,13 @@ def contract_line(
     r11=1812 parsed OK, r12/r13 over). So this line carries ONLY the
     contract keys (metric/value/unit/queries/sf [+errors]) with compact
     separators and 2-decimal per-query rounding (bench noise is >>10ms),
-    and the caller shrinks to 1-decimal if a pathological draw still pushes
-    past 1900 chars. Full-precision detail goes to stderr."""
+    and the caller shrinks — 1-decimal timings, then 40-char error
+    messages, then at most `max_errors` messages plus an `n_errors` count
+    (0 = count only) — until the line fits 1900 chars (fit_contract_line;
+    r15, ADVICE: with worst-case timings even ONE 80-char error overflowed
+    the window at both rounding levels, i.e. exactly the failure draws
+    where the contract matters most). Full-precision detail goes to
+    stderr."""
     out: dict = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -276,8 +291,42 @@ def contract_line(
     if draw_elevated:
         out["draw_elevated"] = True
     if errors:
-        out["errors"] = {q: m[:80] for q, m in errors.items()}
+        shown = list(errors) if max_errors is None else list(errors)[:max_errors]
+        if shown and err_len > 0:
+            out["errors"] = {q: errors[q][:err_len] for q in shown}
+        if len(shown) < len(errors) or err_len <= 0:
+            # messages were dropped — the count keeps the failure visible
+            out["n_errors"] = len(errors)
     return json.dumps(out, separators=(",", ":"))
+
+
+def fit_contract_line(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf_val: float | str,
+    draw_elevated: bool,
+) -> str:
+    """Shrink the contract line until it fits the driver's window: full
+    80-char errors at 2 decimals first (the r14 shape, unchanged when it
+    fits), then progressively tighter error budgets. The last step (0
+    messages, count only) is bounded: 82 queries at 1 decimal + n_errors
+    is ~1500 chars worst-case, so the loop always terminates under 1900."""
+    attempts = (
+        (2, 80, None),
+        (2, 40, None),
+        (1, 40, None),
+        (1, 40, 5),
+        (1, 0, 0),
+    )
+    line = ""
+    for ndigits, err_len, max_errors in attempts:
+        line = contract_line(
+            timings, errors, sf_val, draw_elevated,
+            ndigits=ndigits, err_len=err_len, max_errors=max_errors,
+        )
+        if len(line) <= 1900:
+            return line
+    return line
 
 
 def main() -> None:
@@ -416,10 +465,7 @@ def main() -> None:
         detail["elevated_median_ratio"] = elev_median
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
 
-    line = contract_line(timings, errors, sf_val, draw_elevated, ndigits=2)
-    if len(line) > 1900:
-        line = contract_line(timings, errors, sf_val, draw_elevated, ndigits=1)
-    print(line)
+    print(fit_contract_line(timings, errors, sf_val, draw_elevated))
 
 
 if __name__ == "__main__":

@@ -171,20 +171,25 @@ def bloom_screened_anti_join(
     to the bloom-positive sliver. NULL fingerprints take the exact path
     (a NULL never matches in an anti-join, so they always survive —
     identical to the plain anti-join's NULL semantics)."""
-    from pyspark.storagelevel import StorageLevel
-
     filt = bloom_build(seen, col, num_bits, num_hashes)
-    # persist across the two branch consumers (r14): fresh and maybe are
-    # both read inside the caller's ONE union query, and unpersisted each
-    # branch re-evaluated the whole scan + fingerprint + probe subtree
-    # (the incr_curate_bloom plan carried 6 document scans before the r14
-    # probe slimming; 2 remained from this split). Within a single query
-    # both subtree instances share the same InMemoryRelation, so the
-    # increment is computed once and cached for the second branch; the
-    # memory cost is one increment batch, released by the ContextCleaner
-    # when the caller's frame is dropped.
-    probed = bloom_maybe_contains(new_df, filt, col, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # materialize the probed increment ONCE across the two branch
+    # consumers (r14): fresh and maybe are both read inside the caller's
+    # ONE union query, and without the cut each branch re-evaluated the
+    # whole scan + fingerprint + probe subtree (the incr_curate_bloom plan
+    # carried 6 document scans before the r14 probe slimming; 2 remained
+    # from this split). r15: eager localCheckpoint instead of persist —
+    # a persist() here could never be unpersisted (the caller gets a lazy
+    # frame), and SQL cache entries live in the CacheManager until an
+    # explicit unpersist/clearCache (the ContextCleaner only reclaims
+    # GC'd RDD state), so repeated curate_increment calls in a long-lived
+    # ingest session accumulated MEMORY_AND_DISK entries for the session
+    # lifetime. Checkpoint blocks ARE plain RDD state: the ContextCleaner
+    # frees them when the caller's frame is garbage-collected. Same
+    # single-evaluation plan shape (both branches scan the checkpointed
+    # RDD); measured interleaved A/B at sf0.1 (tools/measure_r15_bloom.py):
+    # incr_curate_bloom 1.86 vs 1.98 s best-of-4 (0.94x, a wash-or-better).
+    probed = bloom_maybe_contains(new_df, filt, col, num_hashes).localCheckpoint(
+        eager=True
     )
     fresh = probed.filter(~F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))
     maybe = probed.filter(F.coalesce(F.col("bloom_maybe_seen"), F.lit(True)))

@@ -1191,7 +1191,25 @@ def minhash_cross_pairs_stream(
     # other setup jobs (landing-file writes) can build H0's features
     # concurrently (guide §2.6) and hand the materialized frame in; the
     # write below is then a cached scan. Identical rows either way
-    # (minhash_doc_features is deterministic).
+    # (minhash_doc_features is deterministic) — and when features are
+    # supplied, `initial_history` itself is NOT read (r15, ADVICE): the
+    # caller owns the consistency of frame/k, so the shape that IS
+    # checkable is checked here — (id, sig, hs) schema with sig holding
+    # exactly num_hashes entries — before anything silently diverges.
+    if initial_history_features is not None:
+        cols = set(initial_history_features.columns)
+        if not {"id", "sig", "hs"} <= cols:
+            raise ValueError(
+                "initial_history_features must be a minhash_doc_features frame "
+                f"with columns id/sig/hs, got {sorted(cols)}"
+            )
+        probe = initial_history_features.select(F.size("sig").alias("n")).head(1)
+        if probe and probe[0]["n"] != num_hashes:
+            raise ValueError(
+                f"initial_history_features sig length {probe[0]['n']} != "
+                f"num_hashes={num_hashes} — features were built with a "
+                "different signature shape than this stream pairs with"
+            )
     h0 = (
         initial_history_features
         if initial_history_features is not None

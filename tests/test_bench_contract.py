@@ -17,10 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _shrunk_line(timings, errors=None, elevated=False):
-    line = bench.contract_line(timings, errors or {}, 0.1, elevated, ndigits=2)
-    if len(line) > 1900:
-        line = bench.contract_line(timings, errors or {}, 0.1, elevated, ndigits=1)
-    return line
+    return bench.fit_contract_line(timings, errors or {}, 0.1, elevated)
 
 
 def test_contract_line_fits_driver_tail_worst_case():
@@ -50,12 +47,38 @@ def test_contract_line_realistic_draw_fits_at_two_decimals():
 
 
 def test_contract_line_errors_truncated():
-    timings = {q: 1.234 for q in bench.HEADLINE}
+    # plenty of headroom → the r14 shape verbatim: 80-char message, no count
+    timings = {"gas_stats": 1.234}
     errors = {"pagerank_ranks": "x" * 500}
-    line = _shrunk_line(timings, errors=errors)
-    parsed = json.loads(line)
+    parsed = json.loads(_shrunk_line(timings, errors=errors))
     assert len(parsed["errors"]["pagerank_ranks"]) == 80
-    assert "pagerank_ranks" in parsed["errors"]
+    assert "n_errors" not in parsed
+    # near the window, timing precision outranks error-message length:
+    # the 40-char step fires before the 1-decimal step
+    timings = {q: 1.234 for q in bench.HEADLINE}
+    parsed = json.loads(_shrunk_line(timings, errors=errors))
+    assert parsed["queries"]["gas_stats"] == 1.23
+    assert len(parsed["errors"]["pagerank_ranks"]) == 40
+
+
+def test_contract_line_fits_with_errors_worst_case():
+    # r15 (ADVICE): worst-case timings PLUS errors must still fit the
+    # driver window — the old 2-step shrink overflowed with even one
+    # 80-char error. Sweep 1, 3, 10 and all-queries-errored shapes.
+    for n_err in (1, 3, 10, len(bench.HEADLINE)):
+        errored = bench.HEADLINE[:n_err]
+        timings = {q: 123.456 for q in bench.HEADLINE if q not in errored}
+        errors = {q: "e" * 500 for q in errored}
+        line = _shrunk_line(timings, errors=errors, elevated=True)
+        assert len(line) <= 1900, (n_err, len(line))
+        parsed = json.loads(line)
+        # the failure is always visible: either messages or a count
+        n_shown = len(parsed.get("errors", {}))
+        assert n_shown == n_err or parsed["n_errors"] == n_err
+        # dropped messages imply the count key
+        if n_shown < n_err:
+            assert parsed["n_errors"] == n_err
+        assert set(parsed["queries"]) == set(timings)
 
 
 def test_detect_elevated_on_archived_host_steal_draws():
@@ -69,14 +92,35 @@ def test_detect_elevated_on_archived_host_steal_draws():
         assert 1.15 <= median <= 1.8
 
 
-def test_detect_elevated_not_fired_by_single_regression():
-    # one genuinely regressed query must NOT read as environment
+def test_detect_elevated_outlier_robust_cap():
+    # r15 (VERDICT r14 item 3): ONE genuinely-regressed query on top of a
+    # diffuse host-steal draw must not veto the environment diagnosis —
+    # the cap is evaluated with the single largest ratio dropped
     flags = {"q%d" % i: {"flag": "high", "ratio": 1.3} for i in range(14)}
     flags["bad_query"] = {"flag": "high", "ratio": 5.0}
-    elevated, _ = bench.detect_elevated(flags)
-    assert not elevated  # max ratio 5.0 > 2.5 → a real outlier exists
+    elevated, median = bench.detect_elevated(flags)
+    assert elevated and median == 1.3
+    # ...but TWO extreme ratios mean the highs are not diffuse steal
+    flags["bad_query_2"] = {"flag": "high", "ratio": 4.0}
+    assert not bench.detect_elevated(flags)[0]
+    # a mass regression (bulk of highs extreme) is not "environment"
+    mass = {"q%d" % i: {"flag": "high", "ratio": 2.4} for i in range(20)}
+    assert not bench.detect_elevated(mass)[0]
+    # too few highs: no diagnosis
     few = {"q%d" % i: {"flag": "high", "ratio": 1.3} for i in range(5)}
     assert bench.detect_elevated(few) == (False, None)
+
+
+def test_detect_elevated_flags_the_r14_driver_draw():
+    # regression replay (VERDICT r14 item 3): the r14 driver draw — 29
+    # diffuse highs at median 1.65 with one 2.52 outlier — shipped with
+    # draw_elevated=false because the old `max <= 2.5` cap failed on the
+    # outlier. The archived flags must now read elevated.
+    with open(os.path.join(REPO, "tools/bands_draws_r14/driver_draw_flags.json")) as f:
+        d = json.load(f)
+    elevated, median = bench.detect_elevated(d["band_flags"])
+    assert elevated
+    assert 1.15 <= median <= 1.8
 
 
 def test_band_flags_thresholds():
