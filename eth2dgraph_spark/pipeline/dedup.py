@@ -193,6 +193,17 @@ def stop_shingle_postings(
     )
 
 
+def _ngram_dp(sh: DataFrame, spark) -> "int | None":
+    """Partition count for ngram_jaccard_pairs' pinned exchanges (the
+    posting window, the intersection aggregate and the two size joins).
+    r14 form: max(defaultParallelism, input width) — returned here as the
+    default; None disables the pins entirely (measured 1.63x worse under
+    parallelismFirst=false, r14). Factored out (r15) so the A/B harness
+    can swap derivations in-process; the winning derivation is whatever
+    this returns."""
+    return max(spark.sparkContext.defaultParallelism, sh.rdd.getNumPartitions())
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -253,12 +264,9 @@ def ngram_jaccard_pairs(
     # under the flag without the pin). REPARTITION_BY_NUM is exempt from
     # coalescing, replaces the ENSURE_REQUIREMENTS exchange the window /
     # posting groupBy inserted anyway (same key, so the partitioning is
-    # reused downstream), and floors at defaultParallelism only when the
-    # frame is narrower than that — wide frames keep their splits.
-    dp = max(
-        df.sparkSession.sparkContext.defaultParallelism, sh.rdd.getNumPartitions()
-    )
-    posting_src = sh.repartition(dp, "h")
+    # reused downstream). dp derivation lives in _ngram_dp (r15).
+    dp = _ngram_dp(sh, df.sparkSession)
+    posting_src = sh.repartition(dp, "h") if dp else sh
     if max_shingle_docs is not None:
         if cap_form == "window":
             # ONE shuffle of sh on h: the window's hashpartitioning(h) is
@@ -300,10 +308,9 @@ def ngram_jaccard_pairs(
     # under-provisions these row-heavy, compute-real stages (measured:
     # reverting just these pins took the respect arm from 0.91x back to
     # 1.63x on ngram_jaccard).
+    cand = posting.select(pair).select("p.id_a", "p.id_b")
     inter = (
-        posting.select(pair)
-        .select("p.id_a", "p.id_b")
-        .repartition(dp, "id_a", "id_b")
+        (cand.repartition(dp, "id_a", "id_b") if dp else cand)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -321,19 +328,19 @@ def ngram_jaccard_pairs(
     # round 10), and `sizes` is one row per DOCUMENT (fine at 50k, billions
     # of rows at corpus scale). A shuffled hash join keyed on the doc id is
     # the only shape that survives both ends.
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.repartition(dp, "id_a")
+        (inter.repartition(dp, "id_a") if dp else inter)
         .join(
-            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-            .repartition(dp, "id_a")
-            .hint("shuffle_hash"),
+            (sz_a.repartition(dp, "id_a") if dp else sz_a).hint("shuffle_hash"),
             "id_a",
         )
-        .repartition(dp, "id_b")
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-            .repartition(dp, "id_b")
-            .hint("shuffle_hash"),
+    )
+    out = (out.repartition(dp, "id_b") if dp else out)
+    out = (
+        out.join(
+            (sz_b.repartition(dp, "id_b") if dp else sz_b).hint("shuffle_hash"),
             "id_b",
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
