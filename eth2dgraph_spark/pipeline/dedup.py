@@ -196,12 +196,28 @@ def stop_shingle_postings(
 def _ngram_dp(sh: DataFrame, spark) -> "int | None":
     """Partition count for ngram_jaccard_pairs' pinned exchanges (the
     posting window, the intersection aggregate and the two size joins).
-    r14 form: max(defaultParallelism, input width) — returned here as the
-    default; None disables the pins entirely (measured 1.63x worse under
-    parallelismFirst=false, r14). Factored out (r15) so the A/B harness
-    can swap derivations in-process; the winning derivation is whatever
-    this returns."""
-    return max(spark.sparkContext.defaultParallelism, sh.rdd.getNumPartitions())
+
+    r15 (VERDICT r14 item 2): derived from the MEASURED shingle-row count
+    via graph._size_partitions — ceil(rows/50k) tasks capped at
+    defaultParallelism, growing as ceil(rows/2M) at scale — instead of
+    the r14 `max(defaultParallelism, input width)` floor. The r14 floor
+    pinned 32-partition shuffles onto ~500k-row stages, which is where
+    the gate's 32-core anti-scaling lived (r14 scaling ratio 0.27).
+    Interleaved A/B/C on an idle box (tools/measure_r15_ngram.py,
+    best-of-3, both core counts):
+      c32: width-derived 3.63 / r14 floor 4.40 / no pins 6.86 s
+           (capped gate: 3.66 / 4.89 / 4.02)
+      c8:  width-derived 3.00 / r14 floor 2.68 / no pins 5.57 s
+           (capped gate: 1.95 / 2.14 / 1.94)
+    -> width-derived is best at c32, within one count-job floor of the
+    r14 form at c8 (same dp=8 there), and lifts the c8/c32 scaling ratio
+    from 0.61 to 0.83. No pins stays 1.5-1.9x worse at c32 — the pins
+    themselves are load-bearing under parallelismFirst=false. The
+    count() doubles as the cache materialization of the persisted
+    shingle frame, which its first consumer paid anyway."""
+    from ..graph import _size_partitions
+
+    return _size_partitions(sh.count(), spark)
 
 
 def ngram_jaccard_pairs(
